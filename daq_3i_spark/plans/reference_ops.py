@@ -1,0 +1,662 @@
+"""SURVEY.md §2.1–2.7 — the reference's operator inventory as Spark plans.
+
+Every dataflow stage / implicit relational op of the reference daemon
+(/root/reference/daq-3i.py, bus.py, daq_status.py) has a batch analog here,
+expressed declaratively so Catalyst does pushdown/pruning/broadcast for free,
+plus a DuckDB oracle.  The DAQ config dims are synthesized deterministically
+(sources/daq_dims.py) and ``channel_data`` is the FIXTURES.md §A.6 view over
+the driver's ``events`` table.
+
+Scale notes are in each op's docstring where non-obvious; the common shape is
+fact-side shuffle on ``channel_id`` only when a window/agg needs it, config
+dims always broadcast (a few KB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.convert import convert_case_column, convert_case_duckdb
+from daq_3i_spark.functions.decode import decode_cols, decode_sql_duckdb
+from daq_3i_spark.operators.core import latest_per_key, oldest_n_per_key
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.tables import load_events
+from daq_3i_spark.sources.daq_dims import (
+    buses_df,
+    channel_data_df,
+    channels_df,
+    conversions_df,
+    conversions_rows,
+    dims_cte_sql,
+)
+
+_D = dims_cte_sql()
+_CONVS = [(cid, expr) for cid, _name, expr in conversions_rows()]
+
+_DEC = "decimal(25,6)"
+
+
+def _cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return channel_data_df(spark, sf_dir)
+
+
+def _enabled_channels(spark: SparkSession) -> DataFrame:
+    return channels_df(spark).filter(F.col("enabled"))
+
+
+# --- §2.1 sources / scans / sinks --------------------------------------------
+
+
+@register(
+    "op_scan_config_buses",
+    f"WITH {_D} SELECT id, name, protocol, address, port, timeout FROM buses WHERE enabled",
+    doc="startup scan of enabled buses (daq-3i.py:131)",
+)
+def op_scan_config_buses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return buses_df(spark).filter(F.col("enabled")).select(
+        "id", "name", "protocol", "address", "port", "timeout"
+    )
+
+
+@register(
+    "op_scan_config_channels",
+    f"""WITH {_D}
+    SELECT c.id, c.name, c.bus_id, c.device_id, c.address, c.timing,
+           c.conversion_id, c.func_code, c.format_code, c.eng_unit, c.history_len
+    FROM channels c JOIN buses b ON c.bus_id = b.id AND b.enabled
+    WHERE c.enabled""",
+    doc="per-bus channel scan folded into one join (daq-3i.py:145; N+1 eliminated)",
+)
+def op_scan_config_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark)
+    b = buses_df(spark).filter(F.col("enabled")).select(F.col("id").alias("bus_id"))
+    return c.join(F.broadcast(b), "bus_id").select(
+        "id", "name", "bus_id", "device_id", "address", "timing",
+        "conversion_id", "func_code", "format_code", "eng_unit", "history_len",
+    )
+
+
+@register(
+    "op_source_modbus_poll",
+    f"WITH {_D} SELECT id, channel_id, ts, value FROM channel_data",
+    doc="the acquisition feed adapter: events replayed as raw samples "
+    "(modbus.py:37-56 batch analog; live source in streaming/modbus_source.py)",
+)
+def op_source_modbus_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cd(spark, sf_dir)
+
+
+@register(
+    "op_scan_channel_data",
+    f"WITH {_D} SELECT id, channel_id, ts, value FROM channel_data WHERE channel_id = 7",
+    doc="point scan by channel (daq-3i.py:198,209); partition pruning at scale",
+)
+def op_scan_channel_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cd(spark, sf_dir).filter(F.col("channel_id") == 7)
+
+
+@register(
+    "op_sink_append_channel_data",
+    f"""WITH {_D},
+    joined AS (
+      SELECT cd.id, cd.channel_id, cd.ts, cd.value, c.conversion_id
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+    )
+    SELECT id, channel_id, ts,
+           {convert_case_duckdb(_CONVS, "conversion_id", "value")} AS value
+    FROM joined""",
+    doc="the micro-batch that replaces per-row INSERT+COMMIT (daq-3i.py:274-281): "
+    "decode/convert applied, cast to the sink type decimal(25,6) (db_model.py:54)",
+)
+def op_sink_append_channel_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).select(
+        F.col("id").alias("channel_id"), "conversion_id"
+    )
+    return (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .select(
+            "id",
+            "channel_id",
+            "ts",
+            convert_case_column(_CONVS, F.col("conversion_id"), "value").alias("value"),
+        )
+    )
+
+
+@register(
+    "op_sink_upsert_status",
+    f"""WITH ranked AS (
+      SELECT event_type AS parameter, 1 AS status, ts,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) SELECT parameter, CAST(status AS INTEGER) AS status, ts FROM ranked WHERE rn = 1""",
+    doc="daq_status upsert batch analog: latest update per key wins "
+    "(daq_status.py:36-68); streaming twin is a foreachBatch MERGE",
+)
+def op_sink_upsert_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.select(
+            F.col("event_type").alias("parameter"),
+            F.lit(1).cast("int").alias("status"),
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "op_sink_truncate_status",
+    "SELECT CAST(NULL AS VARCHAR) AS parameter, CAST(NULL AS INTEGER) AS status, "
+    "CAST(NULL AS TIMESTAMP) AS ts WHERE FALSE",
+    doc="startup status flush = truncate (daq_status.py:19-33): empty overwrite set",
+)
+def op_sink_truncate_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return events.select(
+        F.col("event_type").alias("parameter"),
+        F.lit(1).cast("int").alias("status"),
+        "ts",
+    ).limit(0)
+
+
+@register(
+    "op_sink_delete_retention",
+    f"""WITH {_D},
+    ranked AS (
+      SELECT cd.id, cd.channel_id,
+             row_number() OVER (PARTITION BY cd.channel_id ORDER BY cd.id DESC) AS rn,
+             c.history_len
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id
+    ) SELECT id, channel_id FROM ranked WHERE rn > history_len""",
+    doc="retention delete set, one statement (vs daq-3i.py:207-215 row loop, "
+    "no 100-row batch cap — SURVEY §2.9.5)",
+)
+def op_sink_delete_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = channels_df(spark).select(F.col("id").alias("channel_id"), "history_len")
+    w = Window.partitionBy("channel_id").orderBy(F.col("id").desc())
+    return (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > F.col("history_len"))
+        .select("id", "channel_id")
+    )
+
+
+# --- §2.2 projections / filters ----------------------------------------------
+
+
+@register(
+    "op_filter_enabled",
+    f"""WITH {_D} SELECT id, name, bus_id, timing, format_code, history_len
+    FROM channels WHERE enabled""",
+    doc="enabled-flag predicate (daq-3i.py:131,145)",
+)
+def op_filter_enabled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enabled_channels(spark).select(
+        "id", "name", "bus_id", "timing", "format_code", "history_len"
+    )
+
+
+@register(
+    "op_filter_due",
+    f"""WITH {_D},
+    seq AS (
+      SELECT cd.id, cd.channel_id, cd.ts, c.timing,
+             lag(epoch_us(cd.ts)) OVER (PARTITION BY cd.channel_id ORDER BY cd.ts, cd.id)
+               AS prev_us
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+    )
+    SELECT id, channel_id, ts FROM seq
+    WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > CAST(timing AS BIGINT) * 1000000""",
+    doc="per-channel sampling-interval predicate (bus.py:38-49): read due iff "
+    "never read or gap > timing (strict). Batch analog = lag-based filter; "
+    "streaming twin keeps last_read_at in state (streaming/stateful.py)",
+)
+def op_filter_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).select(F.col("id").alias("channel_id"), "timing")
+    w = Window.partitionBy("channel_id").orderBy("ts", "id")
+    df = (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("us").over(w))
+    )
+    return df.filter(
+        F.col("prev_us").isNull()
+        | (F.col("us") - F.col("prev_us") > F.col("timing").cast("long") * 1000000)
+    ).select("id", "channel_id", "ts")
+
+
+@register(
+    "op_filter_dirty",
+    f"""WITH {_D}
+    SELECT id, channel_id, ts, value FROM channel_data
+    WHERE ts > (SELECT max(ts) - INTERVAL 1 HOUR FROM channel_data)""",
+    doc="change-data filter (is_dirty analog, bus.py:36): rows newer than the "
+    "last persist checkpoint (here: high-watermark minus 1h)",
+)
+def op_filter_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = _cd(spark, sf_dir)
+    hwm = cd.agg(F.max("ts").alias("max_ts"))
+    return (
+        cd.crossJoin(F.broadcast(hwm))
+        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 1 HOUR"))
+        .select("id", "channel_id", "ts", "value")
+    )
+
+
+@register(
+    "op_project_columns",
+    f"WITH {_D} SELECT id FROM channel_data",
+    doc="narrow projection (daq-3i.py:198,209); Catalyst prunes the parquet scan "
+    "to the single column",
+)
+def op_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cd(spark, sf_dir).select("id")
+
+
+@register(
+    "op_filter_status_key",
+    f"""WITH {_D}
+    SELECT concat('CHL: ', CAST(channel_id AS VARCHAR)) AS parameter,
+           CAST(1 AS INTEGER) AS status, max(ts) AS ts
+    FROM channel_data GROUP BY channel_id
+    HAVING concat('CHL: ', CAST(channel_id AS VARCHAR)) = 'CHL: 7'""",
+    doc="point lookup parameter = ? on the status snapshot (daq_status.py:44-47)",
+)
+def op_filter_status_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cd(spark, sf_dir)
+        .groupBy("channel_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            F.concat(F.lit("CHL: "), F.col("channel_id").cast("string")).alias("parameter"),
+            F.lit(1).cast("int").alias("status"),
+            "ts",
+        )
+        .filter(F.col("parameter") == "CHL: 7")
+    )
+
+
+# --- §2.3 joins ----------------------------------------------------------------
+
+
+@register(
+    "op_join_channels_buses",
+    f"""WITH {_D}
+    SELECT c.id AS channel_id, c.name AS channel_name, b.id AS bus_id,
+           b.name AS bus_name, b.address AS bus_address, b.port AS port
+    FROM channels c JOIN buses b ON c.bus_id = b.id AND b.enabled
+    WHERE c.enabled""",
+    doc="channels⋈buses broadcast hash join (app-level loop daq-3i.py:135-159 "
+    "becomes one join)",
+)
+def op_join_channels_buses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark)
+    b = buses_df(spark).filter(F.col("enabled"))
+    return c.join(F.broadcast(b), c.bus_id == b.id, "inner").select(
+        c.id.alias("channel_id"),
+        c.name.alias("channel_name"),
+        b.id.alias("bus_id"),
+        b.name.alias("bus_name"),
+        b.address.alias("bus_address"),
+        b.port.alias("port"),
+    )
+
+
+@register(
+    "op_join_channels_conversions",
+    f"""WITH {_D}
+    SELECT c.id AS channel_id, c.conversion_id, v.expr AS expr
+    FROM channels c LEFT JOIN conversions v ON c.conversion_id = v.id
+    WHERE c.enabled""",
+    doc="lazy FK traversal chl.conversion.expr as a null-tolerant left join "
+    "(daq-3i.py:150-153); conversion_id 0/NULL -> no conversion",
+)
+def op_join_channels_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark)
+    v = conversions_df(spark)
+    return c.join(F.broadcast(v), c.conversion_id == v.id, "left").select(
+        c.id.alias("channel_id"), c.conversion_id, v.expr.alias("expr")
+    )
+
+
+@register(
+    "op_join_data_channels",
+    f"""WITH {_D},
+    counts AS (SELECT channel_id, count(*) AS n_rows FROM channel_data GROUP BY channel_id)
+    SELECT k.channel_id, k.n_rows, c.history_len,
+           CAST(greatest(k.n_rows - c.history_len, 0) AS BIGINT) AS to_del
+    FROM counts k JOIN channels c ON k.channel_id = c.id""",
+    doc="fact-aggregate ⋈ dimension: the truncate loop's per-channel count + "
+    "history_len (daq-3i.py:191-209) as ONE statement (the file's own comment "
+    "at :176-178 asks for exactly this)",
+)
+def op_join_data_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _cd(spark, sf_dir).groupBy("channel_id").agg(F.count("*").alias("n_rows"))
+    c = channels_df(spark).select(F.col("id").alias("channel_id"), "history_len")
+    return counts.join(F.broadcast(c), "channel_id").select(
+        "channel_id",
+        "n_rows",
+        "history_len",
+        F.greatest(F.col("n_rows") - F.col("history_len"), F.lit(0)).cast("long").alias("to_del"),
+    )
+
+
+@register(
+    "op_join_enrich_stream",
+    f"""WITH {_D}
+    SELECT cd.id, cd.channel_id, c.name AS channel_name, c.eng_unit, cd.ts, cd.value
+    FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled""",
+    doc="stream-static enrichment join (ChannelState metadata carry, bus.py:15-25); "
+    "the dim side is broadcast — no fact shuffle",
+)
+def op_join_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).select(
+        F.col("id").alias("channel_id"), F.col("name").alias("channel_name"), "eng_unit"
+    )
+    return _cd(spark, sf_dir).join(F.broadcast(c), "channel_id").select(
+        "id", "channel_id", "channel_name", "eng_unit", "ts", "value"
+    )
+
+
+# --- §2.4 aggregations -----------------------------------------------------------
+
+
+@register(
+    "op_count_per_channel",
+    f"WITH {_D} SELECT channel_id, count(*) AS n_rows FROM channel_data GROUP BY channel_id",
+    doc="COUNT per channel (daq-3i.py:198); hash aggregate, map-side partials",
+)
+def op_count_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cd(spark, sf_dir).groupBy("channel_id").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "op_latest_per_channel",
+    f"""WITH {_D},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY channel_id ORDER BY ts DESC, id DESC) AS rn
+      FROM channel_data
+    ) SELECT id, channel_id, ts, value FROM ranked WHERE rn = 1""",
+    doc="latest-wins slot (ChannelState overwrite, bus.py:32-36) as a window "
+    "dedup; streaming twin = state store",
+)
+def op_latest_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_per_key(
+        _cd(spark, sf_dir), "channel_id", [F.desc("ts"), F.desc("id")]
+    ).select("id", "channel_id", "ts", "value")
+
+
+# --- §2.5 sorts / limits / top-k ---------------------------------------------------
+
+
+@register(
+    "op_oldest_n_per_channel",
+    f"""WITH {_D},
+    ranked AS (
+      SELECT id, channel_id, row_number() OVER (PARTITION BY channel_id ORDER BY id ASC) AS rn
+      FROM channel_data
+    ) SELECT id, channel_id FROM ranked WHERE rn <= 5""",
+    doc="bottom-k per group (delete-candidate scan, daq-3i.py:209)",
+)
+def op_oldest_n_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oldest_n_per_key(_cd(spark, sf_dir), "channel_id", "id", 5).select("id", "channel_id")
+
+
+@register(
+    "op_retention_topk",
+    f"""WITH {_D},
+    ranked AS (
+      SELECT cd.id, cd.channel_id, cd.ts, cd.value, c.history_len,
+             row_number() OVER (PARTITION BY cd.channel_id ORDER BY cd.id DESC) AS rn
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id
+    ) SELECT id, channel_id, ts, value FROM ranked WHERE rn <= history_len""",
+    doc="retention keep-set: newest history_len rows per channel "
+    "(daq-3i.py:193-215, set-based, uncapped)",
+)
+def op_retention_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = channels_df(spark).select(F.col("id").alias("channel_id"), "history_len")
+    w = Window.partitionBy("channel_id").orderBy(F.col("id").desc())
+    return (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("history_len"))
+        .select("id", "channel_id", "ts", "value")
+    )
+
+
+# --- §2.7 scalar functions / UDFs / stateful behaviors -----------------------------
+
+
+def _with_regs(df: DataFrame) -> DataFrame:
+    """Deterministic register words derived from the sample id (test fixture:
+    the driver tables carry no raw registers, so synthesize uint16 words).
+
+    Projected as three scalar columns — not an array — so the decode CASE
+    references codegen locals (see functions/decode.py:decode_cols)."""
+    rid = F.col("id")
+    return (
+        df.withColumn("r0", (rid % 65536).cast("int"))
+        .withColumn("r1", ((rid * 7919) % 65536).cast("int"))
+        .withColumn("r2", ((rid * 104729) % 65536).cast("int"))
+    )
+
+
+_REGS_SQL = ("(cd.id % 65536)", "((cd.id * 7919) % 65536)", "((cd.id * 104729) % 65536)")
+
+
+@register(
+    "op_decode_registers",
+    f"""WITH {_D}
+    SELECT cd.id, cd.channel_id, c.format_code,
+           {decode_sql_duckdb("c.format_code", *_REGS_SQL)} AS value_decoded
+    FROM channel_data cd
+    JOIN channels c ON cd.channel_id = c.id AND c.enabled AND c.func_code = 3""",
+    doc="register decode, 14 format codes (modbus.py:58-166) as pure Catalyst "
+    "bit arithmetic incl. arithmetic IEEE-754 float decode — no Python in the "
+    "hot path; reference bugs fixed per SURVEY §2.9 (see functions/decode.py)",
+)
+def op_decode_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).filter(F.col("func_code") == 3).select(
+        F.col("id").alias("channel_id"), "format_code"
+    )
+    return (
+        _with_regs(_cd(spark, sf_dir).join(F.broadcast(c), "channel_id"))
+        .select(
+            "id",
+            "channel_id",
+            "format_code",
+            decode_cols(
+                F.col("format_code"), F.col("r0"), F.col("r1"), F.col("r2")
+            ).alias("value_decoded"),
+        )
+    )
+
+
+@register(
+    "op_convert_expr",
+    f"""WITH {_D},
+    joined AS (
+      SELECT cd.id, cd.channel_id, c.conversion_id, cd.value
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+    )
+    SELECT id, channel_id, conversion_id,
+           {convert_case_duckdb(_CONVS, "conversion_id", "value")} AS value_conv
+    FROM joined""",
+    doc="per-channel conversion expressions compiled to native Catalyst "
+    "(conversion.py:7-16: asteval per-sample re-parse replaced by a "
+    "compile-once CASE over conversion_id; malformed expr -> NULL)",
+)
+def op_convert_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).select(F.col("id").alias("channel_id"), "conversion_id")
+    return (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .select(
+            "id",
+            "channel_id",
+            "conversion_id",
+            convert_case_column(_CONVS, F.col("conversion_id"), "value").alias("value_conv"),
+        )
+    )
+
+
+@register(
+    "op_sign_extend",
+    f"""WITH {_D}
+    SELECT id,
+           CAST(CASE WHEN id % 4096 >= 2048 THEN id % 4096 - 4096 ELSE id % 4096 END AS BIGINT)
+             AS sx
+    FROM channel_data""",
+    doc="two's-complement sign extension (buscommon.py:12-19 — dead in the "
+    "reference, implemented natively here; 12-bit example)",
+)
+def op_sign_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("id") % 4096
+    return _cd(spark, sf_dir).select(
+        "id", F.when(v >= 2048, v - 4096).otherwise(v).cast("long").alias("sx")
+    )
+
+
+@register(
+    "op_sched_tick",
+    f"""WITH {_D}
+    SELECT c.bus_id, date_trunc('second', cd.ts) AS tick, count(*) AS n_reads
+    FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+    GROUP BY c.bus_id, date_trunc('second', cd.ts)""",
+    doc="1 Hz acquisition tick occupancy per bus (daq-3i.py:233-260); in "
+    "streaming this is Trigger.ProcessingTime('1 second')",
+)
+def op_sched_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).select(F.col("id").alias("channel_id"), "bus_id")
+    return (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .groupBy("bus_id", F.date_trunc("second", "ts").alias("tick"))
+        .agg(F.count("*").alias("n_reads"))
+    )
+
+
+@register(
+    "op_heartbeat",
+    """SELECT time_bucket(INTERVAL '15 seconds', ts) AS window_start, count(*) AS n
+    FROM events GROUP BY 1""",
+    doc="15 s heartbeat (daq-3i.py:163-171) as a tumbling-window count; "
+    "streaming twin uses F.window + StreamingQueryListener",
+)
+def op_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "15 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "op_status_per_channel",
+    f"""WITH {_D}
+    SELECT concat('CHL: ', CAST(channel_id AS VARCHAR)) AS parameter,
+           CAST(1 AS INTEGER) AS status, max(ts) AS ts
+    FROM channel_data GROUP BY channel_id""",
+    doc="per-channel CHL status upsert after persist (daq-3i.py:284), grouped "
+    "per key in the batch",
+)
+def op_status_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cd(spark, sf_dir)
+        .groupBy("channel_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            F.concat(F.lit("CHL: "), F.col("channel_id").cast("string")).alias("parameter"),
+            F.lit(1).cast("int").alias("status"),
+            "ts",
+        )
+    )
+
+
+@register(
+    "op_error_handling",
+    f"""WITH {_D},
+    decoded AS (
+      SELECT cd.channel_id, c.func_code,
+             CASE WHEN c.func_code <> 3 THEN NULL
+                  ELSE {decode_sql_duckdb("c.format_code", *_REGS_SQL)} END AS v
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id
+    )
+    SELECT channel_id, count(*) AS n_errors
+    FROM decoded WHERE v IS NULL GROUP BY channel_id""",
+    doc="error side-channel (bus.py:85-101, modbus.py:48-55): failed reads / "
+    "undecodable payloads become NULL and route to a dead-letter aggregate "
+    "instead of crashing the stream",
+)
+def op_error_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = channels_df(spark).select(F.col("id").alias("channel_id"), "func_code", "format_code")
+    decoded = _with_regs(
+        _cd(spark, sf_dir).join(F.broadcast(c), "channel_id")
+    ).withColumn(
+        "v",
+        F.when(F.col("func_code") != 3, F.lit(None).cast("double")).otherwise(
+            decode_cols(F.col("format_code"), F.col("r0"), F.col("r1"), F.col("r2"))
+        ),
+    )
+    return decoded.filter(F.col("v").isNull()).groupBy("channel_id").agg(
+        F.count("*").alias("n_errors")
+    )
+
+
+# --- flagship -------------------------------------------------------------------
+
+
+FLAGSHIP_ORACLE = f"""WITH {_D},
+joined AS (
+  SELECT cd.id, cd.channel_id, cd.ts, cd.value,
+         c.name AS channel_name, c.eng_unit, c.conversion_id, c.history_len
+  FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+),
+conv AS (
+  SELECT *, {convert_case_duckdb(_CONVS, "conversion_id", "value")} AS vc FROM joined
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY channel_id ORDER BY id DESC) AS rn FROM conv
+)
+SELECT id, channel_id, channel_name, eng_unit, ts, value, vc AS value_conv
+FROM ranked WHERE rn <= history_len"""
+
+
+@register(
+    "flagship_pipeline",
+    FLAGSHIP_ORACLE,
+    doc="the end-to-end acquisition slice as ONE DataFrame statement: feed scan "
+    "-> broadcast enrich -> compiled conversion -> retention keep "
+    "(SURVEY §3.1 realized in batch; streaming twin in streaming/pipeline.py)",
+)
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _enabled_channels(spark).select(
+        F.col("id").alias("channel_id"),
+        F.col("name").alias("channel_name"),
+        "eng_unit",
+        "conversion_id",
+        "history_len",
+    )
+    w = Window.partitionBy("channel_id").orderBy(F.col("id").desc())
+    return (
+        _cd(spark, sf_dir)
+        .join(F.broadcast(c), "channel_id")
+        .withColumn(
+            "value_conv",
+            convert_case_column(_CONVS, F.col("conversion_id"), "value"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("history_len"))
+        .select("id", "channel_id", "channel_name", "eng_unit", "ts", "value", "value_conv")
+    )
