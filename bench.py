@@ -1,0 +1,82 @@
+"""Benchmark runner — the driver's per-round BENCH_r{N}.json feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints exactly ONE JSON line on stdout:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect skew); a warmup pass runs first so JVM/codegen warmup
+doesn't land on the first timed query.  All Spark chatter stays on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# The headline set: the flagship DAQ pipeline, the scan/join/agg-heavy SQL
+# surface, and one of each extension-op family (dedup / similarity / text).
+HEADLINE = [
+    "flagship_pipeline",
+    "op_sink_append_channel_data",
+    "op_latest_per_channel",
+    "op_retention_topk",
+    "op_decode_registers",
+    "op_sql_q1",
+    "op_sql_q3_topk",
+    "op_sql_q5_region",
+    "op_sql_window_rank",
+    "op_dedup_exact",
+    "op_dedup_minhash",
+    "op_sim_topk",
+    "op_text_stats",
+]
+
+
+def main() -> None:
+    from daq_3i_spark.session import get_spark
+    from daq_3i_spark.plans import QUERIES
+
+    spark = get_spark("daq_3i_bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup: JVM JIT + codegen + parquet footer caches
+    for name in names[:3]:
+        run(name)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run(name), 4)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
