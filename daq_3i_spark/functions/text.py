@@ -1,0 +1,185 @@
+"""Portable text-analysis kernels: one expression tree, two dialects.
+
+The extension operators (SURVEY.md §2.8; dedup / fingerprinting / language-ID
+/ quality scoring) need hash functions that the DuckDB oracle can reproduce
+*bit-for-bit*.  Engine-native hashes (xxhash64, murmur) differ between
+engines, so every kernel here is built from portable arithmetic:
+
+* rolling polynomial hash  ``h = (h*31 + codepoint) mod (2^31-1)`` — exact in
+  int64 (no overflow: h < 2^31, h*31 + 0x10FFFF < 2^36);
+* affine min-hash permutations ``(a*h + b) mod (2^31-1)`` with hardcoded
+  (a, b) constants — products stay < 2^62;
+* integer bit ops (xor / shift / bit_count) for SimHash, identical in both
+  engines (verified in tests/test_text_portable.py).
+
+Everything is generated through the :class:`Dialect` renderer so the Spark
+plan (``F.expr``) and the DuckDB oracle SQL come from the *same* template —
+parity by construction, not by careful transcription.
+
+Performance: these are pure Catalyst expression trees (whole-stage codegen,
+no Python, no shuffle until the explicit groupBy/join of the operator using
+them).  The per-character fold is a tight generated loop; at 100 TB the scan
+stays I/O-bound.  Ref: the reference has no text ops at all — this implements
+the BASELINE.json north-star extension surface.
+"""
+
+from __future__ import annotations
+
+P = 2_147_483_647  # Mersenne prime 2^31 - 1: hash modulus
+B = 31  # polynomial base
+
+# 16 affine minhash permutations (a, b), a odd, generated once from a fixed
+# seed and frozen here as constants (both engines must see identical values).
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1203114659, 1768045981), (653468061, 1483134390), (1817245907, 201465966),
+    (588191817, 842465187), (1113647461, 1162858971), (543629347, 1057559365),
+    (711559173, 820727717), (1823962449, 400181493), (1807121397, 1444349247),
+    (906130983, 982156621), (624441669, 1931121521), (203552069, 562519897),
+    (2116781963, 1632873051), (1730450349, 1837399063), (1468772189, 492371405),
+    (1130427761, 752346099),
+]
+MINHASH_K = len(MINHASH_PERMS)
+LSH_BANDS = 4  # 4 bands x 4 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+SIMHASH_BITS = 32
+
+
+class Dialect:
+    """Renders the portable expression templates for Spark SQL or DuckDB."""
+
+    def __init__(self, spark: bool):
+        self.is_spark = spark
+
+    # --- array primitives ----------------------------------------------------
+
+    def transform(self, arr: str, var: str, body: str) -> str:
+        fn = "transform" if self.is_spark else "list_transform"
+        return f"{fn}({arr}, {var} -> {body})"
+
+    def filt(self, arr: str, var: str, body: str) -> str:
+        fn = "filter" if self.is_spark else "list_filter"
+        return f"{fn}({arr}, {var} -> {body})"
+
+    def amin(self, arr: str) -> str:
+        return f"array_min({arr})" if self.is_spark else f"list_min({arr})"
+
+    def size(self, arr: str) -> str:
+        return f"size({arr})" if self.is_spark else f"len({arr})"
+
+    def at(self, arr: str, i: str) -> str:
+        """1-based element access (i may be an expression)."""
+        return f"element_at({arr}, {i})" if self.is_spark else f"{arr}[{i}]"
+
+    def seq1n(self, n: str) -> str:
+        """[1..n], empty when n <= 0 (Spark's sequence() would *descend*)."""
+        if self.is_spark:
+            return f"filter(sequence(1, greatest({n}, 1)), __i -> __i <= {n})"
+        return f"generate_series(1, {n})"
+
+    def fold_long(self, arr: str, init: str, acc: str, var: str, body: str) -> str:
+        """Left fold with BIGINT accumulator; identical order both engines."""
+        if self.is_spark:
+            return f"aggregate({arr}, CAST({init} AS BIGINT), ({acc}, {var}) -> {body})"
+        return (
+            f"list_reduce(list_prepend(CAST({init} AS BIGINT), {arr}), "
+            f"({acc}, {var}) -> {body})"
+        )
+
+    def fold_double(self, arr: str, init: str, acc: str, var: str, body: str) -> str:
+        if self.is_spark:
+            return f"aggregate({arr}, CAST({init} AS DOUBLE), ({acc}, {var}) -> {body})"
+        return (
+            f"list_reduce(list_prepend(CAST({init} AS DOUBLE), {arr}), "
+            f"({acc}, {var}) -> {body})"
+        )
+
+    def arr(self, items: list[str]) -> str:
+        joined = ", ".join(items)
+        return f"array({joined})" if self.is_spark else f"[{joined}]"
+
+    def split(self, s: str, sep: str = "' '") -> str:
+        fn = "split" if self.is_spark else "string_split"
+        return f"{fn}({s}, {sep})"
+
+    def bitcount(self, x: str) -> str:
+        return f"bit_count({x})"
+
+    def bxor(self, a: str, b: str) -> str:
+        return f"({a} ^ {b})" if self.is_spark else f"xor({a}, {b})"
+
+    # --- text kernels --------------------------------------------------------
+
+    def char_hash(self, s: str) -> str:
+        """Rolling polynomial hash of a string's code points, in [0, P)."""
+        codes = self.transform(self.seq1n(f"length({s})"), "__ci",
+                               f"CAST(ascii(substr({s}, __ci, 1)) AS BIGINT)")
+        return self.fold_long(codes, "0", "__a", "__c", f"(__a*{B} + __c) % {P}")
+
+    def tokens(self, text: str) -> str:
+        """Whitespace tokens of the lowercased text."""
+        return self.split(f"lower({text})")
+
+    def token_hashes(self, text: str) -> str:
+        """array<bigint>: rolling hash of each whitespace token."""
+        return self.transform(self.tokens(text), "__t", self.char_hash("__t"))
+
+    def shingle_hashes(self, hs: str, n: int = 3) -> str:
+        """Hashes of n-token shingles, combined from the token hashes.
+
+        ``hs`` must be an expression for array<bigint> (token_hashes).
+        Empty when the doc has < n tokens.
+        """
+        combine = self.at(hs, "__si")
+        for j in range(1, n):
+            combine = f"(({combine})*{B} + {self.at(hs, f'__si+{j}')}) % {P}"
+        return self.transform(self.seq1n(f"{self.size(hs)} - {n - 1}"), "__si", combine)
+
+    def minhash_sig(self, shingles: str) -> str:
+        """array<bigint> of MINHASH_K signature slots over the shingle hashes."""
+        slots = [
+            self.amin(self.transform(shingles, "__h", f"({a}*__h + {b}) % {P}"))
+            for a, b in MINHASH_PERMS
+        ]
+        return self.arr(slots)
+
+    def band_hashes(self, sig: str) -> str:
+        """array<bigint> of LSH_BANDS band buckets folded from the signature."""
+        bands = []
+        for b in range(LSH_BANDS):
+            h = self.at(sig, str(b * LSH_ROWS + 1))
+            for r in range(1, LSH_ROWS):
+                h = f"(({h})*{B} + {self.at(sig, str(b * LSH_ROWS + r + 1))}) % {P}"
+            bands.append(h)
+        return self.arr(bands)
+
+    def simhash(self, hs: str) -> str:
+        """SIMHASH_BITS-bit SimHash over token hashes: bit i is set when more
+        tokens have bit i set than clear."""
+        bits = []
+        for i in range(SIMHASH_BITS):
+            vote = self.fold_long(
+                hs, "0", "__a", "__h", f"__a + 2*(({'__h'} >> {i}) & 1) - 1"
+            )
+            bits.append(f"(CASE WHEN ({vote}) > 0 THEN CAST({1 << i} AS BIGINT) "
+                        f"ELSE CAST(0 AS BIGINT) END)")
+        out = bits[0]
+        for b in bits[1:]:
+            out = f"{out} + {b}"
+        return f"({out})"
+
+    def sig_match_frac(self, sa: str, sb: str) -> str:
+        """Fraction of equal slots between two signatures (minhash Jaccard
+        estimate), as DOUBLE."""
+        eq = self.transform(
+            self.seq1n(str(MINHASH_K)),
+            "__k",
+            f"CASE WHEN {self.at(sa, '__k')} = {self.at(sb, '__k')} "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END",
+        )
+        total = self.fold_long(eq, "0", "__a", "__x", "__a + __x")
+        return f"CAST({total} AS DOUBLE) / {float(MINHASH_K)}"
+
+
+SPARK = Dialect(spark=True)
+DUCK = Dialect(spark=False)

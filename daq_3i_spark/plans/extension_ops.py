@@ -1,1 +1,815 @@
-"""SURVEY.md §2.8 extension operators — filled in milestone M4."""
+"""SURVEY.md §2.8 extension operators — the LLM-data-pipeline surface.
+
+The reference daemon has none of these (it is a scalar DAQ pipeline); they are
+the BASELINE.json north-star additions: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search (brute-force
+top-k + LSH-bucketed), text analysis (stats, token counting, language-ID,
+quality scoring, winnowing fingerprints), multimodal column plumbing, and
+event-time windowing — each designed for 100 TB scale and each with a DuckDB
+oracle where SQL can express it.
+
+Oracle-parity strategy: every hash-dependent kernel is *portable arithmetic*
+(functions/text.py) rendered for both engines from the same template, so the
+oracle reproduces Spark's values bit-for-bit — including the doubles, which
+are built only from correctly-rounded ops (+ - * / sqrt) applied in the same
+order.
+
+Scale notes (the local[32] test is correctness; the design target is a
+1000-executor cluster):
+
+* all per-doc kernels (hashing, signatures, stats) are narrow projections —
+  pure codegen, no shuffle, linear scan; they scale with input splits;
+* candidate generation (LSH bands / shingle join / block keys) shuffles on
+  the *bucket* key, never all-pairs: minhash bands bound pair work to bucket
+  cardinality, the shingle join blocks on (lang, shingle), embeddings block
+  on label, LSH-ANN blocks on a 4-bit sign bucket.  Skewed buckets are the
+  known risk — AQE skew-join splitting is on (session.py) and bucket width
+  is a tunable;
+* brute-force top-k keeps the small query side broadcast so the corpus scan
+  is shuffle-free until the final per-query top-k (k rows per partition, then
+  k global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.text import DUCK, MINHASH_K, SPARK, P
+from daq_3i_spark.functions.vectors import DEC_DOT
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.tables import load_events, load_table
+
+_DEC = "decimal(25,6)"
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_dedup_exact",
+    """WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ), k AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN k USING (doc_id)""",
+    doc="exact dedup on whitespace-normalized lowercased text, keep min doc_id "
+    "(hash-groupBy; at scale: one shuffle on the normalized-text hash)",
+)
+def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    w = Window.partitionBy("__norm").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("__norm", norm)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _duck_sig_cte() -> str:
+    """DuckDB CTE chain documents -> token hashes -> shingles -> minhash sig."""
+    return f"""th AS (
+      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (SELECT doc_id, {DUCK.shingle_hashes('th')} AS sh FROM th),
+    sig AS (SELECT doc_id, {DUCK.minhash_sig('sh')} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sig, i - 1 AS band_idx, bh[i] AS band_val
+      FROM (SELECT doc_id, sig, {DUCK.band_hashes('sig')} AS bh FROM sig)
+      CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) t
+    )"""
+
+
+def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    return (
+        docs.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
+        .select("doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh"))
+        .select("doc_id", F.expr(SPARK.minhash_sig("sh")).alias("sig"))
+    )
+
+
+@register(
+    "op_dedup_minhash",
+    f"""WITH {_duck_sig_cte()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {DUCK.sig_match_frac('sa', 'sb')} AS est_sim
+    FROM pairs
+    WHERE {DUCK.sig_match_frac('sa', 'sb')} >= 0.5""",
+    doc="MinHash-LSH near-dup candidates: 3-token shingles -> 16-perm minhash "
+    "-> 4x4 banding -> bucket self-join -> signature-estimated Jaccard >= 0.5. "
+    "Pair work is bounded by band-bucket cardinality (never all-pairs); the "
+    "shuffle key is (band_idx, band_val)",
+)
+def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _spark_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_sim", F.expr(SPARK.sig_match_frac("sa", "sb")))
+        .filter(F.col("est_sim") >= 0.5)
+        .select("doc_a", "doc_b", "est_sim")
+    )
+
+
+@register(
+    "op_dedup_simhash",
+    f"""WITH th AS (
+      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents
+    ), s AS (SELECT doc_id, {DUCK.simhash('th')} AS simhash FROM th),
+    blocks AS (
+      SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS band
+      FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) t
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {DUCK.bitcount(DUCK.bxor('a.simhash', 'b.simhash'))} AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE {DUCK.bitcount(DUCK.bxor('a.simhash', 'b.simhash'))} <= 3""",
+    doc="SimHash near-dup: 32-bit simhash over token hashes; pairs within "
+    "hamming distance 3 found via 4x8-bit band blocking (a pair with "
+    "hamming<=3 must agree on >=1 band — pigeonhole); blocking keeps the "
+    "self-join bucket-local",
+)
+def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", F.expr(SPARK.token_hashes("text")).alias("th")
+    ).select("doc_id", F.expr(SPARK.simhash("th")).alias("simhash"))
+    blocks = s.select(
+        "doc_id", "simhash", F.explode(F.expr("sequence(0, 3)")).alias("j")
+    ).withColumn("band", F.expr("(simhash >> (8 * j)) & 255"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.expr(SPARK.bitcount(SPARK.bxor("a.simhash", "b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@register(
+    "op_dedup_ngram_jaccard",
+    f"""WITH th AS (
+      SELECT doc_id, lang, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh0 AS (
+      SELECT doc_id, lang, unnest({DUCK.shingle_hashes('th')}) AS h FROM th
+    ), sh AS (SELECT DISTINCT doc_id, lang, h FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""",
+    doc="exact n-gram Jaccard pairs >= 0.2 via inverted shingle join blocked "
+    "on (lang, shingle): candidate pairs share >=1 shingle, so pair work "
+    "scales with posting-list sizes, not |docs|^2; the LSH verifier twin",
+)
+def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    sh = (
+        docs.select(
+            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+        )
+        .select("doc_id", "lang", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _duck_pair_dot(va: str, vb: str) -> str:
+    return (
+        f"(SELECT SUM(CAST(CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE)"
+        f" AS DECIMAL(38,25))) FROM (SELECT unnest(generate_series(1, len({va}))) AS i))"
+    )
+
+
+def _spark_pair_cols_dot(df: DataFrame, va: str, vb: str, keys: list[str], out: str) -> DataFrame:
+    """Exact decimal dot product of two vector columns per row (see
+    functions/vectors.py: order-insensitive decimal sum => engine-portable)."""
+    prod = (F.col("__x").cast("double") * F.col("__y").cast("double")).cast(DEC_DOT)
+    pairs = df.select(
+        *keys,
+        F.explode(
+            F.zip_with(va, vb, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+        ).alias("__p"),
+    )
+    return (
+        pairs.select(*keys, F.col("__p.x").alias("__x"), F.col("__p.y").alias("__y"))
+        .groupBy(*keys)
+        .agg(F.sum(prod).cast(DEC_DOT).alias(out))
+    )
+
+
+_DUCK_NORMS = """norms AS (
+      SELECT vec_id, (SELECT SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,25)))
+              FROM (SELECT unnest(generate_series(1, len(e.embedding))) AS i)) AS n2
+      FROM embeddings e
+    )"""
+
+
+def _spark_norms(emb: DataFrame) -> DataFrame:
+    sq = (F.col("__e").cast("double") * F.col("__e").cast("double")).cast(DEC_DOT)
+    return (
+        emb.select("vec_id", F.explode("embedding").alias("__e"))
+        .groupBy("vec_id")
+        .agg(F.sum(sq).cast(DEC_DOT).alias("n2"))
+    )
+
+
+@register(
+    "op_dedup_embedding",
+    f"""WITH {_DUCK_NORMS},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+             {_duck_pair_dot('a.embedding', 'b.embedding')} AS dot
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             AS cos_sim
+    FROM pairs JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+          >= 0.35""",
+    doc="embedding-cosine near-dup pairs >= 0.35, blocked on label (the coarse "
+    "cluster id): all-pairs only within a block; dot products are exact "
+    "decimal sums so the oracle matches bit-for-bit. At 100 TB the label "
+    "block is the IVF cell — pair work is sum over cells of |cell|^2, and "
+    "skewed cells split via AQE",
+)
+def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _spark_norms(emb)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))).select(
+        "vec_a", "vec_b", "label", "ea", "eb"
+    )
+    dots = _spark_pair_cols_dot(pairs, "ea", "eb", ["vec_a", "vec_b", "label"], "dot")
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("vec_a") == F.col("na.vec_id"))
+        .join(norms.alias("nb"), F.col("vec_b") == F.col("nb.vec_id"))
+        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 8
+_TOP_K = 10
+
+
+@register(
+    "op_sim_topk",
+    f"""WITH {_DUCK_NORMS},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST({_duck_pair_dot('q.qe', 'e.embedding')} AS DOUBLE)
+               / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(ne.n2 AS DOUBLE)) AS cos_sim
+      FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+      JOIN norms nq ON q.query_id = nq.vec_id JOIN norms ne ON e.vec_id = ne.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}""",
+    doc="brute-force cosine top-k (k=10) for 8 query vectors: queries are "
+    "broadcast, the corpus is scanned once shuffle-free, then per-query "
+    "top-k; ties broken by vec_id for determinism. The exact baseline the "
+    "ANN variant is measured against",
+)
+def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _spark_norms(emb)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id", "qe", "embedding"
+    )
+    dots = _spark_pair_cols_dot(pairs, "qe", "embedding", ["query_id", "vec_id"], "dot")
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("nq.n2").cast("double") * F.col("ne.n2").cast("double")
+    )
+    scored = (
+        dots.join(F.broadcast(norms.alias("nq")), F.col("query_id") == F.col("nq.vec_id"))
+        .join(norms.alias("ne"), dots["vec_id"] == F.col("ne.vec_id"))
+        .select("query_id", dots["vec_id"].alias("vec_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+_LSH_PLANES = 4  # 16 sign buckets; bucket ~= |corpus|/16 vectors
+
+
+def _sign_bucket(dialect, vec: str) -> str:
+    """Sign-random-projection bucket id from deterministic ±1 hyperplanes.
+
+    Plane p weight for dim d: parity of (a_p*(d) + b_p) mod P mapped to ±1,
+    with (a_p, b_p) the first _LSH_PLANES minhash perm constants.  The
+    projection is a sequential double fold => bit-identical across engines.
+    """
+    from daq_3i_spark.functions.text import MINHASH_PERMS
+
+    bits = []
+    for p in range(_LSH_PLANES):
+        a, b = MINHASH_PERMS[p]
+        w = f"(CAST(2 * ((({a} * CAST(__d AS BIGINT) + {b}) % {P}) % 2) - 1 AS DOUBLE))"
+        proj = dialect.fold_double(
+            dialect.transform(
+                dialect.seq1n("64"),
+                "__d",
+                f"{w} * CAST({dialect.at(vec, '__d')} AS DOUBLE)",
+            ),
+            "0",
+            "__acc",
+            "__v",
+            "__acc + __v",
+        )
+        bits.append(f"(CASE WHEN ({proj}) > CAST(0 AS DOUBLE) THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "op_sim_lsh_topk",
+    f"""WITH {_DUCK_NORMS},
+    bk AS (SELECT vec_id, label, embedding,
+                  {_sign_bucket(DUCK, 'embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM bk
+          WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST({_duck_pair_dot('q.qe', 'e.embedding')} AS DOUBLE)
+               / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(ne.n2 AS DOUBLE)) AS cos_sim
+      FROM q JOIN bk e ON q.qb = e.bucket AND q.query_id <> e.vec_id
+      JOIN norms nq ON q.query_id = nq.vec_id JOIN norms ne ON e.vec_id = ne.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOP_K}""",
+    doc="LSH-bucketed ANN top-k: 4 deterministic sign-projection hyperplanes "
+    "-> 16 buckets; each query scores only its own bucket (~1/16 of the "
+    "corpus). The 100 TB scale path vs op_sim_topk's exact scan: shuffle key "
+    "is the bucket id, and recall trades off against _LSH_PLANES",
+)
+def op_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _spark_norms(emb)
+    bk = emb.withColumn("bucket", F.expr(_sign_bucket(SPARK, "embedding")))
+    q = bk.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(bk, (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", "vec_id", "qe", "embedding")
+    )
+    dots = _spark_pair_cols_dot(pairs, "qe", "embedding", ["query_id", "vec_id"], "dot")
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("nq.n2").cast("double") * F.col("ne.n2").cast("double")
+    )
+    scored = (
+        dots.join(F.broadcast(norms.alias("nq")), F.col("query_id") == F.col("nq.vec_id"))
+        .join(norms.alias("ne"), dots["vec_id"] == F.col("ne.vec_id"))
+        .select("query_id", dots["vec_id"].alias("vec_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_text_stats",
+    """WITH t AS (
+      SELECT lang, source, n_chars,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM t GROUP BY lang, source""",
+    doc="corpus stats per (lang, source): doc/char/token counts — one "
+    "map-side-combined hash aggregate over a narrow projection",
+)
+def op_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "source", "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "op_text_tokens",
+    """SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_uniq_tokens,
+           CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+             / len(string_split(lower(text), ' ')) AS avg_token_len
+    FROM documents""",
+    doc="token counting per doc: whitespace tokens, regex word tokens "
+    "(the BPE-ish [a-z0-9]+ pass), distinct tokens, mean token length — all "
+    "narrow codegen'd projections, no shuffle",
+)
+def op_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (
+            F.length(F.replace(F.lower("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+# function-word marker lists for the n-gram/stopword language-ID heuristic.
+# On the synthetic corpus every lang shares one English-ish vocabulary, so
+# predictions skew 'en' — the *mechanism* (marker-hit argmax with
+# deterministic tie-break) is what the operator demonstrates.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo"),
+}
+
+
+def _langid_hits(dialect, toks: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return dialect.size(dialect.filt(toks, "__t", f"__t IN ({lst})"))
+
+
+def _langid_pred(dialect, toks: str) -> str:
+    """argmax over marker hits, ties broken by lang code order."""
+    langs = sorted(_LANG_MARKERS)
+    hits = {lang: _langid_hits(dialect, toks, lang) for lang in langs}
+    # pred = first lang (in sorted order) whose hits >= all others
+    conds = []
+    for lang in langs:
+        ge_all = " AND ".join(
+            f"({hits[lang]}) >= ({hits[o]})" for o in langs if o != lang
+        )
+        conds.append(f"WHEN {ge_all} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@register(
+    "op_text_langid",
+    f"""WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang, {_langid_pred(DUCK, 'toks')} AS pred_lang FROM t""",
+    doc="heuristic language-ID: function-word marker hits per language, "
+    "argmax with lexicographic tie-break; a pure projection (the marker "
+    "lists are literals, so no join)",
+)
+def op_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    ).select("doc_id", "lang", F.expr(_langid_pred(SPARK, "toks")).alias("pred_lang"))
+
+
+@register(
+    "op_text_quality",
+    """WITH t AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+             len(list_filter(string_split(lower(text), ' '),
+                 __t -> length(__t) <= 2)) AS n_short,
+             len(regexp_extract_all(lower(text), '[a-z]'))      AS n_alpha,
+             length(text) AS n_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+           CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
+           CAST(n_alpha AS DOUBLE) / n_len AS alpha_ratio,
+           CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, CAST(1 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (CAST(n_uniq AS DOUBLE) / n_tokens)
+             + CAST(0.3 AS DOUBLE) * (CAST(n_alpha AS DOUBLE) / n_len) AS quality_score
+    FROM t""",
+    doc="per-doc quality scoring: length / lexical-diversity / alphabetic "
+    "ratios combined into one score — the pre-training corpus filter "
+    "primitive; all double arithmetic applied in a fixed order so the "
+    "oracle matches exactly",
+)
+def op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: F.length(x) <= 2)).alias("n_short"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]', 0)")).alias("n_alpha"),
+        F.length("text").alias("n_len"),
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_tokens")
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_len")
+    score = (
+        F.lit(0.4) * F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * uniq_ratio
+        + F.lit(0.3) * alpha_ratio
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        uniq_ratio.alias("uniq_ratio"),
+        (F.col("n_short").cast("double") / F.col("n_tokens")).alias("short_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_WINNOW_W = 4
+
+
+@register(
+    "op_text_fingerprint",
+    f"""WITH th AS (
+      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (SELECT doc_id, {DUCK.shingle_hashes('th')} AS sh FROM th)
+    SELECT doc_id, len(sh) AS n_shingles,
+           list_sort(list_distinct(list_transform(
+             generate_series(1, greatest(len(sh) - {_WINNOW_W - 1}, 1)),
+             i -> list_min(sh[i:i+{_WINNOW_W - 1}])))) AS fingerprints
+    FROM sh""",
+    doc="winnowing document fingerprints: 3-token shingle rolling hashes, "
+    "min over each window of 4, distinct+sorted — the content-defined "
+    "signature used for copy detection; narrow projection, no shuffle",
+)
+def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    win_min = (
+        f"array_sort(array_distinct(transform("
+        f"{SPARK.seq1n(f'greatest(size(sh) - {_WINNOW_W - 1}, 1)')},"
+        f" i -> array_min(slice(sh, i, {_WINNOW_W})))))"
+    )
+    return (
+        docs.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
+        .select("doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            F.expr(win_min).alias("fingerprints"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_multimodal_pack",
+    """SELECT doc_id, 'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents""",
+    doc="multimodal packing: content as an opaque binary payload column with "
+    "typed metadata (mime, byte length, content digest) — the schema pattern "
+    "for image/audio/video blobs; md5 and octet_length verified identical "
+    "across engines",
+)
+def op_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.expr("encode(text, 'utf-8')")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+@register(
+    "op_multimodal_features",
+    None,  # Arrow/pandas path — rows-only driver check
+    doc="multimodal feature extraction over binary payloads via mapInPandas "
+    "(Arrow-batched; the real decode is a documented stub — see "
+    "functions/multimodal.py): deterministic 8-dim byte-statistics features. "
+    "The Spark plumbing (schema, batching, partition preservation) is real",
+)
+def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.expr("encode(text, 'utf-8')").alias("payload"),
+    )
+    return extract_features(packed)
+
+
+# ---------------------------------------------------------------------------
+# event-time windowing (batch twins of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_window_agg_events",
+    """SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+    FROM events GROUP BY 1, 2, 3""",
+    doc="tumbling 1-minute event-time windows per event_type (batch twin of "
+    "streaming/pipeline.py's windowed aggregation; epoch-aligned in both "
+    "engines); one hash aggregate, partial map-side",
+)
+def op_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_GAP_S = 600  # 10 minutes
+
+
+@register(
+    "op_session_window_batch",
+    f"""WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id""",
+    doc="gap-based sessionization (10-min inactivity gap) per user over "
+    "events — the batch twin of F.session_window in the streaming path; "
+    "lag + running-sum + aggregate, all in ONE shuffle on user_id (the "
+    "window and groupBy share partitioning, so Catalyst reuses the exchange)",
+)
+def op_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = F.lag("ts").over(wo)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > _SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+    )

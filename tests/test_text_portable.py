@@ -1,0 +1,86 @@
+"""The portable text kernels must produce bit-identical values in Spark and
+DuckDB — that is the entire oracle-parity contract of the extension ops
+(functions/text.py).  These tests compare the two dialect renderings of each
+kernel directly on adversarial strings, independent of the registry plumbing.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.text import DUCK, SPARK, MINHASH_K
+
+CASES = [
+    "key agg row scan slow fast table value",
+    "a",
+    "",
+    "the the the the",
+    "x " * 40 + "y",
+    "one two",  # below shingle width
+    "hello world foo bar baz qux quux corge",
+]
+
+
+def _spark_vals(spark, expr: str) -> list:
+    df = spark.createDataFrame([(t,) for t in CASES], "text string")
+    return [r[0] for r in df.select(F.expr(expr).alias("v")).collect()]
+
+
+def _duck_vals(expr: str) -> list:
+    con = duckdb.connect()
+    out = []
+    for t in CASES:
+        out.append(con.execute(f"SELECT {expr} FROM (SELECT ? AS text)", [t]).fetchone()[0])
+    return out
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    ["char_hash", "token_hashes"],
+)
+def test_scalar_kernels_match(spark, kernel):
+    s = getattr(SPARK, kernel)("text")
+    d = getattr(DUCK, kernel)("text")
+    assert _spark_vals(spark, s) == _duck_vals(d)
+
+
+def test_simhash_match(spark):
+    s = SPARK.simhash(SPARK.token_hashes("text"))
+    d = DUCK.simhash(DUCK.token_hashes("text"))
+    sv, dv = _spark_vals(spark, s), _duck_vals(d)
+    assert sv == dv
+    assert all(0 <= v < 2**32 for v in sv)
+
+
+def test_shingle_and_minhash_match(spark):
+    s_sh = SPARK.shingle_hashes(SPARK.token_hashes("text"))
+    d_sh = DUCK.shingle_hashes(DUCK.token_hashes("text"))
+    assert _spark_vals(spark, s_sh) == _duck_vals(d_sh)
+
+    # minhash over docs with >= 1 shingle (array_min of empty is NULL-ish)
+    s_sig = SPARK.minhash_sig(s_sh)
+    d_sig = DUCK.minhash_sig(d_sh)
+    sv = _spark_vals(spark, s_sig)
+    dv = _duck_vals(d_sig)
+    for a, b in zip(sv, dv):
+        assert list(a) == list(b)
+        assert len(a) == MINHASH_K
+
+
+def test_band_hashes_match(spark):
+    s = SPARK.band_hashes(SPARK.minhash_sig(SPARK.shingle_hashes(SPARK.token_hashes("text"))))
+    d = DUCK.band_hashes(DUCK.minhash_sig(DUCK.shingle_hashes(DUCK.token_hashes("text"))))
+    long_cases = [c for c in CASES if len(c.split()) >= 3]
+    df_vals = _spark_vals(spark, s)
+    duck_vals = _duck_vals(d)
+    for t, a, b in zip(CASES, df_vals, duck_vals):
+        if t in long_cases:
+            assert list(a) == list(b), t
+
+
+def test_hash_range(spark):
+    vals = _spark_vals(spark, SPARK.char_hash("text"))
+    assert all(v is not None and 0 <= v < 2_147_483_647 for v in vals)
