@@ -4,3 +4,4 @@ from daq_3i_spark.plans.registry import QUERIES, QueryDef, register, spark_queri
 import daq_3i_spark.plans.reference_ops  # noqa: F401,E402
 import daq_3i_spark.plans.extension_ops  # noqa: F401,E402
 import daq_3i_spark.plans.sql_surface  # noqa: F401,E402
+import daq_3i_spark.plans.streaming_ops  # noqa: F401,E402

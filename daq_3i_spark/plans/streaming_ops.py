@@ -1,0 +1,168 @@
+"""Streaming operators as driver-checkable registry entries.
+
+Each op actually RUNS a Structured Streaming query (availableNow / one drain)
+and returns the materialized result, so the driver's batch contract still
+applies; where the drained result is deterministic it gets a full DuckDB
+oracle — the replay is single-batch, so watermarking drops nothing and the
+stream result equals its batch twin exactly.
+
+The live-mode behaviors that can't be driver-checked (multi-batch state
+evolution, trigger cadence, heartbeat listener) are exercised in
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.convert import convert_case_duckdb
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.daq_dims import conversions_rows, dims_cte_sql
+
+_D = dims_cte_sql()
+_CONVS = [(cid, expr) for cid, _name, expr in conversions_rows()]
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp")
+
+
+def _workdir(name: str) -> str:
+    d = os.path.join(_TMP_ROOT, name)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "op_stream_pipeline",
+    f"""WITH {_D},
+    joined AS (
+      SELECT cd.id, cd.channel_id, cd.ts, cd.value, c.conversion_id, c.history_len
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+    ),
+    conv AS (
+      SELECT id, channel_id, ts,
+             {convert_case_duckdb(_CONVS, "conversion_id", "value")} AS value,
+             history_len
+      FROM joined
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY channel_id ORDER BY id DESC) AS rn
+      FROM conv
+    )
+    SELECT id, channel_id, ts, value FROM ranked WHERE rn <= history_len""",
+    doc="the COMPLETE reference daemon as one streaming query (SURVEY §3.1): "
+    "file-replay source -> broadcast enrich -> compiled convert -> "
+    "foreachBatch append + status MERGE, then set-based retention; returns "
+    "the final channel_data sink. Exactly-once: batch append + versioned "
+    "status snapshots are idempotent per batch_id",
+)
+def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import read_channel_data, run_pipeline
+
+    work = _workdir("op_stream_pipeline")
+    run_pipeline(spark, sf_dir, work, available_now=True)
+    return read_channel_data(spark, work)
+
+
+@register(
+    "op_stream_window_agg",
+    """SELECT CAST(time_bucket(INTERVAL '1 minute', ts) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS TIMESTAMP)
+             AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+    FROM events GROUP BY 1, 2, 3""",
+    doc="watermarked tumbling-window aggregation running as a real streaming "
+    "query (readStream replay, complete mode, availableNow drain); equals "
+    "the batch twin op_window_agg_events because the single-batch replay "
+    "drops nothing at the watermark",
+)
+def op_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+    from daq_3i_spark.streaming.windows import windowed_aggs
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
+    events = raw.select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    q = (
+        windowed_aggs(events)
+        .writeStream.format("memory")
+        .queryName("stream_window_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_window_agg")
+
+
+@register(
+    "op_stream_latest_per_channel",
+    f"""WITH {_D},
+    ranked AS (
+      SELECT channel_id, id, ts, value,
+             row_number() OVER (PARTITION BY channel_id
+                                ORDER BY ts DESC, id DESC) AS rn
+      FROM channel_data
+    ) SELECT channel_id, id, ts, value FROM ranked WHERE rn = 1""",
+    doc="the ChannelState latest-value slot as a keyed-state streaming op "
+    "(applyInPandasWithState, O(1) state per channel) — run over the replay "
+    "and drained; matches the batch window analog exactly",
+)
+def op_stream_latest_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import build_sample_stream
+    from daq_3i_spark.streaming.stateful import latest_per_key_stream
+
+    samples = build_sample_stream(spark, sf_dir)
+    q = (
+        latest_per_key_stream(samples)
+        .writeStream.format("memory")
+        .queryName("stream_latest")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_latest")
+
+
+@register(
+    "op_source_modbus_sim",
+    None,  # custom DataSource — rows-only driver check
+    doc="the MODBUS acquisition source as a PySpark Python DataSource "
+    "(sources/modbus_source.py): simulated device with the reference "
+    "simulator's register map, partitioned one-per-bus, decode applied "
+    "downstream; live pymodbus transport is the documented swap-in",
+)
+def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.decode import decode_cols
+    from daq_3i_spark.sources.modbus_source import ModbusSimDataSource
+
+    try:
+        spark.dataSource.register(ModbusSimDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = spark.read.format("modbus_sim").option("poll_ts", 1_700_000_000).load()
+    return raw.select(
+        "channel_id",
+        "bus_id",
+        "address",
+        "format_code",
+        F.timestamp_seconds("poll_ts").alias("ts"),
+        decode_cols(
+            F.col("format_code"),
+            F.get("registers", 0),  # F.get is NULL out-of-bounds (short arrays)
+            F.get("registers", 1),
+            F.get("registers", 2),
+        ).alias("value"),
+    )

@@ -1,0 +1,221 @@
+"""The acquisition->persist pipeline as one Structured Streaming query.
+
+Reference dataflow (SURVEY.md §3.1; /root/reference/daq-3i.py:233-292): per-bus
+1 Hz acquire threads write latest samples into ``ChannelState`` slots, a
+persist thread drains dirty slots with one INSERT+COMMIT per row, a pulse
+thread upserts a heartbeat, a truncate thread trims history.  Here that is:
+
+* **source**: file-replay of the ``events`` feed (or the Modbus DataSource,
+  sources/modbus_source.py) — micro-batches replace the 1 Hz tick; trigger
+  ``availableNow`` drains everything for tests, ``processingTime='1 second'``
+  matches the reference cadence live;
+* **enrich**: stream-static broadcast join with the channels dim
+  (daq-3i.py:135-159's per-bus loops collapsed into one join);
+* **convert**: the compiled conversion CASE column (conversion.py's per-sample
+  asteval interpreter replaced by codegen'd arithmetic);
+* **sink** (foreachBatch): parquet append of the batch (micro-batch replaces
+  per-row transactions), a latest-wins MERGE of ``daq_status`` (heartbeat +
+  per-channel keys, daq_status.py:36-68), both idempotent per batch_id —
+  re-running a batch after failure converges to the same state (the
+  reference's at-most-once slot overwrite is *upgraded* to exactly-once);
+* **retention** runs as a separate compaction pass (its own cadence in the
+  reference — the 15 s truncate thread, daq-3i.py:173-216), one set-based
+  statement instead of row-at-a-time deletes.
+
+At 100 TB: the append sink would be a partitioned table (channel_id bucket x
+ts date) written by executors; the status MERGE is a tiny broadcast upsert
+(Delta MERGE in production — emulated here with versioned snapshots since
+plain parquet has no transactional replace); retention is a partition-local
+window over the bucketed sink, no global shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from daq_3i_spark.functions.convert import convert_case_column
+from daq_3i_spark.operators.core import latest_per_key, retention_keep
+from daq_3i_spark.sources.daq_dims import channels_df, conversions_rows
+
+# events feed schema with raw nanosecond ts (see sources/tables.py)
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+HEARTBEAT_PARAMETER = "daq-3i"  # daq-3i.py:21
+STATUS_OK = 1  # daq_status.py:6
+
+
+def events_stream_glob(sf_dir: str) -> str:
+    """FileStreamSource needs a directory/glob, not a bare file; this glob
+    matches exactly events.parquet while keeping sf_dir as the basePath."""
+    return os.path.join(sf_dir, "events.parque[t]")
+
+
+def build_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream replay of the events feed mapped to raw samples
+    (id, channel_id, ts, value) — FIXTURES.md §A.6."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .parquet(events_stream_glob(sf_dir))
+    )
+    return raw.select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 40 + 1).cast("int").alias("channel_id"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.col("value"),
+    )
+
+
+def enrich_and_convert(samples: DataFrame, spark: SparkSession) -> DataFrame:
+    """stream-static broadcast join + compiled conversion (SURVEY §3.1)."""
+    channels = (
+        channels_df(spark)
+        .filter(F.col("enabled"))
+        .select(F.col("id").alias("channel_id"), "conversion_id", "history_len")
+    )
+    convs = [(cid, expr) for cid, _n, expr in conversions_rows()]
+    return (
+        samples.join(F.broadcast(channels), "channel_id")
+        .withColumn(
+            "value", convert_case_column(convs, F.col("conversion_id"), "value")
+        )
+        .select("id", "channel_id", "ts", "value")
+    )
+
+
+# --- sinks -------------------------------------------------------------------
+
+
+def _status_dir(work_dir: str) -> str:
+    return os.path.join(work_dir, "daq_status")
+
+
+def _status_versions(work_dir: str) -> list[int]:
+    d = _status_dir(work_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(d)
+        if name.startswith("v=")
+    )
+
+
+def read_status(spark: SparkSession, work_dir: str) -> DataFrame | None:
+    """The current daq_status snapshot (latest version), or None."""
+    versions = _status_versions(work_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(_status_dir(work_dir), f"v={versions[-1]}"))
+
+
+def upsert_status(spark: SparkSession, work_dir: str, updates: DataFrame, batch_id: int) -> None:
+    """Latest-wins MERGE of (parameter, status, ts) rows — daq_status.py:36-68.
+
+    Emulates Delta ``MERGE`` with versioned parquet snapshots: version
+    ``batch_id`` is a pure function of (previous snapshot, batch), so a batch
+    replay overwrites the same version — idempotent, exactly-once."""
+    current = read_status(spark, work_dir)
+    merged = updates if current is None else current.unionByName(updates)
+    snap = latest_per_key(merged, "parameter", [F.desc("ts")])
+    (
+        snap.select("parameter", "status", "ts")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(_status_dir(work_dir), f"v={batch_id}"))
+    )
+
+
+def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id: int) -> None:
+    """foreachBatch body: append channel_data + status upsert (daq-3i.py:262-292)."""
+    cd_dir = os.path.join(work_dir, "channel_data")
+    batch.persist()
+    try:
+        # value stays DOUBLE in the parquet sink; the reference's decimal(25,6)
+        # column type (db_model.py:54) belongs at the external-DB boundary
+        # (JDBC writer would cast there) — see plans/registry.py's decimal
+        # convention: engines round double->decimal differently, doubles are
+        # bit-portable.
+        batch.write.mode("append").parquet(cd_dir)
+        now = F.max("ts")  # event time of the batch per key (deterministic)
+        chl_status = (
+            batch.groupBy("channel_id")
+            .agg(now.alias("ts"))
+            .select(
+                F.concat(F.lit("CHL: "), F.col("channel_id")).alias("parameter"),
+                F.lit(STATUS_OK).alias("status"),
+                "ts",
+            )
+        )
+        heartbeat = batch.agg(F.max("ts").alias("ts")).select(
+            F.lit(HEARTBEAT_PARAMETER).alias("parameter"),
+            F.lit(STATUS_OK).alias("status"),
+            "ts",
+        )
+        upsert_status(spark, work_dir, chl_status.unionByName(heartbeat), batch_id)
+    finally:
+        batch.unpersist()
+
+
+def retention_compact(spark: SparkSession, work_dir: str) -> None:
+    """The truncate thread's set-based analog (daq-3i.py:173-216): keep the
+    newest ``history_len`` rows per channel, one statement, no batch cap."""
+    cd_dir = os.path.join(work_dir, "channel_data")
+    kept = retention_keep(
+        spark.read.parquet(cd_dir), channels_df(spark), key="channel_id"
+    )
+    tmp = os.path.join(work_dir, "channel_data_compact")
+    kept.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(cd_dir + "_new")
+    # atomic-ish swap (production: Delta DELETE, no rewrite)
+    import shutil
+
+    shutil.rmtree(cd_dir)
+    os.rename(cd_dir + "_new", cd_dir)
+    shutil.rmtree(tmp)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Run the full pipeline; with availableNow the stream drains and stops
+    (the test/driver mode — live mode would use processingTime='1 second')."""
+    samples = build_sample_stream(spark, sf_dir)
+    enriched = enrich_and_convert(samples, spark)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        persist_batch(spark, work_dir, batch, batch_id)
+
+    writer = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime="1 second").start()
+        return q  # caller manages lifecycle
+
+    retention_compact(spark, work_dir)
+
+
+def read_channel_data(spark: SparkSession, work_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(work_dir, "channel_data"))

@@ -1,0 +1,85 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference keeps exactly two pieces of per-channel state (SURVEY §2.2/2.4):
+
+* the latest sample (``ChannelState.value/last_read_at`` — bus.py:27-36,
+  last-value-wins overwrite), and
+* the due-filter clock (``check_read_due``: emit only when
+  ``now - last_read_at > timing`` — bus.py:38-49).
+
+Both become one keyed state operator here.  State per key is O(1) (a single
+timestamp + value), so state-store size is #channels — trivially shardable
+across executors by the groupBy key.  The batch analogs (window row_number /
+lag filters in plans/reference_ops.py) are the oracle-checkable twins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+LATEST_SCHEMA = T.StructType(
+    [
+        T.StructField("channel_id", T.IntegerType(), False),
+        T.StructField("id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _latest_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep the max-(ts, id) sample per channel across micro-batches and emit
+    the running latest — the ChannelState slot, minus the lost-update race
+    (bus.py:32-36 overwrites unsynchronized; here state is transactional)."""
+    if state.exists:
+        cur_id, cur_ts_us, cur_value = state.get
+    else:
+        cur_id, cur_ts_us, cur_value = None, None, None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+        best = max(range(len(pdf)), key=lambda i: (ts_us[i], int(pdf["id"].iloc[i])))
+        if cur_ts_us is None or (ts_us[best], int(pdf["id"].iloc[best])) > (
+            cur_ts_us,
+            cur_id if cur_id is not None else -1,
+        ):
+            cur_id = int(pdf["id"].iloc[best])
+            cur_ts_us = int(ts_us[best])
+            cur_value = float(pdf["value"].iloc[best])
+    state.update((cur_id, cur_ts_us, cur_value))
+    yield pd.DataFrame(
+        {
+            "channel_id": [key[0]],
+            "id": [cur_id],
+            "ts": [pd.Timestamp(cur_ts_us, unit="us")],
+            "value": [cur_value],
+        }
+    )
+
+
+def latest_per_key_stream(samples: DataFrame) -> DataFrame:
+    """Streaming latest-per-channel over a (id, channel_id, ts, value) stream."""
+    return samples.groupBy("channel_id").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=LATEST_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,186 @@
+"""Live-mode streaming behaviors that the single-batch driver replay can't
+check: multi-micro-batch sink evolution (append + status upsert across
+batches), keyed-state evolution in applyInPandasWithState, and the Modbus
+DataSource in streaming mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from daq_3i_spark.operators.core import latest_per_key
+from daq_3i_spark.sources.daq_dims import channels_df
+from daq_3i_spark.streaming.pipeline import (
+    enrich_and_convert,
+    persist_batch,
+    read_channel_data,
+    read_status,
+    retention_compact,
+)
+from daq_3i_spark.streaming.stateful import latest_per_key_stream
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+@pytest.fixture()
+def feed_dir(spark, sf_dir):
+    """The sf0.001 sample feed split into 3 parquet files so
+    maxFilesPerTrigger=1 yields 3 micro-batches."""
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    d = os.path.join(TMP, "test_feed")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    channel_data_df(spark, sf_dir).repartition(3).write.parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _sample_stream(spark, feed: str):
+    from daq_3i_spark.schemas import CHANNEL_DATA
+
+    return (
+        spark.readStream.schema(CHANNEL_DATA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+
+def test_pipeline_multibatch(spark, sf_dir, feed_dir):
+    work = os.path.join(TMP, "test_pipeline")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+
+    enriched = enrich_and_convert(_sample_stream(spark, feed_dir), spark)
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda b, bid: persist_batch(spark, work, b, bid)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    # sink contents == batch-computed expectation (multi-batch append converges
+    # to the same rows as one batch)
+    expected = enrich_and_convert(
+        spark.read.parquet(feed_dir).selectExpr("id", "channel_id", "ts", "value"),
+        spark,
+    )
+    got = read_channel_data(spark, work)
+    assert got.count() == expected.count()
+    assert (
+        got.exceptAll(expected).count() == 0 and expected.exceptAll(got).count() == 0
+    )
+
+    # status snapshot: heartbeat + one CHL key per persisted channel,
+    # ts = latest event time seen for that key (latest-wins across batches)
+    status = read_status(spark, work)
+    rows = {r["parameter"]: r for r in status.collect()}
+    assert "daq-3i" in rows
+    per_chl_max = {
+        r["channel_id"]: r["mx"]
+        for r in expected.groupBy("channel_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    for cid, mx in per_chl_max.items():
+        assert rows[f"CHL: {cid}"]["ts"] == mx
+    assert rows["daq-3i"]["ts"] == max(per_chl_max.values())
+
+    # retention: count per channel <= history_len, newest ids kept
+    retention_compact(spark, work)
+    kept = read_channel_data(spark, work)
+    hist = {
+        r["id"]: r["history_len"]
+        for r in channels_df(spark).select("id", "history_len").collect()
+    }
+    counts = {r["channel_id"]: r["n"] for r in kept.groupBy("channel_id").agg(F.count("*").alias("n")).collect()}
+    for cid, n in counts.items():
+        assert n <= hist[cid], f"channel {cid}: {n} > history_len {hist[cid]}"
+    # newest-kept: max id per channel unchanged by compaction
+    max_before = {
+        r["channel_id"]: r["m"]
+        for r in expected.groupBy("channel_id").agg(F.max("id").alias("m")).collect()
+    }
+    max_after = {
+        r["channel_id"]: r["m"]
+        for r in kept.groupBy("channel_id").agg(F.max("id").alias("m")).collect()
+    }
+    assert max_after == max_before
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_latest_state_multibatch(spark, sf_dir, feed_dir):
+    q = (
+        latest_per_key_stream(_sample_stream(spark, feed_dir))
+        .writeStream.format("memory")
+        .queryName("t_latest_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink accumulates one row per key per batch; the final
+    # state per key is the last (max ts, id) emission
+    emitted = spark.table("t_latest_mb")
+    final = latest_per_key(emitted, "channel_id", [F.desc("ts"), F.desc("id")])
+
+    batch = latest_per_key(
+        spark.read.parquet(feed_dir), "channel_id", [F.desc("ts"), F.desc("id")]
+    ).select("channel_id", "id", "ts", "value")
+    assert sorted(final.collect()) == sorted(batch.collect())
+
+
+def test_modbus_stream_two_ticks(spark):
+    from daq_3i_spark.sources.modbus_source import ModbusSimDataSource
+
+    try:
+        spark.dataSource.register(ModbusSimDataSource)
+    except Exception:
+        pass
+    q = (
+        spark.readStream.format("modbus_sim")
+        .option("poll_ts", 1_700_000_000)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_modbus_stream")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        ticks = {r["tick"] for r in spark.table("t_modbus_stream").select("tick").distinct().collect()}
+        if len(ticks) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert len(ticks) >= 2, f"saw ticks {ticks}"
+    # each tick is one full poll sweep: 18 pollable channels (enabled, TCP bus,
+    # func code 3)
+    per_tick = (
+        spark.table("t_modbus_stream")
+        .groupBy("tick")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 18 for r in per_tick)
+
+
+def test_modbus_batch_decode(spark):
+    from daq_3i_spark.plans import QUERIES
+
+    df = QUERIES["op_source_modbus_sim"].spark(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 18
+    by_id = {r["channel_id"]: r for r in rows}
+    # channel 1: address 7, format 0 (SINT16): register holds 7 -> 7.0
+    assert by_id[1]["value"] == 7.0
