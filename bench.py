@@ -35,8 +35,15 @@ HEADLINE = [
     "op_sql_window_rank",
     "op_dedup_exact",
     "op_dedup_minhash",
+    "op_dedup_ngram_jaccard",
+    "op_dedup_embedding",
     "op_sim_topk",
+    "op_sim_lsh_topk",
     "op_text_stats",
+    "op_text_quality",
+    "op_window_agg_events",
+    "op_session_window_batch",
+    "op_stream_pipeline",
 ]
 
 
@@ -54,8 +61,10 @@ def main() -> None:
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # warmup: JVM JIT + codegen + parquet footer caches
-    for name in names[:3]:
+    # warmup pass over EVERY query: JVM JIT + codegen + parquet footer caches
+    # land outside the timed pass (per-query variance otherwise dominates the
+    # small queries)
+    for name in names:
         run(name)
 
     timings: dict[str, float] = {}

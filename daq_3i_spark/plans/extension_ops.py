@@ -36,9 +36,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daq_3i_spark.functions.text import DUCK, MINHASH_K, SPARK, P
-from daq_3i_spark.functions.vectors import DEC_DOT
+from daq_3i_spark.functions.vectors import (
+    cosine_from_norms,
+    dot_unrolled,
+    duckdb_dot_fold,
+    duckdb_norm2_fold,
+)
 from daq_3i_spark.plans.registry import register
-from daq_3i_spark.sources.tables import load_events, load_table
+from daq_3i_spark.sources.tables import load_events, load_spread, load_table
 
 _DEC = "decimal(25,6)"
 
@@ -59,14 +64,19 @@ _DEC = "decimal(25,6)"
     "(hash-groupBy; at scale: one shuffle on the normalized-text hash)",
 )
 def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # group-by-min + semi-join beats a window over the full-text key: the
+    # aggregate combines map-side and shuffles only (norm-hash, min-id) pairs,
+    # and the semi-join shuffles compact longs — never full texts.
+    docs = load_spread(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
-    w = Window.partitionBy("__norm").orderBy(F.col("doc_id").asc())
-    return (
-        docs.withColumn("__norm", norm)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+    keep = (
+        docs.select(F.col("doc_id"), norm.alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "semi").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -85,7 +95,7 @@ def _duck_sig_cte() -> str:
 
 
 def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.size(F.split(F.lower("text"), " ")) >= 3
     )
     return (
@@ -160,7 +170,7 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join bucket-local",
 )
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id", F.expr(SPARK.token_hashes("text")).alias("th")
     ).select("doc_id", F.expr(SPARK.simhash("th")).alias("simhash"))
@@ -211,7 +221,7 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scales with posting-list sizes, not |docs|^2; the LSH verifier twin",
 )
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.size(F.split(F.lower("text"), " ")) >= 3
     )
     sh = (
@@ -246,89 +256,40 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_pair_dot(va: str, vb: str) -> str:
-    return (
-        f"(SELECT SUM(CAST(CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE)"
-        f" AS DECIMAL(38,25))) FROM (SELECT unnest(generate_series(1, len({va}))) AS i))"
-    )
-
-
-def _spark_pair_cols_dot(df: DataFrame, va: str, vb: str, keys: list[str], out: str) -> DataFrame:
-    """Exact decimal dot product of two vector columns per row (see
-    functions/vectors.py: order-insensitive decimal sum => engine-portable)."""
-    prod = (F.col("__x").cast("double") * F.col("__y").cast("double")).cast(DEC_DOT)
-    pairs = df.select(
-        *keys,
-        F.explode(
-            F.zip_with(va, vb, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
-        ).alias("__p"),
-    )
-    return (
-        pairs.select(*keys, F.col("__p.x").alias("__x"), F.col("__p.y").alias("__y"))
-        .groupBy(*keys)
-        .agg(F.sum(prod).cast(DEC_DOT).alias(out))
-    )
-
-
-_DUCK_NORMS = """norms AS (
-      SELECT vec_id, (SELECT SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
-                 * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,25)))
-              FROM (SELECT unnest(generate_series(1, len(e.embedding))) AS i)) AS n2
-      FROM embeddings e
-    )"""
-
-
-def _spark_norms(emb: DataFrame) -> DataFrame:
-    sq = (F.col("__e").cast("double") * F.col("__e").cast("double")).cast(DEC_DOT)
-    return (
-        emb.select("vec_id", F.explode("embedding").alias("__e"))
-        .groupBy("vec_id")
-        .agg(F.sum(sq).cast(DEC_DOT).alias("n2"))
-    )
-
-
 @register(
     "op_dedup_embedding",
-    f"""WITH {_DUCK_NORMS},
-    pairs AS (
+    f"""WITH e AS (
+      SELECT vec_id, label, embedding,
+             {duckdb_norm2_fold('embedding')} AS n2 FROM embeddings
+    ), scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-             {_duck_pair_dot('a.embedding', 'b.embedding')} AS dot
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+             ({duckdb_dot_fold('a.embedding', 'b.embedding')})
+               / sqrt(a.n2 * b.n2) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, label,
-           CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
-             AS cos_sim
-    FROM pairs JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
-    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
-          >= 0.35""",
+    SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.35""",
     doc="embedding-cosine near-dup pairs >= 0.35, blocked on label (the coarse "
-    "cluster id): all-pairs only within a block; dot products are exact "
-    "decimal sums so the oracle matches bit-for-bit. At 100 TB the label "
-    "block is the IVF cell — pair work is sum over cells of |cell|^2, and "
-    "skewed cells split via AQE",
+    "cluster id): all-pairs only within a block; cosine is a sequential "
+    "double fold — pure codegen per pair, zero shuffle beyond the label "
+    "join, bit-identical to the oracle (same element and op order). At "
+    "100 TB the label block is the IVF cell — pair work is sum over cells "
+    "of |cell|^2, and skewed cells split via AQE",
 )
 def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    norms = _spark_norms(emb)
+    emb = load_spread(spark, sf_dir, "embeddings").withColumn(
+        "n2", dot_unrolled(F.col("embedding"), F.col("embedding"))
+    )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("ea"), F.col("n2").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"), F.col("n2").alias("nb"),
     )
-    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))).select(
-        "vec_a", "vec_b", "label", "ea", "eb"
-    )
-    dots = _spark_pair_cols_dot(pairs, "ea", "eb", ["vec_a", "vec_b", "label"], "dot")
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
-    )
+    cos = cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
-        dots.join(norms.alias("na"), F.col("vec_a") == F.col("na.vec_id"))
-        .join(norms.alias("nb"), F.col("vec_b") == F.col("nb.vec_id"))
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )
@@ -344,43 +305,47 @@ _TOP_K = 10
 
 @register(
     "op_sim_topk",
-    f"""WITH {_DUCK_NORMS},
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    f"""WITH en AS (
+      SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS nq FROM en
           WHERE vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             CAST({_duck_pair_dot('q.qe', 'e.embedding')} AS DOUBLE)
-               / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(ne.n2 AS DOUBLE)) AS cos_sim
-      FROM q JOIN embeddings e ON q.query_id <> e.vec_id
-      JOIN norms nq ON q.query_id = nq.vec_id JOIN norms ne ON e.vec_id = ne.vec_id
+             ({duckdb_dot_fold('q.qe', 'e.embedding')}) / sqrt(q.nq * e.n2)
+               AS cos_sim
+      FROM q JOIN en e ON q.query_id <> e.vec_id
     )
     SELECT query_id, vec_id, cos_sim, rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cos_sim DESC, vec_id ASC) AS rnk
       FROM scored
     ) WHERE rnk <= {_TOP_K}""",
-    doc="brute-force cosine top-k (k=10) for 8 query vectors: queries are "
-    "broadcast, the corpus is scanned once shuffle-free, then per-query "
-    "top-k; ties broken by vec_id for determinism. The exact baseline the "
-    "ANN variant is measured against",
+    doc="brute-force cosine top-k (k=10) for 8 query vectors: queries "
+    "broadcast, corpus scanned once, per-pair fold cosine in codegen (no "
+    "shuffle until the final per-query top-k); ties broken by vec_id for "
+    "determinism. The exact baseline the ANN variant is measured against",
 )
 def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    norms = _spark_norms(emb)
+    emb = load_spread(spark, sf_dir, "embeddings").withColumn(
+        "n2", dot_unrolled(F.col("embedding"), F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id")).select(
-        "query_id", "vec_id", "qe", "embedding"
-    )
-    dots = _spark_pair_cols_dot(pairs, "qe", "embedding", ["query_id", "vec_id"], "dot")
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("nq.n2").cast("double") * F.col("ne.n2").cast("double")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("nq"),
     )
     scored = (
-        dots.join(F.broadcast(norms.alias("nq")), F.col("query_id") == F.col("nq.vec_id"))
-        .join(norms.alias("ne"), dots["vec_id"] == F.col("ne.vec_id"))
-        .select("query_id", dots["vec_id"].alias("vec_id"), cos.alias("cos_sim"))
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_from_norms(
+                F.col("qe"), F.col("embedding"), F.col("nq"), F.col("n2")
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -423,17 +388,16 @@ def _sign_bucket(dialect, vec: str) -> str:
 
 @register(
     "op_sim_lsh_topk",
-    f"""WITH {_DUCK_NORMS},
-    bk AS (SELECT vec_id, label, embedding,
+    f"""WITH bk AS (SELECT vec_id, label, embedding,
+                  {duckdb_norm2_fold('embedding')} AS n2,
                   {_sign_bucket(DUCK, 'embedding')} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM bk
-          WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS nq, bucket AS qb
+          FROM bk WHERE vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             CAST({_duck_pair_dot('q.qe', 'e.embedding')} AS DOUBLE)
-               / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(ne.n2 AS DOUBLE)) AS cos_sim
+             ({duckdb_dot_fold('q.qe', 'e.embedding')}) / sqrt(q.nq * e.n2)
+               AS cos_sim
       FROM q JOIN bk e ON q.qb = e.bucket AND q.query_id <> e.vec_id
-      JOIN norms nq ON q.query_id = nq.vec_id JOIN norms ne ON e.vec_id = ne.vec_id
     )
     SELECT query_id, vec_id, cos_sim, rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -442,31 +406,31 @@ def _sign_bucket(dialect, vec: str) -> str:
     ) WHERE rnk <= {_TOP_K}""",
     doc="LSH-bucketed ANN top-k: 4 deterministic sign-projection hyperplanes "
     "-> 16 buckets; each query scores only its own bucket (~1/16 of the "
-    "corpus). The 100 TB scale path vs op_sim_topk's exact scan: shuffle key "
-    "is the bucket id, and recall trades off against _LSH_PLANES",
+    "corpus) with the fold cosine. The 100 TB scale path vs op_sim_topk's "
+    "exact scan: shuffle key is the bucket id, and recall trades off "
+    "against _LSH_PLANES",
 )
 def op_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    norms = _spark_norms(emb)
-    bk = emb.withColumn("bucket", F.expr(_sign_bucket(SPARK, "embedding")))
+    emb = load_spread(spark, sf_dir, "embeddings")
+    bk = emb.withColumn(
+        "n2", dot_unrolled(F.col("embedding"), F.col("embedding"))
+    ).withColumn("bucket", F.expr(_sign_bucket(SPARK, "embedding")))
     q = bk.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("n2").alias("nq"),
         F.col("bucket").alias("qb"),
     )
-    pairs = (
+    scored = (
         F.broadcast(q)
         .join(bk, (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
-        .select("query_id", "vec_id", "qe", "embedding")
-    )
-    dots = _spark_pair_cols_dot(pairs, "qe", "embedding", ["query_id", "vec_id"], "dot")
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("nq.n2").cast("double") * F.col("ne.n2").cast("double")
-    )
-    scored = (
-        dots.join(F.broadcast(norms.alias("nq")), F.col("query_id") == F.col("nq.vec_id"))
-        .join(norms.alias("ne"), dots["vec_id"] == F.col("ne.vec_id"))
-        .select("query_id", dots["vec_id"].alias("vec_id"), cos.alias("cos_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_from_norms(
+                F.col("qe"), F.col("embedding"), F.col("nq"), F.col("n2")
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -499,7 +463,7 @@ def op_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-side-combined hash aggregate over a narrow projection",
 )
 def op_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     t = docs.select(
         "lang", "source", "n_chars",
         F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
@@ -529,7 +493,7 @@ def op_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "narrow codegen'd projections, no shuffle",
 )
 def op_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     return docs.select(
         "doc_id",
@@ -586,7 +550,7 @@ def _langid_pred(dialect, toks: str) -> str:
     "lists are literals, so no join)",
 )
 def op_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
     ).select("doc_id", "lang", F.expr(_langid_pred(SPARK, "toks")).alias("pred_lang"))
@@ -618,7 +582,7 @@ def op_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle matches exactly",
 )
 def op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     t = docs.select(
         "doc_id",
@@ -664,7 +628,7 @@ _WINNOW_W = 4
     "signature used for copy detection; narrow projection, no shuffle",
 )
 def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.size(F.split(F.lower("text"), " ")) >= 3
     )
     win_min = (
@@ -700,7 +664,7 @@ def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across engines",
 )
 def op_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     payload = F.expr("encode(text, 'utf-8')")
     return docs.select(
         "doc_id",
@@ -721,7 +685,7 @@ def op_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.multimodal import extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     packed = docs.select(
         "doc_id",
         F.lit("text/plain").alias("mime"),

@@ -34,6 +34,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + round-robin repartition to the session's parallelism.
+
+    The local test tables are single-row-group parquet files — one split, so
+    a scan feeds ONE task and every downstream per-row kernel (hashing,
+    unrolled dot products) runs on one core.  The cheap round-robin exchange
+    (a few MB) fans the kernel out across all cores.  On a production table
+    with many splits the scan parallelizes by itself and callers would use
+    plain load_table; use this only in front of compute-heavy projections.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view (for spark.sql plans)."""
     for name in ALL_TABLES:
