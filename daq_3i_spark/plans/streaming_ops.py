@@ -137,6 +137,34 @@ def op_stream_latest_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_sink_partitioned_scan",
+    f"""WITH {_D}
+    SELECT id, channel_id, ts, value FROM channel_data
+    WHERE CAST(ts AS DATE) = DATE '2024-01-02'""",
+    doc="the 100 TB sink layout round-tripped: channel_data written "
+    "date-partitioned (sorted by channel_id within partitions, "
+    "sources/sink.py), read back with a partition filter — the scan lists "
+    "only the matching p_date directory (partition pruning), never the rest "
+    "of the table",
+)
+def op_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import (
+        read_channel_data_partitioned,
+        write_channel_data_partitioned,
+    )
+
+    work = _workdir("op_sink_partitioned")
+    path = os.path.join(work, "channel_data_part")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    return (
+        read_channel_data_partitioned(spark, path)
+        .filter(F.col("p_date") == F.lit("2024-01-02").cast("date"))
+        .select("id", "channel_id", "ts", "value")
+    )
+
+
+@register(
     "op_source_modbus_sim",
     None,  # custom DataSource — rows-only driver check
     doc="the MODBUS acquisition source as a PySpark Python DataSource "
