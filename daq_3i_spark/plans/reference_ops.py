@@ -660,3 +660,24 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("history_len"))
         .select("id", "channel_id", "channel_name", "eng_unit", "ts", "value", "value_conv")
     )
+
+
+@register(
+    "op_join_salted",
+    f"""WITH {_D}
+    SELECT cd.id, cd.channel_id, cd.ts, cd.value, c.history_len
+    FROM channel_data cd JOIN channels c ON cd.channel_id = c.id""",
+    doc="the data⋈channels join executed SALTED (operators/skew.py): fact salt "
+    "= id % 16, dim exploded 16x, join on (key, salt) — each hot channel's "
+    "rows spread over 16 tasks. Result is provably identical to the plain "
+    "join (the oracle IS the plain join); the pattern for skewed keys when "
+    "the dim outgrows broadcast",
+)
+def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.skew import salted_join
+
+    c = channels_df(spark).select(F.col("id").alias("channel_id"), "history_len")
+    cd = _cd(spark, sf_dir)
+    return salted_join(cd, c, "channel_id", F.col("id"), n_salt=16).select(
+        "id", "channel_id", "ts", "value", "history_len"
+    )

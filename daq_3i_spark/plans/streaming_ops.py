@@ -165,6 +165,36 @@ def op_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_stream_due_filter",
+    None,  # sequential per-key emission state is not SQL-expressible
+    doc="the per-channel sampling-interval gate (check_read_due, bus.py:38-49) "
+    "as a keyed-state streaming op: emit iff ts - last_emitted_ts > timing "
+    "(strict, seconds), state = one timestamp per channel. Checked row-only "
+    "here; tests/test_streaming.py verifies against a sequential reference "
+    "implementation",
+)
+def op_stream_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channels_df
+    from daq_3i_spark.streaming.pipeline import build_sample_stream
+    from daq_3i_spark.streaming.stateful import due_filter_stream
+
+    samples = build_sample_stream(spark, sf_dir)
+    timing = channels_df(spark).select(
+        F.col("id").alias("channel_id"), "timing"
+    )
+    q = (
+        due_filter_stream(samples.join(F.broadcast(timing), "channel_id"))
+        .writeStream.format("memory")
+        .queryName("stream_due")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_due")
+
+
+@register(
     "op_source_modbus_sim",
     None,  # custom DataSource — rows-only driver check
     doc="the MODBUS acquisition source as a PySpark Python DataSource "

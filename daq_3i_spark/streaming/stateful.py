@@ -83,3 +83,61 @@ def latest_per_key_stream(samples: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- the due-filter (check_read_due, bus.py:38-49) ---------------------------
+
+DUE_SCHEMA = T.StructType(
+    [
+        T.StructField("channel_id", T.IntegerType(), False),
+        T.StructField("id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+_DUE_STATE = T.StructType([T.StructField("last_emit_us", T.LongType(), True)])
+
+
+def _due_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit a sample only when its event time is more than ``timing`` seconds
+    past the previously *emitted* sample — the reference's per-channel
+    sampling-interval gate (strict `>`, seconds; last_read_at advances on
+    every emitted read, bus.py:46-48).  Rows are processed in (ts, id) order
+    so the emission sequence is deterministic."""
+    last_us = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        timing_us = pdf["timing"].to_numpy() * 1_000_000
+        emit = []
+        for i in range(len(pdf)):
+            if last_us is None or ts_us[i] - last_us > timing_us[i]:
+                emit.append(i)
+                last_us = int(ts_us[i])
+        if emit:
+            sel = pdf.iloc[emit]
+            out.append(sel[["channel_id", "id", "ts", "value"]])
+    state.update((last_us,))
+    yield from iter(out) if out else iter(
+        [pd.DataFrame(columns=["channel_id", "id", "ts", "value"])]
+    )
+
+
+def due_filter_stream(samples_with_timing: DataFrame) -> DataFrame:
+    """Streaming due-filter over (id, channel_id, ts, value, timing) — the
+    ``timing`` column comes from the broadcast channels dim.  State per key is
+    one timestamp; the batch lag-based analog (op_filter_due) approximates
+    this, the stateful form is exact w.r.t. the reference."""
+    return samples_with_timing.groupBy("channel_id").applyInPandasWithState(
+        _due_fn,
+        outputStructType=DUE_SCHEMA,
+        stateStructType=_DUE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

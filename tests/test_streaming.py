@@ -38,6 +38,13 @@ def feed_dir(spark, sf_dir):
     if os.path.isdir(d):
         shutil.rmtree(d)
     channel_data_df(spark, sf_dir).repartition(3).write.parquet(d)
+    # FileStreamSource orders batches by file modification time (ties break
+    # arbitrarily) — pin distinct mtimes in sorted-name order so the batch
+    # sequence is deterministic and tests can replay it
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    base = int(time.time()) - 600
+    for i, f in enumerate(files):
+        os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -184,3 +191,47 @@ def test_modbus_batch_decode(spark):
     by_id = {r["channel_id"]: r for r in rows}
     # channel 1: address 7, format 0 (SINT16): register holds 7 -> 7.0
     assert by_id[1]["value"] == 7.0
+
+
+def test_due_filter_matches_sequential_reference(spark, sf_dir, feed_dir):
+    """The stateful due-filter must reproduce the reference's check_read_due
+    semantics (bus.py:38-49) exactly: per channel, emit iff
+    ts - last_emitted_ts > timing (strict), scanning samples in (ts, id)
+    order — verified against a plain-python sequential simulation, across
+    multiple micro-batches."""
+    from daq_3i_spark.sources.daq_dims import channels_df
+    from daq_3i_spark.streaming.stateful import due_filter_stream
+
+    timing = channels_df(spark).select(F.col("id").alias("channel_id"), "timing")
+    q = (
+        due_filter_stream(_sample_stream(spark, feed_dir).join(F.broadcast(timing), "channel_id"))
+        .writeStream.format("memory")
+        .queryName("t_due_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["channel_id"], r["id"]) for r in spark.table("t_due_mb").collect()}
+
+    # sequential python reference: batches are the 3 feed files in commit
+    # order, rows within a batch in (ts, id) order
+    import pyarrow.parquet as pq
+    import os as _os
+
+    files = sorted(
+        _os.path.join(feed_dir, f) for f in _os.listdir(feed_dir) if f.endswith(".parquet")
+    )
+    tmap = {r["channel_id"]: r["timing"] for r in timing.collect()}
+    last: dict[int, int] = {}
+    expect = set()
+    for fp in files:
+        tbl = pq.read_table(fp).to_pylist()
+        tbl.sort(key=lambda r: (r["ts"], r["id"]))
+        for r in tbl:
+            cid = r["channel_id"]
+            ts_us = int(r["ts"].timestamp() * 1_000_000)
+            if cid not in last or ts_us - last[cid] > tmap[cid] * 1_000_000:
+                expect.add((cid, r["id"]))
+                last[cid] = ts_us
+    assert got == expect
