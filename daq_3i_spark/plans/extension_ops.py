@@ -777,3 +777,76 @@ def op_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series joins (operators Spark lacks natively — operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+from daq_3i_spark.sources.daq_dims import channels_df, channel_data_df, dims_cte_sql  # noqa: E402
+
+_DIMS = dims_cte_sql()
+
+
+@register(
+    "op_asof_join",
+    f"""WITH {_DIMS},
+    q AS (SELECT id AS qid, channel_id, ts FROM channel_data WHERE id % 20 = 0)
+    SELECT q.qid, q.channel_id, q.ts,
+           (SELECT r.value FROM channel_data r
+             WHERE r.channel_id = q.channel_id AND r.ts < q.ts
+             ORDER BY r.ts DESC, r.id DESC LIMIT 1) AS asof_value
+    FROM q""",
+    doc="as-of join (DuckDB ASOF JOIN / pandas merge_asof — no Spark "
+    "built-in): latest sample strictly before each query time per channel, "
+    "via the union+window trick (operators/timeseries.py): ONE shuffle on "
+    "the key, last(ignorenulls) over unbounded-preceding — never a "
+    "nested-loop range predicate",
+)
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.timeseries import asof_join
+
+    cd = channel_data_df(spark, sf_dir)
+    queries = cd.filter(F.col("id") % 20 == 0).select(
+        F.col("id").alias("qid"), "channel_id", "ts"
+    )
+    return asof_join(queries, cd, key="channel_id", ts="ts", value_cols=("value",))
+
+
+@register(
+    "op_range_join",
+    f"""WITH {_DIMS},
+    ivl AS (
+      SELECT id AS channel_id,
+             TIMESTAMP '2024-01-01 00:00:00' + ((id*5)%36) * INTERVAL 1 HOUR
+               AS interval_start,
+             TIMESTAMP '2024-01-01 00:00:00' + (((id*5)%36)+2) * INTERVAL 1 HOUR
+               AS interval_end
+      FROM channels
+    )
+    SELECT i.channel_id, i.interval_start, cd.id, cd.ts, cd.value
+    FROM ivl i JOIN channel_data cd ON cd.channel_id = i.channel_id
+     AND cd.ts >= i.interval_start AND cd.ts < i.interval_end""",
+    doc="range join (interval containment — Spark would plan a non-equi "
+    "nested loop): per-channel 2-hour maintenance windows joined to samples "
+    "inside them via hour-bucket explode + equi-join + exact refine "
+    "(operators/timeseries.py) — work scales with interval/bucket width, "
+    "not |intervals| x |samples|",
+)
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.timeseries import range_join
+
+    base = "timestamp'2024-01-01 00:00:00'"
+    ivl = channels_df(spark).select(
+        F.col("id").alias("channel_id"),
+        F.expr(f"{base} + make_interval(0, 0, 0, 0, pmod(id*5, 36), 0, 0)").alias(
+            "interval_start"
+        ),
+        F.expr(f"{base} + make_interval(0, 0, 0, 0, pmod(id*5, 36) + 2, 0, 0)").alias(
+            "interval_end"
+        ),
+    )
+    cd = channel_data_df(spark, sf_dir)
+    return range_join(ivl, cd, key="channel_id").select(
+        "channel_id", "interval_start", "id", "ts", "value"
+    )

@@ -376,3 +376,131 @@ def op_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
     )
+
+
+# --- TPC-H Q13 analog: outer-join + distribution of counts ---------------------
+
+
+@register(
+    "op_sql_q13_distribution",
+    """WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count""",
+    doc="TPC-H Q13 analog: outer join preserved through an aggregate, then a "
+    "second aggregate over the counts (customers with zero orders land in "
+    "c_count=0) — two shuffles, both map-side combined",
+)
+def op_sql_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- TPC-H Q18 analog: HAVING over a grouped sum --------------------------------
+
+
+@register(
+    "op_sql_having_bigorders",
+    """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(25,6))) > 150""",
+    doc="TPC-H Q18 analog: grouped decimal sum with a HAVING filter — the "
+    "filter applies post-aggregate (cannot push down), everything else is "
+    "one hash aggregate after the join",
+)
+def op_sql_having_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+# --- correlated EXISTS ----------------------------------------------------------
+
+
+@register(
+    "op_sql_exists",
+    """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)""",
+    doc="correlated EXISTS subquery — Catalyst rewrites it to a left-semi "
+    "join with the predicate pushed into the subquery scan",
+)
+def op_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_tbls = {n: load_table(spark, sf_dir, n) for n in ("supplier", "lineitem")}
+    spark_tbls["supplier"].createOrReplaceTempView("v_supplier")
+    spark_tbls["lineitem"].createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM v_supplier s
+        WHERE EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)"""
+    )
+
+
+# --- explicit GROUPING SETS ------------------------------------------------------
+
+
+@register(
+    "op_sql_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))""",
+    doc="explicit GROUPING SETS (beyond rollup/cube): three grouping "
+    "combinations in one Expand + single aggregate pass over the scan",
+)
+def op_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))"""
+    )
+
+
+# --- TPC-H Q16 analog: NOT IN + count distinct -----------------------------------
+
+
+@register(
+    "op_sql_notin_countdistinct",
+    """SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand, p.p_type""",
+    doc="TPC-H Q16 analog: null-aware NOT IN (anti join) feeding a "
+    "count-distinct aggregate — distinct expands to a two-phase aggregate "
+    "on (group, suppkey) then (group)",
+)
+def op_sql_notin_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for n in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(f"v_{n}")
+    return spark.sql(
+        """SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 0
+        )
+        GROUP BY p.p_brand, p.p_type"""
+    )
