@@ -94,15 +94,17 @@ def _duck_sig_cte() -> str:
     )"""
 
 
-def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_spread(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.lower("text"), " ")) >= 3
-    )
+def _spark_sigs_of(docs: DataFrame) -> DataFrame:
+    filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
     return (
-        docs.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
+        filtered.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
         .select("doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh"))
         .select("doc_id", F.expr(SPARK.minhash_sig("sh")).alias("sig"))
     )
+
+
+def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_sigs_of(load_spread(spark, sf_dir, "documents"))
 
 
 @register(
@@ -849,4 +851,98 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = channel_data_df(spark, sf_dir)
     return range_join(ivl, cd, key="channel_id").select(
         "channel_id", "interval_start", "id", "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the corpus-cleaning pipeline (the LLM-data flagship: compose the kernels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_corpus_clean_pipeline",
+    f"""WITH survivors0 AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+             len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+             length(text) AS n_len
+      FROM documents
+    ), survivors1 AS (  -- quality gate
+      SELECT doc_id, lang, source, n_chars, text FROM survivors0
+      WHERE CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE),
+                                        CAST(1 AS DOUBLE))
+          + CAST(0.3 AS DOUBLE) * (CAST(n_uniq AS DOUBLE) / n_tokens)
+          + CAST(0.3 AS DOUBLE) * (CAST(n_alpha AS DOUBLE) / n_len) >= 0.6
+    ), survivors2 AS (  -- exact dedup, keep min doc_id per normalized text
+      SELECT s.* FROM survivors1 s
+      JOIN (SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+                  FROM survivors1) GROUP BY norm) k USING (doc_id)
+    ), th AS (
+      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM survivors2
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (SELECT doc_id, {DUCK.shingle_hashes('th')} AS sh FROM th),
+    sig AS (SELECT doc_id, {DUCK.minhash_sig('sh')} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sig, i - 1 AS band_idx, bh[i] AS band_val
+      FROM (SELECT doc_id, sig, {DUCK.band_hashes('sig')} AS bh FROM sig)
+      CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) t
+    ), near_dups AS (  -- near-dup pairs: larger doc_id of each pair is dropped
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE {DUCK.sig_match_frac('a.sig', 'b.sig')} >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars FROM survivors2
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)""",
+    doc="the end-to-end training-corpus cleaner, composing the kernels: "
+    "quality gate -> exact dedup (hash groupBy + semi join) -> MinHash-LSH "
+    "near-dedup (keep the smaller doc_id of each candidate pair). Every "
+    "stage is the same operator exposed individually; one declarative plan, "
+    "shuffles only on norm-hash and band buckets",
+)
+def op_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    score = (
+        F.lit(0.4) * F.least(F.size(toks).cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        + F.lit(0.3)
+        * (
+            F.size(F.expr("regexp_extract_all(lower(text), '[a-z]', 0)")).cast("double")
+            / F.length("text")
+        )
+    )
+    s1 = docs.filter(score >= 0.6)
+
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    keep_exact = (
+        s1.select("doc_id", norm.alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep_exact, "doc_id", "semi")
+
+    sigs = _spark_sigs_of(s2)
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    near_dups = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.expr(SPARK.sig_match_frac("a.sig", "b.sig")) >= 0.5)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return s2.join(near_dups, "doc_id", "anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )

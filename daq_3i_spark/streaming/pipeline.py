@@ -179,14 +179,11 @@ def retention_compact(spark: SparkSession, work_dir: str) -> None:
     )
     tmp = os.path.join(work_dir, "channel_data_compact")
     kept.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(cd_dir + "_new")
     # atomic-ish swap (production: Delta DELETE, no rewrite)
     import shutil
 
     shutil.rmtree(cd_dir)
-    os.rename(cd_dir + "_new", cd_dir)
-    shutil.rmtree(tmp)
+    os.rename(tmp, cd_dir)
 
 
 def run_pipeline(
