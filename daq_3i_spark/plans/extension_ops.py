@@ -946,3 +946,161 @@ def op_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.join(near_dups, "doc_id", "anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# more training-pipeline primitives: chunking, vocab, sampling, scrubbing,
+# sliding windows
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # overlap = _CHUNK - _STRIDE = 8 tokens
+
+
+@register(
+    "op_text_chunk",
+    f"""WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n FROM documents
+    )
+    SELECT doc_id, k - 1 AS chunk_id,
+           len(toks[(k-1)*{_STRIDE}+1 : (k-1)*{_STRIDE}+{_CHUNK}]) AS n_chunk_tokens,
+           array_to_string(toks[(k-1)*{_STRIDE}+1 : (k-1)*{_STRIDE}+{_CHUNK}], ' ')
+             AS chunk_text
+    FROM t CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS k) u
+    WHERE (k-1)*{_STRIDE} + 1 <= n AND (k = 1 OR (k-1)*{_STRIDE} + 1 <= n)
+      AND k <= 1 + CAST(floor((greatest(n - {_CHUNK}, 0) + {_STRIDE} - 1)
+                              / {_STRIDE}) AS BIGINT)""",
+    doc="document chunking for training pipelines: 32-token chunks with "
+    "8-token overlap (stride 24); pure array arithmetic, one generator per "
+    "doc — no shuffle, chunk count bounded by token count",
+)
+def op_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.size(F.split(F.lower("text"), " ")).alias("n"),
+    )
+    # chunk count = 1 + ceil(max(n-32,0)/24) >= 1, so the sequence is never
+    # empty/descending and needs no guard
+    return (
+        t.select("doc_id", "toks", F.explode(F.expr(
+            f"sequence(1, 1 + CAST(floor((greatest(n - {_CHUNK}, 0)"
+            f" + {_STRIDE - 1}) / {_STRIDE}) AS INT))"
+        )).alias("k"))
+        .select(
+            "doc_id",
+            (F.col("k") - 1).alias("chunk_id"),
+            F.size(F.slice("toks", (F.col("k") - 1) * _STRIDE + 1, _CHUNK)).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice("toks", (F.col("k") - 1) * _STRIDE + 1, _CHUNK), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "op_text_vocab",
+    """WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), agg AS (
+      SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok
+      GROUP BY token
+    )
+    SELECT token, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT) AS rnk
+    FROM agg""",
+    doc="corpus vocabulary with term and document frequencies + frequency "
+    "rank — the TF-IDF precursor (idf itself needs ln(), which is not "
+    "bit-portable across libm builds, so weights are left to the caller); "
+    "explode + two-phase aggregate, one shuffle on token",
+)
+def op_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+_SAMPLE_PCT = 30  # keep ~30% per stratum
+
+
+@register(
+    "op_sample_stratified",
+    f"""SELECT doc_id, lang, source FROM documents
+    WHERE ({DUCK.char_hash('text')}) % 100 < {_SAMPLE_PCT}""",
+    doc="deterministic stratified sampling: keep a doc iff its portable "
+    "content hash mod 100 < 30 — reproducible across runs/engines/cluster "
+    "sizes (unlike rand()-based sampling), stratification implicit in the "
+    "content hash; pure filter, no shuffle",
+)
+def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.expr(SPARK.char_hash("text")) % 100) < _SAMPLE_PCT
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "op_text_scrub",
+    """SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+           md5(regexp_replace(text, '[0-9]', '#', 'g')) AS scrubbed_md5
+    FROM documents""",
+    doc="pattern scrubbing (the PII-redaction primitive): digits replaced "
+    "with '#', redaction count + content digest returned; regexes restricted "
+    "to classes identical in Java regex and RE2",
+)
+def op_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")).alias("n_digits"),
+        F.md5(F.expr("encode(regexp_replace(text, '[0-9]', '#'), 'utf-8')")).alias(
+            "scrubbed_md5"
+        ),
+    )
+
+
+@register(
+    "op_window_sliding",
+    """WITH w AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+    FROM w GROUP BY 1, 2, 3""",
+    doc="sliding event-time windows (2-minute width, 1-minute slide): each "
+    "event lands in exactly 2 windows; Spark's F.window handles the "
+    "replication natively, the oracle enumerates the covering starts",
+)
+def op_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
