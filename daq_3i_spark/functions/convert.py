@@ -75,12 +75,18 @@ def _const_value(node: ast.expr) -> float | None:
 
 
 def _render(node: ast.expr, dialect: str) -> str:
-    """Render the AST to SQL text; raises ValueError outside the safe subset."""
+    """Render the AST to SQL text; raises ValueError outside the safe subset.
+
+    Numeric literals are rendered with an explicit DOUBLE cast: bare ``0.3``
+    parses as DECIMAL in BOTH SQL dialects, so literal-literal arithmetic
+    (e.g. ``1 / 0.3``) would silently run in decimal with different
+    precision rules per engine — found by the hypothesis property test.
+    """
     if isinstance(node, ast.Num):  # py<3.8 compat form of Constant
-        return repr(node.n)
+        return f"CAST({node.n!r} AS DOUBLE)"
     if isinstance(node, ast.Constant):
         if isinstance(node.value, (int, float)) and not isinstance(node.value, bool):
-            return repr(node.value)
+            return f"CAST({node.value!r} AS DOUBLE)"
         raise ValueError("non-numeric literal")
     if isinstance(node, ast.Name):
         if node.id == "x":
@@ -107,7 +113,7 @@ def _render(node: ast.expr, dialect: str) -> str:
                 if float(exp_const).is_integer() and 0 <= exp_const <= 8:
                     n = int(exp_const)
                     if n == 0:
-                        return "1.0"
+                        return "CAST(1.0 AS DOUBLE)"
                     return "(" + " * ".join([f"({lhs})"] * n) + ")"
             frac = f"(({rhs}) <> CAST({rhs} AS BIGINT))"
             return f"(CASE WHEN ({lhs}) < 0 AND {frac} THEN NULL ELSE POWER({lhs}, {rhs}) END)"

@@ -1,0 +1,68 @@
+"""Physical-plan quality gates over the whole registry.
+
+Correctness is the oracle's job; these tests guard the SCALE properties the
+plans are designed for: no accidental cartesian products, broadcast joins
+where a tiny dimension is involved, and filter pushdown reaching the parquet
+scans.  Planning only (executedPlan is built, nothing runs), so the whole
+registry is checked in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from daq_3i_spark.plans import QUERIES
+
+# ops that RUN work at build time (streaming drains, sink round-trips) —
+# planning them here would execute them; covered by their own tests
+_EXECUTING = {name for name in QUERIES if name.startswith("op_stream_")} | {
+    "op_sink_partitioned_scan",
+    "op_source_modbus_sim",
+}
+
+# non-equi joins where a broadcast nested loop IS the intended strategy
+# (tiny broadcast side, by design):
+#   - sim ops: 8 query vectors x corpus with a != predicate
+#   - scalar-subquery style plans
+_BNL_ALLOWED = {
+    "op_sim_topk",
+    "op_sim_lsh_topk",
+    "op_sql_scalar_subquery",
+    "op_asof_join",  # union branch pruning can leave a broadcast single-row join
+    "op_filter_dirty",  # ts > (scalar max_ts - 1h): single-row broadcast side
+}
+
+_PLANNABLE = sorted(set(QUERIES) - _EXECUTING)
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _PLANNABLE)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _BNL_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a broadcast nested-loop join (non-equi fallback?)"
+        )
+
+
+def test_config_dims_broadcast(spark, sf_dir):
+    """Every join against the tiny config dims must be a broadcast hash join,
+    never a shuffle join."""
+    for name in ("op_join_channels_buses", "op_join_data_channels",
+                 "op_join_enrich_stream", "flagship_pipeline"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Point/range filters must reach the parquet scan as PushedFilters."""
+    plan = _plan(spark, sf_dir, "op_sql_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    plan = _plan(spark, sf_dir, "op_sql_q3_topk")
+    assert "PushedFilters" in plan
