@@ -84,3 +84,41 @@ def test_band_hashes_match(spark):
 def test_hash_range(spark):
     vals = _spark_vals(spark, SPARK.char_hash("text"))
     assert all(v is not None and 0 <= v < 2_147_483_647 for v in vals)
+
+
+# --- property: random (incl. unicode) strings, both dialects agree -----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_rand_text = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("Lu", "Ll", "Nd", "Zs", "Po"),
+        ),
+        max_size=40,
+    ),
+    min_size=3,
+    max_size=3,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_rand_text)
+def test_kernels_agree_on_random_unicode(spark, texts):
+    import duckdb
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    con = duckdb.connect()
+    for s_expr, d_expr in [
+        (SPARK.char_hash("text"), DUCK.char_hash("text")),
+        (SPARK.token_hashes("text"), DUCK.token_hashes("text")),
+    ]:
+        sv = [r[0] for r in sdf.select(F.expr(s_expr).alias("v")).collect()]
+        dv = [
+            con.execute(f"SELECT {d_expr} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+            for t in texts
+        ]
+        sv = [list(v) if isinstance(v, (list, tuple)) else v for v in sv]
+        dv = [list(v) if isinstance(v, (list, tuple)) else v for v in dv]
+        assert sv == dv, f"dialect drift on {texts!r}"
