@@ -16,6 +16,15 @@ Everything is generated through the :class:`Dialect` renderer so the Spark
 plan (``F.expr``) and the DuckDB oracle SQL come from the *same* template —
 parity by construction, not by careful transcription.
 
+Parity contract: guaranteed for text where ``lower()`` agrees between the
+engines — all of ASCII and the stable Latin/IPA ranges at minimum.  Two
+engine-level divergences exist outside that (found by the hypothesis
+property test, tests/test_text_portable.py): Unicode SPECIAL-CASING
+expansions (U+0130 'İ' lowercases to 2 codepoints in Java/Python, 1 in
+DuckDB's utf8proc) and Unicode VERSION skew (letters added after JDK 17's
+Unicode tables lowercase in utf8proc but not the JVM).  These are lower()
+implementation differences, not kernel differences.
+
 Performance: these are pure Catalyst expression trees (whole-stage codegen,
 no Python, no shuffle until the explicit groupBy/join of the operator using
 them).  The per-character fold is a tight generated loop; at 100 TB the scan

@@ -36,3 +36,28 @@ def write_channel_data_partitioned(df: DataFrame, path: str) -> None:
 
 def read_channel_data_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_channel_data_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str = "channel_data",
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> None:
+    """The reference's actual sink: a SQL database over JDBC
+    (/root/reference/db_model.py:65-67 builds a MySQL URL; one INSERT+COMMIT
+    per row, daq-3i.py:274-281).  Here: executor-parallel batched writes,
+    and the decimal(25,6) cast (db_model.py:54) happens at THIS boundary —
+    inside the engine values stay double (see DIVERGENCES.md).
+
+    No database runs in the test environment, so this is exercised only by
+    callers with a live JDBC URL (e.g. ``jdbc:mysql://host/db``); the parquet
+    sink (streaming/pipeline.py) is the tested path.
+    """
+    (
+        df.withColumn("value", F.col("value").cast("decimal(25,6)"))
+        .write.mode(mode)
+        .option("batchsize", str(batchsize))
+        .jdbc(url, table)
+    )

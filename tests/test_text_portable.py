@@ -90,12 +90,21 @@ def test_hash_range(spark):
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
+# the parity contract covers characters whose lower() agrees across engines
+# (functions/text.py module doc).  Hypothesis surfaced two real boundaries:
+#   - U+0130 'İ': Java/Python lowercase to 2 codepoints, DuckDB utf8proc to 1
+#     (Unicode SPECIAL-CASING divergence)
+#   - U+10570: lowercased by utf8proc (Unicode 14+) but not by JDK 17's older
+#     Unicode tables (Unicode VERSION divergence)
+# so the property pins parity over the stable Latin/IPA range + digits/punct,
+# which still exercises multi-byte UTF-8 (é, ƙ, ʼn, ...).
 _rand_text = st.lists(
     st.text(
         alphabet=st.characters(
             codec="utf-8",
             categories=("Lu", "Ll", "Nd", "Zs", "Po"),
-        ),
+            max_codepoint=0x2FF,
+        ).filter(lambda c: len(c.lower()) == 1),
         max_size=40,
     ),
     min_size=3,
