@@ -1104,3 +1104,40 @@ def op_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "op_embed_quantize",
+    """WITH m AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, __x -> abs(CAST(__x AS DOUBLE))))
+               AS amax
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN amax > CAST(0 AS DOUBLE)
+                  THEN CAST(127 AS DOUBLE) / amax ELSE CAST(1 AS DOUBLE) END AS scale
+      FROM m
+    )
+    SELECT vec_id, label, scale,
+           list_transform(embedding,
+             __x -> CAST(floor(CAST(__x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE))
+                         AS INTEGER)) AS q
+    FROM s""",
+    doc="int8 embedding quantization (the 4x storage cut for 100 TB vector "
+    "corpora): per-vector symmetric scale 127/max|x|, portable "
+    "floor(x*scale + 0.5) rounding (round() itself has engine-dependent "
+    "tie behavior); scale kept alongside for dequantization",
+)
+def op_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    with_scale = emb.withColumn("amax", amax).withColumn(
+        "scale",
+        F.when(F.col("amax") > 0.0, F.lit(127.0) / F.col("amax")).otherwise(F.lit(1.0)),
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    return with_scale.select("vec_id", "label", "scale", q.alias("q"))
