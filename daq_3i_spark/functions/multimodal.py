@@ -76,6 +76,76 @@ def _byte_features(payload: bytes) -> np.ndarray:
     return feats.astype(np.float32)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(packed: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stage (image thumbnailing stand-in): deterministic byte-stride
+    downsampling of the payload to ~target_bytes.  Real image resize would
+    decode -> PIL.resize -> re-encode inside the same batch loop; the Spark
+    plumbing (binary in, binary out, Arrow batches, no shuffle) is identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(payload: bytes) -> bytes:
+                if not payload:
+                    return b""
+                stride = max(1, len(payload) // target_bytes)
+                return bytes(payload[::stride][:target_bytes])
+
+            out = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "payload": out,
+                    "n_bytes": out.map(len).astype("int32"),
+                }
+            )
+
+    return packed.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(packed: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Frame-sampling stage (video stand-in): emit n evenly-spaced fixed-size
+    byte windows per payload — a 1:N flatMap through mapInPandas (each input
+    row yields n output rows), exactly the shape a real video decoder uses.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                step = max(1, (len(payload) - frame_bytes) // max(n_frames - 1, 1))
+                for k in range(n_frames):
+                    off = min(k * step, max(len(payload) - frame_bytes, 0))
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame"].append(bytes(payload[off : off + frame_bytes]))
+            yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_features(packed: DataFrame) -> DataFrame:
     """(doc_id, mime, payload binary) -> (doc_id, mime, n_bytes, features).
 
