@@ -57,6 +57,10 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
 
     def run(name: str) -> float:
+        # JVM GC between timed queries: a 20-query session accumulates
+        # broadcast/codegen garbage, and a collection landing inside a timed
+        # query shows up as a 3-4x outlier (observed on the embedding ops)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
