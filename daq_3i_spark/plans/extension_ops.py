@@ -1141,3 +1141,43 @@ def op_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
     )
     return with_scale.select("vec_id", "label", "scale", q.alias("q"))
+
+
+@register(
+    "op_text_bigrams",
+    """WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM t CROSS JOIN LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), pair_counts AS (
+      SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), head_counts AS (
+      SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM pair_counts GROUP BY w1
+    )
+    SELECT p.w1, p.w2, p.n,
+           CAST(p.n AS DOUBLE) / h.n1 AS cond_p
+    FROM pair_counts p JOIN head_counts h USING (w1)
+    WHERE p.n >= 5""",
+    doc="bigram language-model counts: adjacent-token pairs with conditional "
+    "probability P(w2|w1), support >= 5 — the n-gram LM statistic behind "
+    "perplexity-style quality filters; explode + two hash aggregates, "
+    "shuffles on (w1,w2) then w1",
+)
+def op_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    bg = t.select(
+        F.posexplode(F.expr("slice(toks, 1, size(toks) - 1)")).alias("i0", "w1"),
+        F.col("toks"),
+    ).select("w1", F.expr("toks[i0 + 1]").alias("w2"))
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    head_counts = pair_counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        pair_counts.join(head_counts, "w1")
+        .select(
+            "w1", "w2", "n",
+            (F.col("n").cast("double") / F.col("n1")).alias("cond_p"),
+        )
+        .filter(F.col("n") >= 5)
+    )
