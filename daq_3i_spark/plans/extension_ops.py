@@ -621,22 +621,23 @@ _WINNOW_W = 4
       WHERE len(string_split(lower(text), ' ')) >= 3
     ), sh AS (SELECT doc_id, {DUCK.shingle_hashes('th')} AS sh FROM th)
     SELECT doc_id, len(sh) AS n_shingles,
-           list_sort(list_distinct(list_transform(
+           array_to_string(list_sort(list_distinct(list_transform(
              generate_series(1, greatest(len(sh) - {_WINNOW_W - 1}, 1)),
-             i -> list_min(sh[i:i+{_WINNOW_W - 1}])))) AS fingerprints
+             i -> list_min(sh[i:i+{_WINNOW_W - 1}])))), ',') AS fingerprints
     FROM sh""",
     doc="winnowing document fingerprints: 3-token shingle rolling hashes, "
-    "min over each window of 4, distinct+sorted — the content-defined "
-    "signature used for copy detection; narrow projection, no shuffle",
+    "min over each window of 4, distinct+sorted, serialized as a "
+    "comma-joined string (scalar column: the driver's canonicalizer can't "
+    "hash array cells); narrow projection, no shuffle",
 )
 def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.size(F.split(F.lower("text"), " ")) >= 3
     )
     win_min = (
-        f"array_sort(array_distinct(transform("
+        f"array_join(transform(array_sort(array_distinct(transform("
         f"{SPARK.seq1n(f'greatest(size(sh) - {_WINNOW_W - 1}, 1)')},"
-        f" i -> array_min(slice(sh, i, {_WINNOW_W})))))"
+        f" i -> array_min(slice(sh, i, {_WINNOW_W}))))), x -> cast(x as string)), ',')"
     )
     return (
         docs.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
@@ -681,11 +682,13 @@ def op_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # Arrow/pandas path — rows-only driver check
     doc="multimodal feature extraction over binary payloads via mapInPandas "
     "(Arrow-batched; the real decode is a documented stub — see "
-    "functions/multimodal.py): deterministic 8-dim byte-statistics features. "
-    "The Spark plumbing (schema, batching, partition preservation) is real",
+    "functions/multimodal.py): deterministic 8-dim byte-statistics features, "
+    "projected to scalar columns f0..f7 (the driver's canonicalizer can't "
+    "hash array cells). The Spark plumbing (schema, batching, partition "
+    "preservation) is real",
 )
 def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.functions.multimodal import extract_features
+    from daq_3i_spark.functions.multimodal import FEATURE_DIM, extract_features
 
     docs = load_spread(spark, sf_dir, "documents")
     packed = docs.select(
@@ -693,7 +696,13 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
         F.expr("encode(text, 'utf-8')").alias("payload"),
     )
-    return extract_features(packed)
+    feats = extract_features(packed)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        *[F.get("features", i).alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -703,14 +712,17 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_window_agg_events",
-    """SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
-           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+    """SELECT epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS window_start_us,
+           epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
+             AS window_end_us,
            event_type, count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="tumbling 1-minute event-time windows per event_type (batch twin of "
     "streaming/pipeline.py's windowed aggregation; epoch-aligned in both "
-    "engines); one hash aggregate, partial map-side",
+    "engines); window bounds emitted as epoch-micros BIGINT — engine- and "
+    "canonicalizer-neutral (r1 driver hash diverged on raw timestamp "
+    "columns here); one hash aggregate, partial map-side",
 )
 def op_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
@@ -721,8 +733,8 @@ def op_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.unix_micros("w.start").alias("window_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
             "event_type",
             "n_events",
             "sum_value",
@@ -1120,14 +1132,15 @@ def op_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT vec_id, label, scale,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              __x -> CAST(floor(CAST(__x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE))
-                         AS INTEGER)) AS q
+                         AS INTEGER)), ',') AS q
     FROM s""",
     doc="int8 embedding quantization (the 4x storage cut for 100 TB vector "
     "corpora): per-vector symmetric scale 127/max|x|, portable "
     "floor(x*scale + 0.5) rounding (round() itself has engine-dependent "
-    "tie behavior); scale kept alongside for dequantization",
+    "tie behavior); scale kept alongside for dequantization; the code "
+    "vector is serialized to a comma-joined string (scalar output contract)",
 )
 def op_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings")
@@ -1140,7 +1153,8 @@ def op_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
     )
-    return with_scale.select("vec_id", "label", "scale", q.alias("q"))
+    q_str = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+    return with_scale.select("vec_id", "label", "scale", q_str.alias("q"))
 
 
 @register(

@@ -72,9 +72,9 @@ def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_stream_window_agg",
-    """SELECT CAST(time_bucket(INTERVAL '1 minute', ts) AS TIMESTAMP) AS window_start,
-           CAST(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS TIMESTAMP)
-             AS window_end,
+    """SELECT epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS window_start_us,
+           epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
+             AS window_end_us,
            event_type, count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
@@ -103,7 +103,13 @@ def op_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table("stream_window_agg")
+    return spark.table("stream_window_agg").select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 @register(
