@@ -120,7 +120,20 @@ def _render(node: ast.expr, dialect: str) -> str:
         if op == "/":
             return f"(CASE WHEN ({rhs}) = 0 THEN NULL ELSE ({lhs}) / ({rhs}) END)"
         if op == "%":
-            return f"(CASE WHEN ({rhs}) = 0 THEN NULL ELSE MOD({lhs}, {rhs}) END)"
+            # Python/asteval floored modulo (result takes the divisor's sign),
+            # not SQL's truncated MOD: reproduce CPython float_rem exactly —
+            # r = fmod(a, b); r += b when r is nonzero and disagrees with b's
+            # sign; zero results carry the divisor's sign (0.0 * b).  Both
+            # engines' MOD(double) is truncated fmod, so one template renders
+            # identically in Spark and DuckDB, and it now agrees with the
+            # numpy fallback (np.mod is floored).
+            r = f"MOD({lhs}, {rhs})"
+            return (
+                f"(CASE WHEN ({rhs}) = 0 THEN NULL "
+                f"WHEN {r} = 0 THEN CAST(0.0 AS DOUBLE) * ({rhs}) "
+                f"WHEN ({r} < 0) = (({rhs}) < 0) THEN {r} "
+                f"ELSE {r} + ({rhs}) END)"
+            )
         return f"(({lhs}) {op} ({rhs}))"
     raise ValueError(f"unsupported node {type(node).__name__}")
 

@@ -78,26 +78,30 @@ def range_join(
     start: str = "interval_start",
     end: str = "interval_end",
     ts: str = "ts",
-    bucket: str = "1 hour",
+    bucket_s: int = 3600,
     how: str = "inner",
 ) -> DataFrame:
     """All ``data`` rows with ``start <= ts < end`` per key, via bucketed
     equi-join + exact refine (never a nested-loop range join).
 
-    ``bucket`` must be a Spark interval width; choose it near the typical
-    interval length so each interval explodes into O(1) buckets.
+    ``bucket_s`` is the bucket width in seconds; choose it near the typical
+    interval length so each interval explodes into O(1) buckets.  Both sides
+    bucket arithmetically — floor(epoch_us / width) — so ANY width is safe
+    (ADVICE r1: the old date_trunc('hour') data-side bucket silently dropped
+    matches for widths coarser than an hour, since the interval side strode
+    over hour values the data rows truncated to).
     """
+    w_us = int(bucket_s) * 1_000_000
     ivl = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", F.col(start)),
-                F.date_trunc("hour", F.col(end)),
-                F.expr(f"INTERVAL {bucket}"),
+                F.expr(f"unix_micros(`{start}`) div {w_us}"),
+                F.expr(f"unix_micros(`{end}`) div {w_us}"),
             )
         ),
     )
-    d = data.withColumn("__bucket", F.date_trunc("hour", F.col(ts)))
+    d = data.withColumn("__bucket", F.expr(f"unix_micros(`{ts}`) div {w_us}"))
     return (
         ivl.join(d, [key, "__bucket"], how)
         .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))

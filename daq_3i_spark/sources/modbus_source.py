@@ -32,12 +32,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
+from daq_3i_spark.functions.decode import REG_COUNT
 from daq_3i_spark.sources.daq_dims import buses_rows, channels_rows
 
-# correct register counts per format code (fixes the reference's buggy
-# FORMAT_LENGTH, modbus.py:26-29 — SURVEY §2.9.1)
-FORMAT_REGS = {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 2, 6: 2, 7: 2, 8: 2, 9: 2,
-               10: 3, 11: 2, 12: 2, 13: 2}
+# register count polled per format code. Single source of truth is
+# functions/decode.py:REG_COUNT (the corrected version of the reference's
+# buggy FORMAT_LENGTH, modbus.py:26-29 — SURVEY §2.9.1): polling fewer
+# registers than decode_cols consumes would NULL every sample of that format.
+FORMAT_REGS = REG_COUNT
 
 SCHEMA = T.StructType(
     [

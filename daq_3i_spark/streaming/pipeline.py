@@ -140,7 +140,12 @@ def upsert_status(spark: SparkSession, work_dir: str, updates: DataFrame, batch_
 
 
 def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id: int) -> None:
-    """foreachBatch body: append channel_data + status upsert (daq-3i.py:262-292)."""
+    """foreachBatch body: append channel_data + status upsert (daq-3i.py:262-292).
+
+    Exactly-once: the batch lands in its own ``batch_<id>`` subdirectory with
+    mode=overwrite, so a replay after a crash between the write and the
+    checkpoint commit rewrites the same directory and converges (a plain
+    top-level append would duplicate the batch — at-least-once only)."""
     cd_dir = os.path.join(work_dir, "channel_data")
     batch.persist()
     try:
@@ -149,7 +154,7 @@ def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id
         # (JDBC writer would cast there) — see plans/registry.py's decimal
         # convention: engines round double->decimal differently, doubles are
         # bit-portable.
-        batch.write.mode("append").parquet(cd_dir)
+        batch.write.mode("overwrite").parquet(os.path.join(cd_dir, f"batch_{batch_id}"))
         now = F.max("ts")  # event time of the batch per key (deterministic)
         chl_status = (
             batch.groupBy("channel_id")
@@ -175,7 +180,7 @@ def retention_compact(spark: SparkSession, work_dir: str) -> None:
     newest ``history_len`` rows per channel, one statement, no batch cap."""
     cd_dir = os.path.join(work_dir, "channel_data")
     kept = retention_keep(
-        spark.read.parquet(cd_dir), channels_df(spark), key="channel_id"
+        read_channel_data(spark, work_dir), channels_df(spark), key="channel_id"
     )
     tmp = os.path.join(work_dir, "channel_data_compact")
     kept.write.mode("overwrite").parquet(tmp)
@@ -215,4 +220,9 @@ def run_pipeline(
 
 
 def read_channel_data(spark: SparkSession, work_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(work_dir, "channel_data"))
+    """recursiveFileLookup spans both layouts: per-batch ``batch_<id>``
+    subdirectories (streaming appends) and flat files (post-compaction)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(work_dir, "channel_data"))
+    )

@@ -105,14 +105,17 @@ def _due_fn(
     """Emit a sample only when its event time is more than ``timing`` seconds
     past the previously *emitted* sample — the reference's per-channel
     sampling-interval gate (strict `>`, seconds; last_read_at advances on
-    every emitted read, bus.py:46-48).  Rows are processed in (ts, id) order
-    so the emission sequence is deterministic."""
+    every emitted read, bus.py:46-48).  The group's Arrow chunks are
+    concatenated and sorted ONCE so rows are processed in global (ts, id)
+    order — per-chunk sorting deviates whenever a key's micro-batch spans
+    more than one Arrow batch (ADVICE r1).  State per key stays O(1); the
+    per-batch group itself must fit in memory, which applyInPandasWithState
+    already assumes."""
     last_us = state.get[0] if state.exists else None
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
     out = []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        pdf = pdf.sort_values(["ts", "id"])
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "id"])
         ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
         timing_us = pdf["timing"].to_numpy() * 1_000_000
         emit = []

@@ -182,37 +182,101 @@ def test_modbus_stream_two_ticks(spark):
     assert all(r["n"] == 18 for r in per_tick)
 
 
+def _expected_decode(fmt: int, addr: int) -> float | None:
+    """Independent expectation: simulator register n holds n (tick 0);
+    assemble + bit-cast with struct, per the documented format table
+    (functions/decode.py module doc; reference modbus.py:58-166)."""
+    import math
+    import struct
+
+    r0, r1, r2 = addr, addr + 1, addr + 2
+
+    def s16(r):
+        return r - 65536 if r >= 32768 else r
+
+    def s32(u):
+        return u - 4294967296 if u >= 2147483648 else u
+
+    def bswap(r):
+        return ((r & 255) << 8) | (r >> 8)
+
+    def f32(u):
+        v = struct.unpack(">f", struct.pack(">I", u))[0]
+        return None if not math.isfinite(v) else v
+
+    lo_hi, hi_lo = (r1 << 16) | r0, (r0 << 16) | r1
+    skip, rskip = (r2 << 16) | r0, (r0 << 16) | r2
+    return {
+        0: float(s16(r0)),
+        1: float(s32(lo_hi)),
+        2: float(s32(hi_lo)),
+        3: float(s32(skip)),
+        4: float(r0),
+        5: float(lo_hi),
+        6: float(hi_lo),
+        7: f32(lo_hi),
+        8: f32(skip),
+        9: f32((bswap(r1) << 16) | bswap(r0)),
+        10: f32(hi_lo),
+        11: f32(rskip),
+        12: f32(hi_lo),
+        13: float(s32(lo_hi)),
+    }[fmt]
+
+
 def test_modbus_batch_decode(spark):
+    """Every one of the 14 format codes must poll enough registers AND decode
+    to the independently-computed bit-cast value (guards FORMAT_REGS /
+    REG_COUNT drift: an under-polled format decodes to NULL)."""
     from daq_3i_spark.plans import QUERIES
 
     df = QUERIES["op_source_modbus_sim"].spark(spark, "/root/testdata/sf0.001")
     rows = df.collect()
     assert len(rows) == 18
-    by_id = {r["channel_id"]: r for r in rows}
-    # channel 1: address 7, format 0 (SINT16): register holds 7 -> 7.0
-    assert by_id[1]["value"] == 7.0
+    seen_formats = set()
+    for r in rows:
+        exp = _expected_decode(r["format_code"], r["address"])
+        assert r["value"] == exp, (
+            f"channel {r['channel_id']} format {r['format_code']}: "
+            f"got {r['value']} want {exp}"
+        )
+        seen_formats.add(r["format_code"])
+    assert seen_formats == set(range(14))
 
 
-def test_due_filter_matches_sequential_reference(spark, sf_dir, feed_dir):
+@pytest.mark.parametrize("arrow_batch", [None, 1])
+def test_due_filter_matches_sequential_reference(spark, sf_dir, feed_dir, arrow_batch):
     """The stateful due-filter must reproduce the reference's check_read_due
     semantics (bus.py:38-49) exactly: per channel, emit iff
     ts - last_emitted_ts > timing (strict), scanning samples in (ts, id)
     order — verified against a plain-python sequential simulation, across
-    multiple micro-batches."""
+    multiple micro-batches.  The arrow_batch=7 variant forces every group to
+    span several Arrow chunks, exercising the global concat+sort in _due_fn
+    (ADVICE r1: per-chunk sorting broke ordering beyond one chunk)."""
     from daq_3i_spark.sources.daq_dims import channels_df
     from daq_3i_spark.streaming.stateful import due_filter_stream
 
-    timing = channels_df(spark).select(F.col("id").alias("channel_id"), "timing")
-    q = (
-        due_filter_stream(_sample_stream(spark, feed_dir).join(F.broadcast(timing), "channel_id"))
-        .writeStream.format("memory")
-        .queryName("t_due_mb")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    got = {(r["channel_id"], r["id"]) for r in spark.table("t_due_mb").collect()}
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    if arrow_batch is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+    try:
+        timing = channels_df(spark).select(F.col("id").alias("channel_id"), "timing")
+        q = (
+            due_filter_stream(_sample_stream(spark, feed_dir).join(F.broadcast(timing), "channel_id"))
+            .writeStream.format("memory")
+            .queryName("t_due_mb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r["channel_id"], r["id"]) for r in spark.table("t_due_mb").collect()}
+    finally:
+        if arrow_batch is not None:
+            if prev is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
     # sequential python reference: batches are the 3 feed files in commit
     # order, rows within a batch in (ts, id) order
@@ -235,3 +299,58 @@ def test_due_filter_matches_sequential_reference(spark, sf_dir, feed_dir):
                 expect.add((cid, r["id"]))
                 last[cid] = ts_us
     assert got == expect
+
+
+def test_persist_batch_replay_idempotent(spark, tmp_path):
+    """A crash between the sink write and the checkpoint commit replays the
+    batch; the per-batch overwrite directory must converge instead of
+    duplicating rows (ADVICE r1: plain append was at-least-once)."""
+    import datetime as dt
+
+    work = str(tmp_path / "replay")
+    mk = lambda vid: spark.createDataFrame(  # noqa: E731
+        [(vid, 1, dt.datetime(2024, 1, 1, 0, 0, vid), float(vid))],
+        "id long, channel_id int, ts timestamp, value double",
+    )
+    persist_batch(spark, work, mk(1), 0)
+    assert read_channel_data(spark, work).count() == 1
+    persist_batch(spark, work, mk(1), 0)  # replay of the same batch id
+    assert read_channel_data(spark, work).count() == 1, "replay duplicated rows"
+    persist_batch(spark, work, mk(2), 1)  # a genuinely new batch still lands
+    assert read_channel_data(spark, work).count() == 2
+
+
+def test_due_fn_multichunk_scrambled():
+    """_due_fn must process a group's rows in global (ts, id) order even when
+    the Arrow chunk iterator delivers them scrambled across many chunks
+    (ADVICE r1: per-chunk sorting silently deviated beyond one chunk)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from daq_3i_spark.streaming.stateful import _due_fn
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+
+    def mk(ts_s, rid):
+        return pd.DataFrame(
+            {
+                "channel_id": [1],
+                "id": [rid],
+                "ts": [pd.Timestamp(dt.datetime(2024, 1, 1, 0, 0, ts_s))],
+                "value": [float(rid)],
+                "timing": [10],
+            }
+        )
+
+    # sorted order: (0s,1) emit, (5s,2) gap 5<=10 skip, (11s,3) gap 11>10 emit,
+    # (20s,4) gap 9 skip, (22s,5) gap 11 emit
+    chunks = [mk(11, 3), mk(0, 1), mk(22, 5), mk(5, 2), mk(20, 4)]
+    st = _FakeState()
+    out = pd.concat(list(_due_fn((1,), iter(chunks), st)), ignore_index=True)
+    assert sorted(out["id"].tolist()) == [1, 3, 5], out
+    assert st.saved == (int(pd.Timestamp("2024-01-01 00:00:22").timestamp() * 1_000_000),)
