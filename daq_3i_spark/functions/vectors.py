@@ -140,3 +140,163 @@ def duckdb_cosine_fold(a: str, b: str) -> str:
         f"({duckdb_dot_fold(a, b)}) / sqrt(({duckdb_dot_fold(a, a)})"
         f" * ({duckdb_dot_fold(b, b)}))"
     )
+
+
+# --- Arrow/numpy kernels (the 100 TB hot path) --------------------------------
+#
+# Per-pair codegen'd fold arithmetic is correct but pays ~100ns/element for
+# array access inside generated Java; at block sizes beyond a few hundred the
+# vectorized formulation below wins by >10x.  The kernels accumulate
+# DIM-SEQUENTIALLY (acc starts at 0.0 and adds one element product per step,
+# in element order) — the exact op sequence of dot_unrolled / the DuckDB fold
+# oracle, so results stay bit-identical while numpy does the batching.
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+def dim_seq_scores(Q: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """(q x d) @ (n x d)^T as a (q x n) score matrix, accumulated
+    dim-sequentially (NOT np.dot: BLAS reassociates the sum and breaks the
+    bit guarantee)."""
+    acc = np.zeros((Q.shape[0], B.shape[0]))
+    for i in range(Q.shape[1]):
+        acc += np.multiply.outer(Q[:, i], B[:, i])
+    return acc
+
+
+def dim_seq_norm2(A: "np.ndarray") -> "np.ndarray":
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        c = A[:, i]
+        acc += c * c
+    return acc
+
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_a", T.LongType()),
+        T.StructField("vec_b", T.LongType()),
+        T.StructField("label", T.IntegerType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ]
+)
+
+
+def cos_block_pairs(
+    emb: DataFrame,
+    threshold: float,
+    tile: int = 2048,
+) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine >= threshold within each label
+    block: groupBy(label).applyInPandas — ONE shuffle on the block key, then
+    a vectorized all-pairs kernel per block.
+
+    Scale: the block is the IVF cell; pair work is sum over cells of
+    |cell|^2, executed as numpy row-tiles of ``tile`` x |cell| so peak memory
+    stays bounded (tile * |cell| * 8 bytes) no matter how large a cell gets.
+    Skewed cells parallelize by splitting the tile loop across... a cell maps
+    to one task (the applyInPandas contract); cap cell sizes upstream
+    (sub-split the label) if a single cell outgrows one executor.
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["embedding"])
+        if len(pdf) < 2:
+            return pd.DataFrame({c.name: [] for c in PAIRS_SCHEMA})
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n2 = dim_seq_norm2(A)
+        out = []
+        for t0 in range(0, len(pdf), tile):
+            t1 = min(t0 + tile, len(pdf))
+            cos = dim_seq_scores(A[t0:t1], A) / np.sqrt(
+                np.multiply.outer(n2[t0:t1], n2)
+            )
+            with np.errstate(invalid="ignore"):
+                ia, ib = np.where(cos >= threshold)
+            keep = ids[t0 + ia] < ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[t0 + ia],
+                        "vec_b": ids[ib],
+                        "label": pdf["label"].iloc[0],
+                        "cos_sim": cos[ia, ib],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+        run, PAIRS_SCHEMA
+    )
+
+
+SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ]
+)
+
+
+def cos_scores_queries(
+    corpus: DataFrame,
+    query_ids: "np.ndarray",
+    Q: "np.ndarray",
+    q_buckets: "np.ndarray | None" = None,
+    bucket_fn=None,
+) -> DataFrame:
+    """Score every corpus row against the (small, broadcast-by-closure) query
+    matrix via mapInPandas: zero shuffle, one Arrow pass over the corpus,
+    numpy dim-sequential dots.  Self-pairs (query_id == vec_id) are excluded.
+
+    With ``q_buckets`` + ``bucket_fn`` set (ANN path), each corpus batch is
+    bucketed by ``bucket_fn(B) -> int64[n]`` and a pair is scored only when
+    the LSH buckets match; scores for other pairs are never materialized.
+    """
+    qn2 = dim_seq_norm2(Q)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            n2 = dim_seq_norm2(B)
+            cos = dim_seq_scores(Q, B) / np.sqrt(np.multiply.outer(qn2, n2))
+            mask = query_ids[:, None] != ids[None, :]
+            if q_buckets is not None:
+                mask &= q_buckets[:, None] == bucket_fn(B)[None, :]
+            iq, ic = np.where(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": query_ids[iq],
+                    "vec_id": ids[ic],
+                    "cos_sim": cos[iq, ic],
+                }
+            )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(run, SCORES_SCHEMA)
+
+
+def sign_buckets_np(A: "np.ndarray", perms, modulus: int, n_planes: int) -> "np.ndarray":
+    """The numpy twin of the SQL sign-projection bucket id (extension_ops
+    _sign_bucket): plane p weight for 1-based dim d is
+    2*((a_p*d + b_p) % P % 2) - 1; projection is the dim-sequential fold;
+    bit p set iff projection > 0.  Same arithmetic, same bits."""
+    n, d = A.shape
+    dims = np.arange(1, d + 1, dtype=np.int64)
+    bucket = np.zeros(n, dtype=np.int64)
+    for p in range(n_planes):
+        a, b = perms[p]
+        w = (2 * ((a * dims + b) % modulus % 2) - 1).astype(np.float64)
+        proj = np.zeros(n)
+        for i in range(d):
+            proj += w[i] * A[:, i]
+        bucket += (proj > 0).astype(np.int64) << p
+    return bucket

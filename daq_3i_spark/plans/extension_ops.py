@@ -37,10 +37,13 @@ from pyspark.sql import functions as F
 
 from daq_3i_spark.functions.text import DUCK, MINHASH_K, SPARK, P
 from daq_3i_spark.functions.vectors import (
+    cos_block_pairs,
+    cos_scores_queries,
     cosine_from_norms,
     dot_unrolled,
     duckdb_dot_fold,
     duckdb_norm2_fold,
+    sign_buckets_np,
 )
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_spread, load_table
@@ -271,30 +274,17 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.35""",
     doc="embedding-cosine near-dup pairs >= 0.35, blocked on label (the coarse "
-    "cluster id): all-pairs only within a block; cosine is a sequential "
-    "double fold — pure codegen per pair, zero shuffle beyond the label "
-    "join, bit-identical to the oracle (same element and op order). At "
-    "100 TB the label block is the IVF cell — pair work is sum over cells "
-    "of |cell|^2, and skewed cells split via AQE",
+    "cluster id): ONE shuffle on the block key, then a vectorized numpy "
+    "all-pairs kernel per block (applyInPandas) accumulating "
+    "dim-sequentially — the same op order as the fold oracle, so results "
+    "stay bit-identical while the batch kernel replaces per-pair codegen "
+    "array access (~10x, measured r2). At 100 TB the label block is the "
+    "IVF cell — pair work is sum over cells of |cell|^2, row-tiled to "
+    "bound memory",
 )
 def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_spread(spark, sf_dir, "embeddings").withColumn(
-        "n2", dot_unrolled(F.col("embedding"), F.col("embedding"))
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label",
-        F.col("embedding").alias("ea"), F.col("n2").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), F.col("n2").alias("nb"),
-    )
-    cos = cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.35)
-    )
+    emb = load_spread(spark, sf_dir, "embeddings")
+    return cos_block_pairs(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -324,31 +314,24 @@ _TOP_K = 10
                  ORDER BY cos_sim DESC, vec_id ASC) AS rnk
       FROM scored
     ) WHERE rnk <= {_TOP_K}""",
-    doc="brute-force cosine top-k (k=10) for 8 query vectors: queries "
-    "broadcast, corpus scanned once, per-pair fold cosine in codegen (no "
-    "shuffle until the final per-query top-k); ties broken by vec_id for "
-    "determinism. The exact baseline the ANN variant is measured against",
+    doc="brute-force cosine top-k (k=10) for 8 query vectors: the query "
+    "matrix ships to executors in the task closure (the Spark analog of "
+    "broadcasting a parameter table), the corpus streams through ONE "
+    "mapInPandas Arrow pass with numpy dim-sequential dots (bit-identical "
+    "to the fold oracle), then one shuffle for the per-query top-k window; "
+    "ties broken by vec_id for determinism. The exact baseline the ANN "
+    "variant is measured against",
 )
 def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_spread(spark, sf_dir, "embeddings").withColumn(
-        "n2", dot_unrolled(F.col("embedding"), F.col("embedding"))
+    import numpy as np
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("n2").alias("nq"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(emb, F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_from_norms(
-                F.col("qe"), F.col("embedding"), F.col("nq"), F.col("n2")
-            ).alias("cos_sim"),
-        )
-    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    scored = cos_scores_queries(emb, qids, Q)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -413,26 +396,22 @@ def _sign_bucket(dialect, vec: str) -> str:
     "against _LSH_PLANES",
 )
 def op_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from daq_3i_spark.functions.text import MINHASH_PERMS
+
     emb = load_spread(spark, sf_dir, "embeddings")
-    bk = emb.withColumn(
-        "n2", dot_unrolled(F.col("embedding"), F.col("embedding"))
-    ).withColumn("bucket", F.expr(_sign_bucket(SPARK, "embedding")))
-    q = bk.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("n2").alias("nq"),
-        F.col("bucket").alias("qb"),
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
     )
-    scored = (
-        F.broadcast(q)
-        .join(bk, (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_from_norms(
-                F.col("qe"), F.col("embedding"), F.col("nq"), F.col("n2")
-            ).alias("cos_sim"),
-        )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+
+    def bucket_fn(B):
+        return sign_buckets_np(B, MINHASH_PERMS, P, _LSH_PLANES)
+
+    scored = cos_scores_queries(
+        emb, qids, Q, q_buckets=bucket_fn(Q), bucket_fn=bucket_fn
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
