@@ -48,7 +48,7 @@ from daq_3i_spark.functions.vectors import (
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_spread, load_table
 
-_DEC = "decimal(25,6)"
+_DEC = "decimal(18,6)"
 
 # ---------------------------------------------------------------------------
 # dedup family
@@ -695,7 +695,7 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
              AS window_end_us,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="tumbling 1-minute event-time windows per event_type (batch twin of "
     "streaming/pipeline.py's windowed aggregation; epoch-aligned in both "
@@ -1073,7 +1073,7 @@ def op_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM w GROUP BY 1, 2, 3""",
     doc="sliding event-time windows (2-minute width, 1-minute slide): each "
     "event lands in exactly 2 windows; Spark's F.window handles the "

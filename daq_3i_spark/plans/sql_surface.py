@@ -8,7 +8,7 @@ ranking/analytic windows, scalar subqueries, conditional pivots, JSON
 extraction.  Each query is written identically for Catalyst and DuckDB.
 
 Float-aggregate convention (see plans/registry.py): revenue-style sums are
-exact decimal sums pinned to DECIMAL(25,6); averages divide two exact
+exact decimal sums pinned to DECIMAL(18,6); averages divide two exact
 quantities as doubles (bit-identical across engines).
 """
 
@@ -18,9 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daq_3i_spark.plans.registry import register
-from daq_3i_spark.sources.tables import load_events, load_table
+from daq_3i_spark.sources.tables import load_events, load_table, spread
 
-_DEC = "decimal(25,6)"
+_DEC = "decimal(18,6)"
 
 
 def _dec_sum(col):
@@ -33,15 +33,15 @@ def _dec_sum(col):
 @register(
     "op_sql_q1",
     """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6))
          AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6)))
-         AS DECIMAL(25,6)) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+         AS DECIMAL(18,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus""",
@@ -49,9 +49,9 @@ def _dec_sum(col):
     "the scan reads only the 7 referenced columns",
 )
 def op_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = spread(load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    )
+    ))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -74,8 +74,8 @@ def op_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_q3_topk",
     """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)))
-         AS DECIMAL(25,6)) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+         AS DECIMAL(18,6)) AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -111,8 +111,8 @@ def op_sql_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_q5_region",
     """SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)))
-         AS DECIMAL(25,6)) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+         AS DECIMAL(18,6)) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -198,13 +198,13 @@ def op_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_rollup",
     """SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty,
        COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     doc="hierarchical subtotals (ROLLUP) with GROUPING() disambiguation",
 )
 def op_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").alias("g_flag"),
         F.grouping("l_linestatus").alias("g_status"),
@@ -218,7 +218,7 @@ def op_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     doc="full cross-dimensional subtotals (CUBE)",
 )
@@ -270,9 +270,9 @@ def op_sql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_running_sum",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
          OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,6))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6))
          AS running_qty
     FROM lineitem WHERE l_suppkey <= 5""",
     doc="running aggregate over an ordered frame (cumulative quantity per supplier)",
@@ -300,7 +300,7 @@ def op_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT p_partkey, p_name, p_retailprice
     FROM part
     WHERE p_retailprice > (
-      SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM part)""",
+      SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM part)""",
     doc="uncorrelated scalar subquery: parts pricier than the mean "
     "(mean via exact decimal sum for cross-engine determinism)",
 )
@@ -344,7 +344,7 @@ def op_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_json",
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM events GROUP BY 1""",
     doc="JSON property extraction on events.props (get_json_object) + aggregate",
 )
@@ -371,7 +371,7 @@ def op_sql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="multi-column distinct aggregation (expand + two-phase aggregate in Spark)",
 )
 def op_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
@@ -411,10 +411,10 @@ def op_sql_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_having_bigorders",
     """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
-    HAVING SUM(CAST(l.l_quantity AS DECIMAL(25,6))) > 150""",
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) > 150""",
     doc="TPC-H Q18 analog: grouped decimal sum with a HAVING filter — the "
     "filter applies post-aggregate (cannot push down), everything else is "
     "one hash aggregate after the join",
@@ -460,7 +460,7 @@ def op_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))""",
@@ -471,7 +471,7 @@ def op_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
         FROM v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))"""

@@ -76,7 +76,7 @@ def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
              AS window_end_us,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="watermarked tumbling-window aggregation running as a real streaming "
     "query (readStream replay, complete mode, availableNow drain); equals "

@@ -52,3 +52,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view (for spark.sql plans)."""
     for name in ALL_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an already-filtered DataFrame to session
+    parallelism — load_spread's post-filter form, so selective predicates
+    still push down to the scan before the fan-out exchange."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
