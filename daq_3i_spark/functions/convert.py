@@ -24,6 +24,7 @@ rendered identically into the Spark plan and the DuckDB oracle SQL.
 from __future__ import annotations
 
 import ast
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -74,6 +75,46 @@ def _const_value(node: ast.expr) -> float | None:
     return None
 
 
+def _fold_xfree(node: ast.expr) -> str | None:
+    """Fold an x-free subtree with plain Python arithmetic and render the
+    result, or None when the subtree references ``x``.
+
+    Folding with Python (not SQL) arithmetic preserves asteval's literal
+    typing: int literals stay int, so ``-0`` is +0.0 while the naive
+    rendering ``-CAST(0 AS DOUBLE)`` is -0.0 — a signed-zero drift vs the
+    reference found by the hypothesis property test.  Errors (division by
+    zero, overflow) and non-finite results fold to NULL, matching the
+    null-on-error contract and the numpy fallback's isfinite mask.
+    """
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name):
+            return None
+        if not isinstance(n, _ALLOWED_NODES):
+            raise ValueError(f"unsupported node {type(n).__name__}")
+        if isinstance(n, ast.Constant) and (
+            not isinstance(n.value, (int, float)) or isinstance(n.value, bool)
+        ):
+            raise ValueError("non-numeric literal")
+    try:
+        v = float(
+            eval(  # noqa: S307 whitelisted AST only
+                compile(ast.fix_missing_locations(ast.Expression(body=node)), "<fold>", "eval"),
+                {"__builtins__": {}},
+                {},
+            )
+        )
+    except Exception:
+        return "CAST(NULL AS DOUBLE)"
+    if not math.isfinite(v):
+        return "CAST(NULL AS DOUBLE)"
+    # string cast, not a bare numeric literal: both dialects parse bare
+    # literals as DECIMAL first, which drops the sign of -0.0 and (in DuckDB)
+    # rounds 17-significant-digit values through a non-correctly-rounded
+    # decimal->double path (3*4.1 folded to 12.299999999999999 came back as
+    # 12.3); CAST('<repr>' AS DOUBLE) is correctly-rounded strtod in both.
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _render(node: ast.expr, dialect: str) -> str:
     """Render the AST to SQL text; raises ValueError outside the safe subset.
 
@@ -82,6 +123,9 @@ def _render(node: ast.expr, dialect: str) -> str:
     (e.g. ``1 / 0.3``) would silently run in decimal with different
     precision rules per engine — found by the hypothesis property test.
     """
+    folded = _fold_xfree(node)
+    if folded is not None:
+        return folded
     if isinstance(node, ast.Num):  # py<3.8 compat form of Constant
         return f"CAST({node.n!r} AS DOUBLE)"
     if isinstance(node, ast.Constant):

@@ -1,0 +1,452 @@
+"""op_sql_* batch 2 — the remaining TPC-H query patterns expressible on the
+driver's slimmed star schema (no partsupp / shipmode / commitdate columns, so
+Q2/Q4/Q12/Q16/Q20/Q21 have no faithful analog; cost-side expressions use
+p_retailprice as the supply-cost proxy and are labeled as analogs).
+
+Same conventions as sql_surface.py (plans/registry.py docstring): float
+aggregates as exact DECIMAL(18,6) sums, averages/ratios as double divisions
+of exact sums, identical aliasing in both dialects, broadcast hints on every
+dimension side.  Each query is the canonical multi-join/agg/subquery shape
+Catalyst should collapse into broadcast hash joins over one fact scan —
+`.explain` shows no shuffle except the final groupBy exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.tables import load_table, spread
+
+_DEC = "decimal(18,6)"
+
+
+def _dec_sum(col):
+    return F.sum(col.cast(_DEC)).cast(_DEC)
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --- TPC-H Q7: volume shipping between two nations ---------------------------
+
+
+@register(
+    "op_sql_q7_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year""",
+    doc="TPC-H Q7: bidirectional nation-pair volume by ship year; both nation "
+    "joins broadcast, the pair disjunction prunes after the broadcast joins",
+)
+def op_sql_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dec_sum(_revenue()).alias("revenue"))
+    )
+
+
+# --- TPC-H Q8: market share of one nation in a region ------------------------
+
+
+@register(
+    "op_sql_q8_market_share",
+    """SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+            AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year""",
+    doc="TPC-H Q8: 8-way join, market share as a ratio of two exact decimal "
+    "sums divided as doubles (conditional aggregation)",
+)
+def op_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    volume = _revenue()
+    promo = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (_dec_sum(promo).cast("double") / _dec_sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+# --- TPC-H Q9: profit by nation and year (p_retailprice as cost proxy) -------
+
+
+@register(
+    "op_sql_q9_profit",
+    """SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'STANDARD'
+    ) profit
+    GROUP BY nation, o_year""",
+    doc="TPC-H Q9 analog: profit by supplier nation x order year; no partsupp "
+    "table in this schema, so p_retailprice stands in for ps_supplycost "
+    "(documented analog); part/supplier/nation broadcast",
+)
+def op_sql_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_dec_sum(amount).alias("sum_profit"))
+    )
+
+
+# --- TPC-H Q10: returned-item revenue per customer ---------------------------
+
+
+@register(
+    "op_sql_q10_returned",
+    """SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+         AS DECIMAL(18,6)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    doc="TPC-H Q10: lost-revenue ranking of customers who returned items in a "
+    "quarter; returnflag filter pushed to the fact scan, top-20 "
+    "TakeOrderedAndProject with deterministic custkey tie-break",
+)
+def op_sql_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_dec_sum(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- TPC-H Q11: high-value parts (share-of-total threshold) ------------------
+
+
+@register(
+    "op_sql_q11_topvalue",
+    """WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value FROM pv
+    WHERE CAST(part_value AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+             AS DOUBLE) * CAST('0.001' AS DOUBLE) FROM lineitem)""",
+    doc="TPC-H Q11 analog (no partsupp: traded value per part from lineitem): "
+    "aggregate, then filter on a share of the global total via an "
+    "uncorrelated scalar subquery (broadcast one-row cross join in Spark)",
+)
+def op_sql_q11_topvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    pv = li.groupBy("l_partkey").agg(_dec_sum(value).alias("part_value"))
+    total = li.agg(
+        (_dec_sum(value).cast("double") * F.lit(0.001)).alias("__threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value").cast("double") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# --- TPC-H Q14: promo revenue share ------------------------------------------
+
+
+@register(
+    "op_sql_q14_promo",
+    """SELECT CAST(100.0 AS DOUBLE)
+        * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    doc="TPC-H Q14: promo revenue percentage for one month — conditional "
+    "decimal sums divided as doubles, part broadcast, single-row result",
+)
+def op_sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * _dec_sum(promo).cast("double")
+            / _dec_sum(rev).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+# --- TPC-H Q15: top supplier(s) by quarterly revenue -------------------------
+
+
+@register(
+    "op_sql_q15_topsupplier",
+    """WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+    doc="TPC-H Q15: revenue view + max-revenue supplier via uncorrelated "
+    "scalar subquery over the same aggregate (ties all returned — "
+    "deterministic); decimal equality is exact so the max filter is safe",
+)
+def op_sql_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dec_sum(_revenue()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- TPC-H Q17: small-quantity-order revenue ---------------------------------
+
+
+@register(
+    "op_sql_q17_smallqty",
+    """WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < CAST(0.2 AS DOUBLE) * pq.avg_qty""",
+    doc="TPC-H Q17: correlated avg-quantity-per-part subquery decorrelated "
+    "into a self-agg + join (the plan Catalyst produces for the correlated "
+    "form); avg as exact-sum/count division for cross-engine determinism",
+)
+def op_sql_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# --- TPC-H Q19: disjunctive predicate pushdown -------------------------------
+
+
+@register(
+    "op_sql_q19_disjunction",
+    """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)""",
+    doc="TPC-H Q19: OR-of-ANDs across both join sides — Catalyst extracts the "
+    "common p_size/l_quantity bounds as pushed-down conjuncts and evaluates "
+    "the residual disjunction after the broadcast join",
+)
+def op_sql_q19_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = (
+        lambda brand, smax, qlo, qhi: (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
+        .agg(_dec_sum(_revenue()).alias("revenue"))
+    )
+
+
+# --- TPC-H Q22: wealthy customers with no orders -----------------------------
+
+
+@register(
+    "op_sql_q22_idle_rich",
+    """WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS threshold
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6))
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT threshold FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey""",
+    doc="TPC-H Q22 analog (no phone column: grouped by nationkey): "
+    "above-average balance via uncorrelated scalar subquery with an exact "
+    "sum/count average + anti join against orders",
+)
+def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "__threshold"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
