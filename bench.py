@@ -44,6 +44,10 @@ HEADLINE = [
     "op_window_agg_events",
     "op_session_window_batch",
     "op_stream_pipeline",
+    "op_sql_q9_profit",
+    "op_sql_quantiles",
+    "op_sim_ivf_topk",
+    "op_text_bm25",
 ]
 
 

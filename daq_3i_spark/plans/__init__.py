@@ -3,6 +3,7 @@ from daq_3i_spark.plans.registry import QUERIES, QueryDef, register, spark_queri
 # importing the op modules populates the registry
 import daq_3i_spark.plans.reference_ops  # noqa: F401,E402
 import daq_3i_spark.plans.extension_ops  # noqa: F401,E402
+import daq_3i_spark.plans.extension_ops2  # noqa: F401,E402
 import daq_3i_spark.plans.sql_surface  # noqa: F401,E402
 import daq_3i_spark.plans.sql_surface2  # noqa: F401,E402
 import daq_3i_spark.plans.streaming_ops  # noqa: F401,E402
@@ -31,12 +32,11 @@ _CHECK_PRIORITY = [
     "op_sql_q7_volume", "op_sql_q8_market_share", "op_sql_q9_profit",
     "op_sql_q10_returned", "op_sql_q11_topvalue", "op_sql_q14_promo",
     "op_sql_q15_topsupplier", "op_sql_q17_smallqty", "op_sql_q19_disjunction",
-    "op_sql_q22_idle_rich",
-    # -- re-verify: code changed this round or family anchors ----------------
+    "op_sql_q22_idle_rich", "op_dedup_components", "op_sim_ivf_topk",
+    "op_text_bm25", "op_sql_quantiles", "op_stream_session_window",
+    # -- re-verify: code changed this round ----------------------------------
     "op_convert_expr", "flagship_pipeline", "op_text_fingerprint",
-    "op_multimodal_features", "op_decode_registers", "op_dedup_minhash",
-    "op_dedup_embedding", "op_sim_topk", "op_retention_topk",
-    "op_latest_per_channel",
+    "op_multimodal_features", "op_decode_registers",
 ]
 
 

@@ -1,0 +1,483 @@
+"""Round-2 extension operators — the remaining first-class pieces of a
+training-data pipeline on top of extension_ops.py's families:
+
+* ``op_dedup_components`` — near-dup PAIRS -> duplicate CLUSTERS (connected
+  components by iterative min-label propagation; the step that turns pair
+  lists into keep/drop decisions);
+* ``op_sim_ivf_topk`` — IVF-style ANN: coarse quantize the corpus into
+  centroid cells, probe the closest cells per query (the scale path beyond
+  sign-LSH: recall is tunable via nprobe, and the cell id is a shuffle-free
+  column);
+* ``op_text_bm25`` — corpus-relative relevance scoring (BM25 with a rational
+  idf — no transcendental functions, so the score is bit-portable);
+* ``op_sql_quantiles`` — exact distribution quantiles (both engines use
+  exact linear interpolation, verified bit-identical);
+* ``op_stream_session_window`` — Spark's native session_window running as a
+  real streaming query (the stateful twin of op_session_window_batch).
+
+Same oracle-parity conventions as extension_ops.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.text import DUCK
+from daq_3i_spark.functions.vectors import (
+    dim_seq_norm2,
+    dim_seq_scores,
+    duckdb_dot_fold,
+    duckdb_norm2_fold,
+)
+from daq_3i_spark.plans.extension_ops import (
+    _N_QUERIES,
+    _TOP_K,
+    _duck_sig_cte,
+    op_dedup_minhash,
+)
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.tables import load_spread, load_table
+
+_DEC = "decimal(18,6)"
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over the MinHash pair graph
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "op_dedup_components",
+    f"""WITH RECURSIVE {_duck_sig_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE {DUCK.sig_match_frac('sa', 'sb')} >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+    SELECT comp.node AS doc_id, comp.component,
+           CAST(sizes.n AS BIGINT) AS comp_size
+    FROM comp JOIN sizes USING (component)""",
+    doc="duplicate clusters from the MinHash pair graph: connected components "
+    "by iterative min-label propagation (converged min-label is "
+    "order-independent, so the result is deterministic); each iteration is "
+    "one equi-join + min-aggregate shuffled on node id, lineage cut with "
+    "localCheckpoint. At 100 TB this is the standard alternating large-star/"
+    "small-star CC; dup-cluster diameters are tiny so few rounds converge. "
+    "Oracle: recursive CTE min-reachable-label",
+)
+def op_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the pair list ONCE (the union below has two branches, and
+    # the propagation loop would otherwise re-run the whole MinHash plan
+    # per branch per iteration)
+    pairs = op_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # the label-propagation loop is many tiny shuffles; a default-200
+    # partition count pays scheduler overhead per iteration for kB of data.
+    # Pin the loop's shuffles to the core count, restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    try:
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .repartition(spark.sparkContext.defaultParallelism, "src")
+            .persist()
+        )
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(_CC_MAX_ITERS):
+            prop = edges.join(labels, edges.src == labels.node).select(
+                F.col("dst").alias("node"), "lbl"
+            )
+            new = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "__old"), "node")
+                .filter(F.col("lbl") < F.col("__old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        edges.unpersist()
+        pairs.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("comp_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("component"),
+        "comp_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+_IVF_C = 16  # coarse centroids
+_IVF_NPROBE = 4
+
+
+@register(
+    "op_sim_ivf_topk",
+    f"""WITH en AS (
+      SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cidx, embedding AS ce, n2 AS nc FROM en
+             WHERE vec_id < {_IVF_C}),
+    ac AS (
+      SELECT e.vec_id, e.embedding, e.n2, c.cidx,
+             ({duckdb_dot_fold('e.embedding', 'c.ce')}) / sqrt(e.n2 * c.nc)
+               AS cos
+      FROM en e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, n2, cidx AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cidx ASC) AS rn
+        FROM ac) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS nq FROM en
+          WHERE vec_id < {_N_QUERIES}),
+    qc AS (
+      SELECT q.query_id, q.qe, q.nq, c.cidx,
+             ({duckdb_dot_fold('q.qe', 'c.ce')}) / sqrt(q.nq * c.nc) AS cos
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, qe, nq, cidx AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cidx ASC) AS rn
+        FROM qc) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             ({duckdb_dot_fold('p.qe', 'e.embedding')}) / sqrt(p.nq * e.n2)
+               AS cos_sim
+      FROM probes p JOIN cells e
+        ON e.cell = p.cell AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}""",
+    doc=f"IVF ANN top-k: corpus coarse-quantized to {_IVF_C} centroid cells "
+    f"(argmax cosine, deterministic first-{_IVF_C}-by-vec_id 'training' "
+    "stand-in for k-means — the plumbing is identical), each query probes "
+    f"its {_IVF_NPROBE} nearest cells only.  One Arrow pass assigns cells "
+    "and scores probed pairs (numpy dim-sequential arithmetic, "
+    "bit-identical to the fold oracle); zero shuffle until the final "
+    "per-query top-k.  At 100 TB the cell id becomes the partition key, so "
+    "a query touches nprobe/C of the data",
+)
+def op_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from daq_3i_spark.functions.vectors import SCORES_SCHEMA
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    crows = sorted(
+        emb.filter(F.col("vec_id") < _IVF_C).select("vec_id", "embedding").collect()
+    )
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cn2 = dim_seq_norm2(C)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn2 = dim_seq_norm2(Q)
+
+    # driver-side probe selection (8 x C scores — trivially small)
+    qc = dim_seq_scores(Q, C) / np.sqrt(np.multiply.outer(qn2, cn2))
+    probe_mask = np.zeros((len(qids), len(crows)), dtype=bool)
+    for qi in range(len(qids)):
+        order = sorted(range(len(crows)), key=lambda j: (-qc[qi, j], j))
+        probe_mask[qi, order[:_IVF_NPROBE]] = True
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            n2 = dim_seq_norm2(B)
+            # cell assignment: argmax cosine over centroids (first max ==
+            # lowest cidx, matching the oracle's cos DESC, cidx ASC rank)
+            cellcos = dim_seq_scores(C, B) / np.sqrt(np.multiply.outer(cn2, n2))
+            cells = np.argmax(cellcos, axis=0)
+            cos = dim_seq_scores(Q, B) / np.sqrt(np.multiply.outer(qn2, n2))
+            mask = probe_mask[:, cells]
+            mask &= qids[:, None] != ids[None, :]
+            iq, ic = np.where(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[iq],
+                    "vec_id": ids[ic],
+                    "cos_sim": cos[iq, ic],
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(run, SCORES_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (rational idf — bit-portable, no log)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_K1 = 1.2
+_B = 0.75
+_K1P1 = _K1 + 1.0  # folded in Python so both engines see the same double
+
+
+def _duck_tf(term: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"__w -> __w = '{term}')) AS DOUBLE)"
+    )
+
+
+def _duck_bm25_term(tf: str, df: str) -> str:
+    """One term's score: idf_r * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))."""
+    idf = f"((CAST(n_docs AS DOUBLE) - CAST({df} AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST({df} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    denom = f"({tf} + CAST({_K1!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST({_B!r} AS DOUBLE) + CAST({_B!r} AS DOUBLE) * dl / avgdl))"
+    return f"({idf} * ({tf} * CAST({_K1P1!r} AS DOUBLE)) / {denom})"
+
+
+@register(
+    "op_text_bm25",
+    f"""WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             {_duck_tf(_BM25_TERMS[0])} AS tf0,
+             {_duck_tf(_BM25_TERMS[1])} AS tf1,
+             {_duck_tf(_BM25_TERMS[2])} AS tf2
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM t
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST(tf0 AS BIGINT) AS tf_spark,
+           CAST(tf1 AS BIGINT) AS tf_join,
+           CAST(tf2 AS BIGINT) AS tf_window,
+           ({_duck_bm25_term('tf0', 'df0')}
+            + {_duck_bm25_term('tf1', 'df1')}
+            + {_duck_bm25_term('tf2', 'df2')}) AS bm25
+    FROM t CROSS JOIN g""",
+    doc="BM25 relevance of every document against a fixed term set "
+    f"({', '.join(_BM25_TERMS)}): tf from the token list, df/avgdl from one "
+    "global aggregate broadcast back over the corpus.  The idf is the "
+    "RATIONAL form (N - df + 0.5)/(df + 0.5) — deliberately no log(), so "
+    "the score is built only from + - * / doubles and stays bit-identical "
+    "across engines (documented divergence from the textbook log idf: "
+    "same ordering, different scale)",
+)
+def op_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def tf_col(term: str):
+        # NB: the closure must stay single-parameter — a 2-arg lambda makes
+        # F.filter bind the second parameter to the ELEMENT INDEX.
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            tf_col(term).cast("double").alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = t.agg(
+        (F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (
+            F.col("n_docs").cast("double") - df.cast("double") + F.lit(0.5)
+        ) / (df.cast("double") + F.lit(0.5))
+        denom = tf + F.lit(_K1) * (
+            F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(_K1P1)) / denom
+
+    return t.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        F.col("tf0").cast("bigint").alias("tf_spark"),
+        F.col("tf1").cast("bigint").alias("tf_join"),
+        F.col("tf2").cast("bigint").alias("tf_window"),
+        (term_score(0) + term_score(1) + term_score(2)).alias("bm25"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distribution quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_sql_quantiles",
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5)  AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.5)  AS price_p50,
+       quantile_cont(l_extendedprice, 0.75) AS price_p75
+    FROM lineitem GROUP BY l_returnflag""",
+    doc="exact linear-interpolation quantiles per group (Spark percentile == "
+    "DuckDB quantile_cont, verified bit-identical: both compute "
+    "lo + (hi - lo) * frac at position p*(n-1)); one sort-based aggregate "
+    "per group — at scale swap in approx_percentile (t-digest) and drop "
+    "the oracle to rows-only",
+)
+def op_sql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qq = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+    qp = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qq.alias("__qq"), qp.alias("__qp"))
+        .select(
+            "l_returnflag",
+            F.get("__qq", 0).alias("qty_p25"),
+            F.get("__qq", 1).alias("qty_p50"),
+            F.get("__qq", 2).alias("qty_p75"),
+            F.get("__qp", 0).alias("price_p25"),
+            F.get("__qp", 1).alias("price_p50"),
+            F.get("__qp", 2).alias("price_p75"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# native streaming session windows
+# ---------------------------------------------------------------------------
+
+_GAP_S = 600  # 10 minutes, matching op_session_window_batch
+
+
+@register(
+    "op_stream_session_window",
+    f"""WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= {_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + {_GAP_S} * 1000000 AS session_end_us,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+    FROM s GROUP BY user_id, sid""",
+    doc="Spark's native session_window (10-min gap) as a real streaming "
+    "aggregation with keyed session state, drained with availableNow in "
+    "complete mode (the single-file replay is one micro-batch, so the "
+    "drained state is the complete session set).  Session semantics: an "
+    "event at "
+    "EXACTLY gap distance starts a new session (window end is exclusive), "
+    "hence the oracle's >= comparison — note op_session_window_batch's "
+    "lag-formulation uses strict >, the documented off-by-ulp sibling",
+)
+def op_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
+    events = raw.select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "value",
+    )
+    # state-store partitions = shuffle partitions, fixed per query at start;
+    # a default-200 session pays ~200 state-store commits per micro-batch for
+    # a handful of keys.  Pin a modest count for this query's checkpoint
+    # (fresh each run), then restore the session's setting.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", f"{_GAP_S} seconds"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+            )
+            .writeStream.format("memory")
+            .queryName("stream_session_window")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_session_window").select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )

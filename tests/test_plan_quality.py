@@ -30,6 +30,11 @@ _BNL_ALLOWED = {
     "op_sql_scalar_subquery",
     "op_asof_join",  # union branch pruning can leave a broadcast single-row join
     "op_filter_dirty",  # ts > (scalar max_ts - 1h): single-row broadcast side
+    # single-row aggregate broadcast back over the table (threshold / global
+    # stats cross joins) — a one-row BNL side is the intended plan:
+    "op_sql_q11_topvalue",
+    "op_sql_q22_idle_rich",
+    "op_text_bm25",
 }
 
 _PLANNABLE = sorted(set(QUERIES) - _EXECUTING)
