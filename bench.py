@@ -75,9 +75,17 @@ def main() -> None:
     for name in names:
         run(name)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        timings[name] = round(run(name), 4)
+    # two interleaved timed passes, keep the per-query MIN: the host is a
+    # shared microVM and CPU-steal bursts show up as 3-10x outliers on
+    # arbitrary queries (observed: the same scan-agg at 2.6s and 10.4s in
+    # back-to-back runs).  The min of independent passes estimates the
+    # machine-unloaded cost; interleaving keeps one burst from hitting the
+    # same query twice.
+    timings: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(2):
+        for name in names:
+            timings[name] = min(timings[name], run(name))
+    timings = {n: round(t, 4) for n, t in timings.items()}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
