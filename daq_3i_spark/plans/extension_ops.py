@@ -134,6 +134,9 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sig",
         F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
     )
+    # both self-join sides would re-run the full MinHash signature chain
+    # (interpreted HOF hashing) — materialize the banded signatures once
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -182,6 +185,9 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = s.select(
         "doc_id", "simhash", F.explode(F.expr("sequence(0, 3)")).alias("j")
     ).withColumn("band", F.expr("(simhash >> (8 * j)) & 255"))
+    # NB: unlike op_dedup_minhash, materializing blocks here REGRESSES 2x
+    # (measured at sf0.1): the single simhash fold is cheaper than the
+    # checkpoint round-trip
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.expr(SPARK.bitcount(SPARK.bxor("a.simhash", "b.simhash")))
     return (
@@ -236,6 +242,11 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
         .distinct()
     )
+    # materialize the posting list ONCE: it feeds three consumers (both join
+    # sides + sizes) and the shingle hashing is interpreted HOF arithmetic —
+    # without this the plan re-evaluates it per branch (no exchange reuse
+    # across the self-join); measured ~30% off the op at sf0.1
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -916,6 +927,10 @@ def op_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     s2 = s1.join(keep_exact, "doc_id", "semi")
+    # NB: measured at sf0.1 — materializing s2 or the banded signatures here
+    # REGRESSES this composition (the chain is cheap enough that the
+    # checkpoint round-trip costs more than the recompute); only
+    # op_dedup_minhash/op_dedup_ngram_jaccard benefit from materialization
 
     sigs = _spark_sigs_of(s2)
     bands = sigs.select(

@@ -147,6 +147,12 @@ def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id
     checkpoint commit rewrites the same directory and converges (a plain
     top-level append would duplicate the batch — at-least-once only)."""
     cd_dir = os.path.join(work_dir, "channel_data")
+    # the local single-file replay delivers the whole micro-batch as ONE
+    # partition, serializing the parquet write; fan out before writing (the
+    # load_spread analog).  On a real multi-partition source the batch is
+    # already spread and this branch is a no-op.
+    if batch.rdd.getNumPartitions() < batch.sparkSession.sparkContext.defaultParallelism // 2:
+        batch = batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
     batch.persist()
     try:
         # value stays DOUBLE in the parquet sink; the reference's decimal(25,6)
