@@ -230,3 +230,49 @@ def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get("registers", 2),
         ).alias("value"),
     )
+
+
+@register(
+    "op_stream_window_sliding",
+    """WITH w AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+    FROM w GROUP BY 1, 2, 3""",
+    doc="sliding event-time windows (2-min width, 1-min slide) as a real "
+    "watermarked streaming aggregation (complete-mode availableNow drain; "
+    "single-batch replay drops nothing) — completes the window matrix: "
+    "tumbling/sliding/session, each in batch AND streaming form",
+)
+def op_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+    from daq_3i_spark.streaming.windows import sliding_aggs
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
+    events = raw.select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            sliding_aggs(events)
+            .writeStream.format("memory")
+            .queryName("stream_window_sliding")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_window_sliding")

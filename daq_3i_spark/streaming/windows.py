@@ -37,6 +37,31 @@ def windowed_aggs(events: DataFrame, width: str = "1 minute") -> DataFrame:
     )
 
 
+def sliding_aggs(
+    events: DataFrame, width: str = "2 minutes", slide: str = "1 minute"
+) -> DataFrame:
+    """Sliding event-time windows per event_type — each event is replicated
+    into width/slide windows by F.window; state stays bounded by the
+    watermark horizon exactly as in the tumbling case."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_aggs(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Session windows (gap-close) per user — F.session_window is the native
     streaming form of the batch lag/cumsum sessionization."""
