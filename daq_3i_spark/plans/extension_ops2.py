@@ -481,3 +481,162 @@ def op_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal stages: resize + frame sampling (registry exposure of
+# functions/multimodal.py; payloads are the documents' utf-8 bytes, which on
+# this ASCII corpus makes byte arithmetic == character arithmetic, so both
+# stages get FULL oracles — md5 over the result bytes)
+# ---------------------------------------------------------------------------
+
+_RESIZE_TARGET = 64
+_N_FRAMES = 4
+_FRAME_BYTES = 16
+
+
+@register(
+    "op_multimodal_resize",
+    f"""WITH p AS (
+      SELECT doc_id, 'text/plain' AS mime, text,
+             octet_length(encode(text)) AS len FROM documents
+    ), s AS (
+      SELECT doc_id, mime,
+             greatest(1, len // {_RESIZE_TARGET}) AS stride, len, text
+      FROM p
+    ), r AS (
+      SELECT doc_id, mime,
+             CASE WHEN len = 0 THEN '' ELSE array_to_string(
+               list_transform(
+                 generate_series(0, CAST(least({_RESIZE_TARGET},
+                     (len + stride - 1) // stride) AS BIGINT) - 1),
+                 i -> substr(text, CAST(1 + i * stride AS BIGINT), 1)), '')
+             END AS resized
+      FROM s
+    )
+    SELECT doc_id, mime, octet_length(encode(resized)) AS n_bytes,
+           md5(resized) AS payload_md5
+    FROM r""",
+    doc="the resize stage (image-thumbnail stand-in, functions/multimodal.py "
+    "resize_media): deterministic byte-stride downsampling to ~64 bytes via "
+    "mapInPandas (binary in, binary out, no shuffle — the exact plumbing a "
+    "PIL resize uses).  Full oracle: the corpus payloads are ASCII text "
+    "bytes, so the oracle reproduces the strided bytes as characters and "
+    "md5-compares",
+)
+def op_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.multimodal import resize_media
+
+    docs = load_spread(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.expr("encode(text, 'utf-8')").alias("payload"),
+    )
+    resized = resize_media(packed, target_bytes=_RESIZE_TARGET)
+    return resized.select(
+        "doc_id",
+        "mime",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "op_multimodal_frames",
+    f"""WITH p AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ), s AS (
+      SELECT doc_id, text, len,
+             greatest(1, (len - {_FRAME_BYTES}) // {_N_FRAMES - 1}) AS step
+      FROM p
+    ), f AS (
+      SELECT doc_id, k AS frame_idx,
+             substr(text, CAST(1 + least(k * step,
+                 greatest(len - {_FRAME_BYTES}, 0)) AS BIGINT),
+                 {_FRAME_BYTES}) AS frame
+      FROM s CROSS JOIN (SELECT unnest(generate_series(0, {_N_FRAMES - 1})) AS k) u
+    )
+    SELECT doc_id, frame_idx, octet_length(encode(frame)) AS frame_bytes,
+           md5(frame) AS frame_md5
+    FROM f""",
+    doc="the frame-sampling stage (video stand-in, functions/multimodal.py "
+    "sample_frames): 4 evenly-spaced 16-byte windows per payload, a 1:N "
+    "flatMap through mapInPandas.  Full oracle via character windows + md5 "
+    "(ASCII corpus)",
+)
+def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.multimodal import sample_frames
+
+    docs = load_spread(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.expr("encode(text, 'utf-8')").alias("payload"),
+    )
+    frames = sample_frames(packed, n_frames=_N_FRAMES, frame_bytes=_FRAME_BYTES)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# character-n-gram language ID (the n-gram sibling of op_text_langid's
+# function-word heuristic)
+# ---------------------------------------------------------------------------
+
+# marker character bigrams per language (deterministic literal profiles —
+# at scale these come from a profiling pass over labeled data; the scoring
+# plan is identical)
+_BIGRAM_PROFILES = {
+    "en": ["th", "he", "in", "er"],
+    "de": ["en", "er", "ch", "de"],
+    "fr": ["es", "le", "de", "re"],
+    "es": ["de", "la", "os", "en"],
+    "zh": ["zh", "ng", "sh", "ia"],
+}
+
+
+def _bigram_hits(dialect_len: str, text: str, bg: str) -> str:
+    """Occurrences of bigram ``bg`` in ``text`` via length arithmetic —
+    identical semantics in both engines (non-overlapping replace count)."""
+    return (
+        f"(({dialect_len}({text}) - {dialect_len}(replace({text}, '{bg}', ''))) / 2)"
+    )
+
+
+@register(
+    "op_text_langid_ngram",
+    f"""SELECT doc_id, lang,
+       (CASE {' '.join(
+           f"WHEN ({' + '.join(_bigram_hits('len', 'lower(text)', bg) for bg in _BIGRAM_PROFILES[lang])}) = "
+           f"greatest({', '.join('(' + ' + '.join(_bigram_hits('len', 'lower(text)', bg) for bg in _BIGRAM_PROFILES[lg]) + ')' for lg in sorted(_BIGRAM_PROFILES))}) "
+           f"THEN '{lang}'"
+           for lang in sorted(_BIGRAM_PROFILES))} END) AS pred_lang
+    FROM documents""",
+    doc="language-ID via character-bigram profile hits (the n-gram heuristic "
+    "sibling of op_text_langid's function-word markers): per-language marker "
+    "bigram counts by length arithmetic (len - len(replace))/2 — pure "
+    "codegen projection, no join, no shuffle; argmax with lexicographic "
+    "tie-break",
+)
+def op_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    scores = {
+        lang: " + ".join(
+            _bigram_hits("length", "lower(text)", bg)
+            for bg in _BIGRAM_PROFILES[lang]
+        )
+        for lang in _BIGRAM_PROFILES
+    }
+    langs = sorted(_BIGRAM_PROFILES)
+    best = f"greatest({', '.join(f'({scores[lg]})' for lg in langs)})"
+    arms = " ".join(
+        f"WHEN ({scores[lang]}) = {best} THEN '{lang}'" for lang in langs
+    )
+    return docs.select(
+        "doc_id", "lang", F.expr(f"CASE {arms} END").alias("pred_lang")
+    )
