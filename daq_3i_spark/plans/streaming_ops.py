@@ -276,3 +276,62 @@ def op_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_window_sliding")
+
+
+@register(
+    "op_stream_stream_join",
+    """SELECT a.user_id,
+           epoch_us(a.ts) AS ts_a_us, epoch_us(b.ts) AS ts_b_us,
+           a.value AS value_a, b.value AS value_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000""",
+    doc="stream-stream windowed self-join: each event matched with the same "
+    "user's follow-up events within 5 minutes — both sides watermarked, the "
+    "time-range constraint bounds join state so expired rows are evicted "
+    "(the canonical Structured Streaming interval join); single-batch "
+    "availableNow drain makes the result the complete pair set, oracle = "
+    "the equivalent batch range join",
+)
+def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(tag: str) -> DataFrame:
+        raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
+        return raw.select(
+            F.col("user_id").alias(f"user_{tag}"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias(f"ts_{tag}"),
+            F.col("value").alias(f"value_{tag}"),
+        ).withWatermark(f"ts_{tag}", "1 hour")
+
+    left, right = side("a"), side("b")
+    joined = left.join(
+        right,
+        F.expr(
+            "user_a = user_b AND ts_b > ts_a "
+            "AND ts_b <= ts_a + interval 5 minutes"
+        ),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_stream_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_stream_join").select(
+        F.col("user_a").alias("user_id"),
+        F.unix_micros("ts_a").alias("ts_a_us"),
+        F.unix_micros("ts_b").alias("ts_b_us"),
+        "value_a",
+        "value_b",
+    )
