@@ -450,3 +450,28 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# --- approximate sketches: the 100 TB aggregation path -----------------------
+
+
+@register(
+    "op_sql_approx_sketches",
+    None,  # sketch results are engine-specific — rows-only driver check;
+    # tests/test_extension2.py bounds the error against the exact twins
+    doc="HyperLogLog++ distinct counts and t-digest quantiles next to their "
+    "exact twins, per group: the MERGEABLE-sketch aggregation path that "
+    "replaces exact distinct/percentile at 100 TB (partial sketches combine "
+    "map-side; exact distinct shuffles every distinct value, exact "
+    "percentile sorts per group).  Error is bounded by test, not oracle — "
+    "sketch estimates are engine-specific by nature",
+)
+def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_nd_supp"),
+        F.expr("approx_count_distinct(l_suppkey)").alias("approx_nd_supp"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
+        F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_p50_qty"),
+        F.count("*").alias("n"),
+    )

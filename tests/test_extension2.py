@@ -106,3 +106,15 @@ def test_bm25_orders_by_term_frequency(spark, sf_dir):
             assert r["bm25"] == 0.0
         else:
             assert r["bm25"] > 0.0
+
+
+def test_approx_sketches_bound_error(spark, sf_dir):
+    """HLL++ distinct estimates within 5% of exact; t-digest median within
+    one quantity step of the exact median (integers, default accuracy)."""
+    rows = QUERIES["op_sql_approx_sketches"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_nd_supp"] - r["exact_nd_supp"]) <= max(
+            1, 0.05 * r["exact_nd_supp"]
+        ), r
+        assert abs(r["approx_p50_qty"] - r["exact_p50_qty"]) <= 1.0, r

@@ -71,3 +71,18 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     plan = _plan(spark, sf_dir, "op_sql_q3_topk")
     assert "PushedFilters" in plan
+
+
+@pytest.mark.parametrize("name", _PLANNABLE)
+def test_result_schema_is_driver_hashable(spark, sf_dir, name):
+    """The driver's canonicalizer sorts result rows column-wise and hashes
+    cell values — array/map/struct cells crash it (round-1 lesson:
+    op_text_fingerprint and op_multimodal_features errored with 'unhashable
+    type: list').  Every registry entry must project scalar columns only."""
+    df = QUERIES[name].spark(spark, sf_dir)
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}.{f.name} is {f.dataType.simpleString()} — not driver-hashable"
