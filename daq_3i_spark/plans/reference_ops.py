@@ -681,3 +681,45 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(cd, c, "channel_id", F.col("id"), n_salt=16).select(
         "id", "channel_id", "ts", "value", "history_len"
     )
+
+
+@register(
+    "op_rollup_hourly",
+    f"""WITH {_D},
+    b AS (
+      SELECT channel_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, value
+      FROM channel_data
+    )
+    SELECT channel_id, epoch_us(bucket_ts) AS bucket_us,
+           count(*) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM b GROUP BY channel_id, bucket_ts""",
+    doc="hypertable-style continuous aggregate: hourly per-channel rollup of "
+    "channel_data (count/sum/min/max) — the materialized downsample a DAQ "
+    "front-end reads instead of raw samples.  One hash aggregate with "
+    "map-side partial combine, shuffled on (channel_id, bucket); at 100 TB "
+    "this is an incrementally-refreshed table keyed by the same bucket "
+    "(only buckets touched by new batches recompute — the foreachBatch "
+    "epilogue writes them, exactly like the retention pass)",
+)
+def op_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = _cd(spark, sf_dir)
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return (
+        cd.groupBy("channel_id", bucket.alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "channel_id",
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            "n_samples",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

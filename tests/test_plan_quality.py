@@ -71,6 +71,14 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     plan = _plan(spark, sf_dir, "op_sql_q3_topk")
     assert "PushedFilters" in plan
+    # round-2 queries: the selective predicates must reach their scans too
+    plan = _plan(spark, sf_dir, "op_sql_q10_returned")
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag filter not pushed"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "orderdate range not pushed"
+    plan = _plan(spark, sf_dir, "op_sql_q7_volume")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate range not pushed"
+    plan = _plan(spark, sf_dir, "op_sql_q9_profit")
+    assert "EqualTo(p_type,STANDARD)" in plan, "p_type filter not pushed"
 
 
 @pytest.mark.parametrize("name", _PLANNABLE)
