@@ -475,3 +475,67 @@ def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_p50_qty"),
         F.count("*").alias("n"),
     )
+
+
+# --- TPC-H Q6: forecasting revenue change (pure filter + agg) ----------------
+
+
+@register(
+    "op_sql_q6_forecast",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+             AS DECIMAL(18,6)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24""",
+    doc="TPC-H Q6: the canonical pushdown benchmark — every predicate "
+    "(shipdate range, discount band, quantity cap) reaches the parquet scan "
+    "as PushedFilters, then one map-side-combined scalar aggregate; no "
+    "join, no wide shuffle",
+)
+def op_sql_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+# --- TPC-H Q4: order priority checking (EXISTS against lineitem) -------------
+
+
+@register(
+    "op_sql_q4_priority",
+    """SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority""",
+    doc="TPC-H Q4 analog (no commit/receipt dates in this schema: the late "
+    "indicator is l_shipdate > o_orderdate): quarter filter + correlated "
+    "EXISTS decorrelated to a left-semi join on orderkey, then a tiny "
+    "hash aggregate on priority",
+)
+def op_sql_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

@@ -335,3 +335,41 @@ def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_a",
         "value_b",
     )
+
+
+@register(
+    "op_stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="streaming exact deduplication: dropDuplicates over the watermarked "
+    "event stream keeps ONE row per (user_id, event_type) across "
+    "micro-batches (keyed dedup state, the exactly-once upgrade of the "
+    "reference's at-most-once slot overwrite); emitting just the key "
+    "columns makes the drained result deterministic — oracle is DISTINCT",
+)
+def op_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
+    events = raw.select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            events.withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName("stream_dedup_keys")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_dedup_keys")
