@@ -354,3 +354,61 @@ def test_due_fn_multichunk_scrambled():
     out = pd.concat(list(_due_fn((1,), iter(chunks), st)), ignore_index=True)
     assert sorted(out["id"].tolist()) == [1, 3, 5], out
     assert st.saved == (int(pd.Timestamp("2024-01-01 00:00:22").timestamp() * 1_000_000),)
+
+
+def test_pipeline_crash_restart_exactly_once(spark, sf_dir, feed_dir):
+    """End-to-end exactly-once: the sink crashes AFTER batch 0's parquet
+    append but BEFORE the checkpoint commit; the restarted query replays
+    batch 0 into the same batch-id directory and the final sink equals the
+    batch-computed expectation exactly — no duplicated, no lost rows."""
+    import pyspark.errors
+
+    work = os.path.join(TMP, "test_crash_restart")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+    ckpt = os.path.join(work, "ckpt")
+
+    crashed = {"done": False}
+
+    def crashing_sink(b, bid):
+        persist_batch(spark, work, b, bid)  # data IS written
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        enrich_and_convert(_sample_stream(spark, feed_dir), spark)
+        .writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        q.awaitTermination()
+    assert crashed["done"], "the injected crash must have fired"
+
+    # restart from the same checkpoint: batch 0 replays (its offsets were
+    # never committed) and must overwrite, not append
+    q2 = (
+        enrich_and_convert(_sample_stream(spark, feed_dir), spark)
+        .writeStream.foreachBatch(
+            lambda b, bid: persist_batch(spark, work, b, bid)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    expected = enrich_and_convert(
+        spark.read.parquet(feed_dir).selectExpr("id", "channel_id", "ts", "value"),
+        spark,
+    )
+    got = read_channel_data(spark, work)
+    assert got.count() == expected.count(), "crash+restart lost or duplicated rows"
+    assert (
+        got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
+    shutil.rmtree(work, ignore_errors=True)
