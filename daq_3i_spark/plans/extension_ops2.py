@@ -640,3 +640,132 @@ def op_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.expr(f"CASE {arms} END").alias("pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained coarse quantizer: k-means (Lloyd) with exact-decimal means
+# ---------------------------------------------------------------------------
+
+_KM_K = 16
+_KM_ITERS = 2  # fixed iteration count => deterministic, oracle-reproducible
+
+
+def _duck_kmeans_cte() -> str:
+    """DuckDB CTE chain reproducing the two Lloyd iterations bit-exactly:
+    argmax-cosine assignment (fold dots), elementwise means as exact decimal
+    sums divided as doubles — the same arithmetic the Spark path uses."""
+    dot = duckdb_dot_fold("e.embedding", "c.ce")
+    return f"""en AS (
+      SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cidx, embedding AS ce, n2 AS nc FROM en
+           WHERE vec_id < {_KM_K}),
+    a1 AS (
+      SELECT vec_id, embedding, n2, cidx AS cluster FROM (
+        SELECT e.vec_id, e.embedding, e.n2, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ({dot}) / sqrt(e.n2 * c.nc) DESC, c.cidx ASC) AS rn
+        FROM en e CROSS JOIN c0 c) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster, d,
+             CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(38,25)))
+               AS DOUBLE) / COUNT(*) AS mean_d
+      FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) t
+      GROUP BY cluster, d
+    ),
+    c1 AS (
+      SELECT cluster AS cidx, list(mean_d ORDER BY d) AS ce
+      FROM m1 GROUP BY cluster
+    ),
+    c1n AS (SELECT cidx, ce, {duckdb_norm2_fold('ce')} AS nc FROM c1),
+    a2 AS (
+      SELECT vec_id, cidx AS cluster FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ({duckdb_dot_fold('e.embedding', 'c.ce')})
+                          / sqrt(e.n2 * c.nc) DESC, c.cidx ASC) AS rn
+        FROM en e CROSS JOIN c1n c) WHERE rn = 1
+    )"""
+
+
+@register(
+    "op_sim_kmeans_assign",
+    f"""WITH {_duck_kmeans_cte()},
+    sizes AS (SELECT cluster, count(*) AS cluster_size FROM a2 GROUP BY cluster)
+    SELECT a2.vec_id, a2.cluster, CAST(sizes.cluster_size AS BIGINT) AS cluster_size
+    FROM a2 JOIN sizes USING (cluster)""",
+    doc=f"k-means coarse-quantizer TRAINING on the engine: {_KM_ITERS} Lloyd "
+    "iterations (deterministic first-K init, argmax-cosine assignment, "
+    "elementwise means as ORDER-INDEPENDENT exact decimal sums divided as "
+    "doubles — so the trained centroids are bit-identical under any "
+    "partitioning, and the DuckDB oracle reproduces the whole training "
+    "loop).  Per iteration: one Arrow assignment pass + one (cluster, dim) "
+    "aggregate of 64-per-vector scalars; centroids are parameter-sized and "
+    "ship via the task closure.  This is the training half of "
+    "op_sim_ivf_topk's index; at 100 TB swap the fixed iterations for "
+    "k-means|| sampling with the same per-iteration plan",
+)
+def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from daq_3i_spark.functions.vectors import DEC_DOT
+
+    emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.localCheckpoint(eager=True)  # two assignment passes + a join
+
+    crows = sorted(
+        emb.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect()
+    )
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cids = [int(r["vec_id"]) for r in crows]
+
+    assign_schema = "vec_id long, cluster int"
+
+    def assigner(C_mat: "np.ndarray", ids: list[int]):
+        cn2 = dim_seq_norm2(C_mat)
+
+        def run(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n2 = dim_seq_norm2(B)
+                cos = dim_seq_scores(C_mat, B) / np.sqrt(
+                    np.multiply.outer(cn2, n2)
+                )
+                best = np.argmax(cos, axis=0)  # first max == lowest cidx
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": np.array(ids, dtype=np.int64)[best],
+                    }
+                )
+
+        return run
+
+    a1 = emb.mapInPandas(assigner(C, cids), assign_schema)
+
+    # elementwise means: exact decimal sums (order-independent) / count
+    elem = (F.col("__e").cast("double")).cast(DEC_DOT)
+    m1 = (
+        a1.join(emb, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("d", "__e"))
+        .groupBy("cluster", "d")
+        .agg(
+            (F.sum(elem).cast("double") / F.count("*")).alias("mean_d")
+        )
+    )
+    mrows = m1.collect()  # parameter-sized: K x 64 scalars
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in mrows:
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["d"])] = r["mean_d"]
+    cids1 = sorted(by_cluster)
+    C1 = np.array(
+        [[by_cluster[c][d] for d in range(64)] for c in cids1], dtype=np.float64
+    )
+
+    a2 = emb.mapInPandas(assigner(C1, cids1), assign_schema)
+    sizes = a2.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return a2.join(sizes, "cluster").select("vec_id", "cluster", "cluster_size")
