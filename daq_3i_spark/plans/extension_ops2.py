@@ -769,3 +769,141 @@ def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = emb.mapInPandas(assigner(C1, cids1), assign_schema)
     sizes = a2.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return a2.join(sizes, "cluster").select("vec_id", "cluster", "cluster_size")
+
+
+@register(
+    "op_sim_ivf_trained_topk",
+    f"""WITH {_duck_kmeans_cte()},
+    cells AS (
+      SELECT e.vec_id, e.embedding, e.n2, a2.cluster AS cell
+      FROM en e JOIN a2 USING (vec_id)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS nq FROM en
+          WHERE vec_id < {_N_QUERIES}),
+    qc AS (
+      SELECT q.query_id, q.qe, q.nq, c.cidx,
+             ({duckdb_dot_fold('q.qe', 'c.ce')}) / sqrt(q.nq * c.nc) AS cos
+      FROM q CROSS JOIN c1n c
+    ),
+    probes AS (
+      SELECT query_id, qe, nq, cidx AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cidx ASC) AS rn
+        FROM qc) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             ({duckdb_dot_fold('p.qe', 'e.embedding')}) / sqrt(p.nq * e.n2)
+               AS cos_sim
+      FROM probes p JOIN cells e
+        ON e.cell = p.cell AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}""",
+    doc="the full ANN pipeline end to end: k-means-TRAINED coarse quantizer "
+    f"(op_sim_kmeans_assign's {_KM_ITERS} Lloyd iterations) -> cell-assigned "
+    f"corpus -> {_IVF_NPROBE}-cell probes per query -> top-{_TOP_K}.  The "
+    "oracle replays training AND search bit-exactly.  Trained cells track "
+    "the data distribution, so recall at the same nprobe beats the untrained "
+    "first-K index (asserted in tests/test_extension2.py)",
+)
+def op_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from daq_3i_spark.functions.vectors import SCORES_SCHEMA, DEC_DOT
+
+    emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.localCheckpoint(eager=True)
+
+    # --- train (same arithmetic as op_sim_kmeans_assign) --------------------
+    crows = sorted(
+        emb.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect()
+    )
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cids = [int(r["vec_id"]) for r in crows]
+
+    def assign_run(C_mat, ids):
+        cn2 = dim_seq_norm2(C_mat)
+
+        def run(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n2 = dim_seq_norm2(B)
+                cos = dim_seq_scores(C_mat, B) / np.sqrt(np.multiply.outer(cn2, n2))
+                best = np.argmax(cos, axis=0)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": np.array(ids, dtype=np.int64)[best],
+                    }
+                )
+
+        return run
+
+    a1 = emb.mapInPandas(assign_run(C, cids), "vec_id long, cluster int")
+    elem = (F.col("__e").cast("double")).cast(DEC_DOT)
+    mrows = (
+        a1.join(emb, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("d", "__e"))
+        .groupBy("cluster", "d")
+        .agg((F.sum(elem).cast("double") / F.count("*")).alias("mean_d"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in mrows:
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["d"])] = r["mean_d"]
+    cids1 = sorted(by_cluster)
+    C1 = np.array(
+        [[by_cluster[c][d] for d in range(64)] for c in cids1], dtype=np.float64
+    )
+    c1n2 = dim_seq_norm2(C1)
+
+    # --- probe + search against the trained index ---------------------------
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn2 = dim_seq_norm2(Q)
+    qc = dim_seq_scores(Q, C1) / np.sqrt(np.multiply.outer(qn2, c1n2))
+    # cell ids are arbitrary cluster labels — map to matrix row for the mask
+    row_of = {c: i for i, c in enumerate(cids1)}
+    probe_mask = np.zeros((len(qids), len(cids1)), dtype=bool)
+    for qi in range(len(qids)):
+        order = sorted(range(len(cids1)), key=lambda j: (-qc[qi, j], cids1[j]))
+        probe_mask[qi, order[:_IVF_NPROBE]] = True
+
+    def search(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            n2 = dim_seq_norm2(B)
+            cellcos = dim_seq_scores(C1, B) / np.sqrt(np.multiply.outer(c1n2, n2))
+            cells = np.argmax(cellcos, axis=0)  # row index == sorted cids1 order
+            cos = dim_seq_scores(Q, B) / np.sqrt(np.multiply.outer(qn2, n2))
+            mask = probe_mask[:, cells]
+            mask &= qids[:, None] != ids[None, :]
+            iq, ic = np.where(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[iq],
+                    "vec_id": ids[ic],
+                    "cos_sim": cos[iq, ic],
+                }
+            )
+
+    scored = emb.mapInPandas(search, SCORES_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )

@@ -118,3 +118,24 @@ def test_approx_sketches_bound_error(spark, sf_dir):
             1, 0.05 * r["exact_nd_supp"]
         ), r
         assert abs(r["approx_p50_qty"] - r["exact_p50_qty"]) <= 1.0, r
+
+
+def test_trained_ivf_recall_not_worse(spark, sf_dir):
+    """Training the coarse quantizer must not hurt recall vs the untrained
+    first-K index at the same nprobe (trained cells track the label-clustered
+    corpus structure)."""
+    brute = {}
+    for r in QUERIES["op_sim_topk"].spark(spark, sf_dir).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(name: str) -> float:
+        got: dict[int, set[int]] = {}
+        for r in QUERIES[name].spark(spark, sf_dir).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(brute[q] & got.get(q, set())) for q in brute)
+        return hits / sum(len(brute[q]) for q in brute)
+
+    r_plain = recall("op_sim_ivf_topk")
+    r_trained = recall("op_sim_ivf_trained_topk")
+    assert r_trained >= r_plain - 0.10, (r_trained, r_plain)
+    assert r_trained >= 0.5, r_trained
