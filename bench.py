@@ -48,6 +48,10 @@ HEADLINE = [
     "op_sql_quantiles",
     "op_sim_ivf_topk",
     "op_text_bm25",
+    "op_dedup_components",
+    "op_sim_kmeans_assign",
+    "op_sim_ivf_trained_topk",
+    "op_stream_session_window",
 ]
 
 
