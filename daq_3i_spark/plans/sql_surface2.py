@@ -539,3 +539,31 @@ def op_sql_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+# --- UNPIVOT (wide -> long) --------------------------------------------------
+
+
+@register(
+    "op_sql_unpivot",
+    """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+    FROM part""",
+    doc="UNPIVOT / melt (wide -> long): part attributes stacked into "
+    "(attr, val) rows — Spark's native unpivot (expression-only, no "
+    "shuffle); the oracle uses the portable UNION ALL formulation",
+)
+def op_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
