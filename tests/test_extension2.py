@@ -139,3 +139,28 @@ def test_trained_ivf_recall_not_worse(spark, sf_dir):
     r_trained = recall("op_sim_ivf_trained_topk")
     assert r_trained >= r_plain - 0.10, (r_trained, r_plain)
     assert r_trained >= 0.5, r_trained
+
+
+def test_minhash_recall_against_exact_jaccard(spark, sf_dir):
+    """LSH quality harness: every TRUE near-dup pair (exact 3-shingle
+    Jaccard >= 0.5, from the exact verifier twin) must appear in the
+    MinHash candidate set — banding with b=4, r=4 makes missing a
+    0.5-similar pair very unlikely, so recall < 0.9 indicates a broken
+    signature/banding.  Candidate-set precision is deliberately lower (the
+    16-perm estimate is coarse); the candidate count must still stay within
+    a small multiple of the truth set, not explode toward all-pairs."""
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["op_dedup_minhash"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["op_dedup_ngram_jaccard"].spark(spark, sf_dir).collect()
+    }
+    truth = {p for p, j in exact.items() if j >= 0.5}
+    assert truth, "fixture must contain true near-dups"
+    recall = len(truth & mh) / len(truth)
+    assert recall >= 0.9, f"LSH recall collapsed: {recall}"
+    assert len(mh) <= 20 * len(truth) + 5, (
+        f"candidate set exploding: {len(mh)} candidates for {len(truth)} true pairs"
+    )
