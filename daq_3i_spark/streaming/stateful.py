@@ -144,3 +144,79 @@ def due_filter_stream(samples_with_timing: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stale-channel monitor (event-time state timeout) ------------------------
+#
+# The reference marks failed reads with last_status = -1 (bus.py:94) but has
+# no liveness detection for channels that silently STOP producing.  With
+# keyed state + EventTimeTimeout the engine emits a stale marker when the
+# watermark passes a channel's last event time + threshold — the natural
+# streaming upgrade of the per-channel status keys (daq-3i.py:284).
+
+STALE_SCHEMA = T.StructType(
+    [
+        T.StructField("channel_id", T.IntegerType(), False),
+        T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("status", T.IntegerType(), True),
+    ]
+)
+
+_STALE_STATE = T.StructType([T.StructField("last_ts_us", T.LongType(), True)])
+
+STALE_STATUS = -1  # bus.py:94's failure marker, reused for staleness
+
+
+def make_stale_fn(stale_after_s: int):
+    def _stale_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_us = state.get[0] if state.exists else None
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "channel_id": [key[0]],
+                    "last_ts": [
+                        pd.Timestamp(last_us, unit="us") if last_us else pd.NaT
+                    ],
+                    "status": [STALE_STATUS],
+                }
+            )
+            return
+        last_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            last_us = max(last_us or 0, int(ts_us))
+        state.update((last_us,))
+        # fire when the WATERMARK (event time, not wall clock) passes
+        # last_ts + threshold — deterministic under replay.  A timestamp
+        # already below the watermark is invalid: clamp to watermark + 1 ms,
+        # so an already-stale channel fires on the next micro-batch.
+        desired_ms = last_us // 1000 + stale_after_s * 1000
+        state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({"channel_id": [], "last_ts": [], "status": []}).astype(
+            {"channel_id": "int32", "status": "int32"}
+        )
+
+    return _stale_fn
+
+
+def stale_monitor_stream(samples: DataFrame, stale_after_s: int = 60) -> DataFrame:
+    """Emit (channel_id, last_ts, status=-1) when a channel produces nothing
+    for ``stale_after_s`` seconds of EVENT time (watermark-driven timeout —
+    replay-deterministic, unlike processing-time timeouts).  State per key is
+    one timestamp."""
+    return (
+        samples.withWatermark("ts", "0 seconds")
+        .groupBy("channel_id")
+        .applyInPandasWithState(
+            make_stale_fn(stale_after_s),
+            outputStructType=STALE_SCHEMA,
+            stateStructType=_STALE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -412,3 +412,58 @@ def test_pipeline_crash_restart_exactly_once(spark, sf_dir, feed_dir):
         and expected.exceptAll(got).count() == 0
     )
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stale_monitor_flags_stopped_channels(spark, sf_dir, feed_dir):
+    """Channels that stop producing must be flagged with status=-1 once the
+    WATERMARK passes last_ts + threshold (event-time timeout — deterministic
+    under replay, unlike wall-clock timeouts).  Every emitted marker must
+    satisfy the staleness predicate, and channels whose data ends well
+    before the global max event time must be flagged."""
+    from daq_3i_spark.schemas import CHANNEL_DATA
+    from daq_3i_spark.streaming.stateful import STALE_STATUS, stale_monitor_stream
+
+    stale_after = 3600  # 1 hour of event time
+    stream = (
+        spark.readStream.schema(CHANNEL_DATA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .select("channel_id", "ts", "value")
+    )
+    q = (
+        stale_monitor_stream(stream, stale_after_s=stale_after)
+        .writeStream.format("memory")
+        .queryName("stale_monitor")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["channel_id"]: r for r in spark.table("stale_monitor").collect()}
+
+    feed = spark.read.parquet(feed_dir)
+    last_per_chl = {
+        r["channel_id"]: r["mx"]
+        for r in feed.groupBy("channel_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    global_max = max(last_per_chl.values())
+
+    for cid, r in got.items():
+        assert r["status"] == STALE_STATUS
+        # the marker is point-in-time: the channel WAS stale when the
+        # watermark passed last_ts + threshold (it may resume later, like
+        # batch-gapped feeds do) — so its last_ts is stale relative to the
+        # final watermark and never exceeds the channel's true max
+        assert (global_max - r["last_ts"]).total_seconds() >= stale_after, (
+            cid,
+            r["last_ts"],
+            global_max,
+        )
+        assert r["last_ts"] <= last_per_chl[cid]
+    # channels stale by MORE than one batch margin must have fired
+    must_flag = {
+        cid
+        for cid, mx in last_per_chl.items()
+        if (global_max - mx).total_seconds() >= 2 * stale_after
+    }
+    assert must_flag <= set(got), f"missed stale channels: {must_flag - set(got)}"
