@@ -85,11 +85,14 @@ def main() -> None:
     # back-to-back runs).  The min of independent passes estimates the
     # machine-unloaded cost; interleaving keeps one burst from hitting the
     # same query twice.
-    timings: dict[str, float] = {n: float("inf") for n in names}
+    passes: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(2):
         for name in names:
-            timings[name] = min(timings[name], run(name))
-    timings = {n: round(t, 4) for n, t in timings.items()}
+            passes[name].append(run(name))
+    timings = {n: round(min(ts), 4) for n, ts in passes.items()}
+    # worst/best ratio across passes — an honest noise indicator for the
+    # recorded minima (>>1 means steal bursts hit that query)
+    spread = {n: round(max(ts) / min(ts), 2) for n, ts in passes.items()}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -101,6 +104,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "pass_spread": spread,
         "sf": sf_val,
     }
     print(json.dumps(out), flush=True)
