@@ -12,37 +12,39 @@ import daq_3i_spark.plans.format_ops  # noqa: F401,E402
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get
 # every registry entry oracle-verified across rounds, the checked window is
-# rotated: the 30 entries the round-1 sweep never reached go first, followed
-# by re-verifications of ops whose code changed since round 1 or that anchor
-# a family (decode/convert/dedup/similarity/streaming).  Everything else
-# keeps registration order after the curated prefix.
+# rotated each round.  Round 4 window: the 14 entries no round has ever
+# checked, then every round-3 non-pass (all root-caused and fixed this round:
+# the regenerated testdata's TIMESTAMP(MICROS) events feed broke the
+# nanos-as-long loaders, and decimal OUTPUT columns can never hash-match
+# because the driver's oracle fetch coerces DuckDB decimals to float64),
+# then re-verifications of passing ops whose code this round's decimal->
+# double convention touched, then family anchors.  All 110 entries pass the
+# exact-compare local gate (tools/verify_contract.py) before this ordering.
 _CHECK_PRIORITY = [
-    # -- never checked in round 1 (registry positions 50-79) -----------------
-    "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_semi_anti",
-    "op_sql_setops", "op_sql_rollup", "op_sql_cube", "op_sql_window_rank",
-    "op_sql_running_sum", "op_sql_scalar_subquery", "op_sql_pivot",
-    "op_sql_json", "op_sql_distinct_agg", "op_sql_q13_distribution",
-    "op_sql_having_bigorders", "op_sql_exists", "op_sql_grouping_sets",
-    "op_sql_notin_countdistinct",
-    "op_text_vocab", "op_sample_stratified", "op_text_scrub",
-    "op_window_sliding", "op_embed_quantize", "op_text_bigrams",
-    "op_stream_pipeline", "op_stream_window_agg",
-    "op_stream_latest_per_channel", "op_sink_partitioned_scan",
-    # -- new in round 2: never driver-checked -------------------------------
-    "op_sql_q7_volume", "op_sql_q8_market_share", "op_sql_q9_profit",
-    "op_sql_q10_returned", "op_sql_q11_topvalue", "op_sql_q14_promo",
-    "op_sql_q15_topsupplier", "op_sql_q17_smallqty", "op_sql_q19_disjunction",
-    "op_sql_q22_idle_rich", "op_dedup_components", "op_sim_ivf_topk",
-    "op_text_bm25", "op_sql_quantiles", "op_stream_session_window",
-    "op_source_csv_roundtrip", "op_source_json_roundtrip",
-    "op_stream_window_sliding",
-    # -- re-verify: code changed this round ----------------------------------
-    "op_convert_expr", "flagship_pipeline", "op_text_fingerprint",
-    "op_multimodal_features",
+    # -- never driver-checked in rounds 1-3 ----------------------------------
+    "op_rollup_hourly", "op_multimodal_resize", "op_multimodal_frames",
+    "op_text_langid_ngram", "op_sim_kmeans_assign", "op_sim_ivf_trained_topk",
+    "op_sql_approx_sketches", "op_sql_q6_forecast", "op_sql_q4_priority",
+    "op_sql_unpivot", "op_stream_due_filter", "op_source_modbus_sim",
+    "op_stream_stream_join", "op_stream_dedup_keys",
+    # -- round-3 non-pass, fixed this round ----------------------------------
+    "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_rollup",
+    "op_sql_cube", "op_sql_running_sum", "op_sql_json",
+    "op_sql_having_bigorders", "op_sql_grouping_sets", "op_window_sliding",
+    "op_stream_pipeline", "op_stream_window_agg", "op_stream_window_sliding",
+    "op_stream_session_window", "op_stream_latest_per_channel",
+    "op_sink_partitioned_scan", "op_sql_q7_volume", "op_sql_q9_profit",
+    "op_sql_q10_returned", "op_sql_q15_topsupplier", "op_sql_q19_disjunction",
+    "op_convert_expr", "flagship_pipeline",
+    # -- passing, but decimal->double touched their output column ------------
+    "op_sql_q11_topvalue", "op_sql_q22_idle_rich", "op_window_agg_events",
+    "op_session_window_batch",
+    # -- family anchors (re-verify a representative of each family) ----------
+    "op_decode_registers", "op_sink_append_channel_data",
+    "op_latest_per_channel", "op_retention_topk", "op_asof_join",
+    "op_range_join", "op_join_salted", "op_dedup_exact", "op_dedup_minhash",
+    "op_sim_topk",
 ]
-# op_stream_due_filter / op_source_modbus_sim (rows-only checks, pytest-
-# covered) and already-hash-verified round-1 entries sit after the window;
-# rotate them in next round.
 
 
 def _rotate_check_window() -> None:

@@ -706,7 +706,7 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
              AS window_end_us,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="tumbling 1-minute event-time windows per event_type (batch twin of "
     "streaming/pipeline.py's windowed aggregation; epoch-aligned in both "
@@ -720,7 +720,7 @@ def op_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_micros("w.start").alias("window_start_us"),
@@ -1088,7 +1088,7 @@ def op_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM w GROUP BY 1, 2, 3""",
     doc="sliding event-time windows (2-minute width, 1-minute slide): each "
     "event lands in exactly 2 windows; Spark's F.window handles the "
@@ -1100,7 +1100,7 @@ def op_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -430,7 +430,7 @@ _GAP_S = 600  # 10 minutes, matching op_session_window_batch
            epoch_us(min(ts)) AS session_start_us,
            epoch_us(max(ts)) + {_GAP_S} * 1000000 AS session_end_us,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, sid""",
     doc="Spark's native session_window (10-min gap) as a real streaming "
     "aggregation with keyed session state, drained with availableNow in "
@@ -442,12 +442,10 @@ _GAP_S = 600  # 10 minutes, matching op_session_window_batch
     "lag-formulation uses strict >, the documented off-by-ulp sibling",
 )
 def op_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+    from daq_3i_spark.streaming.pipeline import events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
-    events = raw.select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    events = events_stream(spark, sf_dir).select(
+        "ts",
         "user_id",
         "value",
     )
@@ -463,7 +461,7 @@ def op_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.session_window("ts", f"{_GAP_S} seconds"), "user_id")
             .agg(
                 F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+                F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
             )
             .writeStream.format("memory")
             .queryName("stream_session_window")

@@ -692,7 +692,7 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel_id, epoch_us(bucket_ts) AS bucket_us,
            count(*) AS n_samples,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
            min(value) AS min_value, max(value) AS max_value
     FROM b GROUP BY channel_id, bucket_ts""",
     doc="hypertable-style continuous aggregate: hourly per-channel rollup of "
@@ -710,7 +710,7 @@ def op_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd.groupBy("channel_id", bucket.alias("bucket_ts"))
         .agg(
             F.count("*").alias("n_samples"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )

@@ -24,7 +24,11 @@ _DEC = "decimal(18,6)"
 
 
 def _dec_sum(col):
-    return F.sum(col.cast(_DEC)).cast(_DEC)
+    # exact decimal sum (order-insensitive), surfaced as DOUBLE: the
+    # driver's oracle fetch coerces DuckDB decimals to float64, so decimal
+    # OUTPUT columns can never hash-match — the decimal->double cast of the
+    # same exact sum is correctly rounded and bit-identical in both engines.
+    return F.sum(col.cast(_DEC)).cast("double")
 
 
 # --- TPC-H Q1: scan-heavy groupBy with many aggregates -------------------------
@@ -33,12 +37,12 @@ def _dec_sum(col):
 @register(
     "op_sql_q1",
     """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
          AS sum_disc_price,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
-         AS DECIMAL(18,6)) AS sum_charge,
+         AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -75,7 +79,7 @@ def op_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_q3_topk",
     """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-         AS DECIMAL(18,6)) AS revenue
+         AS DOUBLE) AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -112,7 +116,7 @@ def op_sql_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_q5_region",
     """SELECT n.n_name,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-         AS DECIMAL(18,6)) AS revenue
+         AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -198,7 +202,7 @@ def op_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_rollup",
     """SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     doc="hierarchical subtotals (ROLLUP) with GROUPING() disambiguation",
@@ -218,7 +222,7 @@ def op_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     doc="full cross-dimensional subtotals (CUBE)",
 )
@@ -272,7 +276,7 @@ def op_sql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
          OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_qty
     FROM lineitem WHERE l_suppkey <= 5""",
     doc="running aggregate over an ordered frame (cumulative quantity per supplier)",
@@ -288,7 +292,7 @@ def op_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast(_DEC).alias("running_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double").alias("running_qty"),
     )
 
 
@@ -344,7 +348,7 @@ def op_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_json",
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1""",
     doc="JSON property extraction on events.props (get_json_object) + aggregate",
 )
@@ -411,7 +415,7 @@ def op_sql_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_having_bigorders",
     """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
     HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) > 150""",
@@ -460,7 +464,7 @@ def op_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))""",
@@ -471,7 +475,7 @@ def op_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         FROM v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))"""

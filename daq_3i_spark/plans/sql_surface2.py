@@ -23,7 +23,8 @@ _DEC = "decimal(18,6)"
 
 
 def _dec_sum(col):
-    return F.sum(col.cast(_DEC)).cast(_DEC)
+    # exact decimal sum surfaced as DOUBLE (see sql_surface._dec_sum)
+    return F.sum(col.cast(_DEC)).cast("double")
 
 
 def _revenue():
@@ -36,7 +37,7 @@ def _revenue():
 @register(
     "op_sql_q7_volume",
     """SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -151,7 +152,7 @@ def op_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_q9_profit",
     """SELECT nation, o_year,
-       CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_profit
+       CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
@@ -195,7 +196,7 @@ def op_sql_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_sql_q10_returned",
     """SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-         AS DECIMAL(18,6)) AS revenue
+         AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -236,7 +237,7 @@ def op_sql_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH pv AS (
       SELECT l_partkey,
              CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
-               AS DECIMAL(18,6)) AS part_value
+               AS DOUBLE) AS part_value
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, part_value FROM pv
@@ -303,7 +304,7 @@ def op_sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH rev AS (
       SELECT l_suppkey AS supplier_no,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-               AS DECIMAL(18,6)) AS total_revenue
+               AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -382,7 +383,7 @@ def op_sql_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_q19_disjunction",
     """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-             AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 11)
@@ -422,7 +423,7 @@ def op_sql_q19_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_nationkey,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6))
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
              AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT threshold FROM avg_bal)
@@ -483,7 +484,7 @@ def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_q6_forecast",
     """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-             AS DECIMAL(18,6)) AS revenue
+             AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'

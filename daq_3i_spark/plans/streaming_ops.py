@@ -76,7 +76,7 @@ def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
              AS window_end_us,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="watermarked tumbling-window aggregation running as a real streaming "
     "query (readStream replay, complete mode, availableNow drain); equals "
@@ -84,13 +84,11 @@ def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drops nothing at the watermark",
 )
 def op_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+    from daq_3i_spark.streaming.pipeline import events_stream
     from daq_3i_spark.streaming.windows import windowed_aggs
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
-    events = raw.select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    events = events_stream(spark, sf_dir).select(
+        "ts",
         "event_type",
         "value",
     )
@@ -243,7 +241,7 @@ def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM w GROUP BY 1, 2, 3""",
     doc="sliding event-time windows (2-min width, 1-min slide) as a real "
     "watermarked streaming aggregation (complete-mode availableNow drain; "
@@ -251,13 +249,11 @@ def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tumbling/sliding/session, each in batch AND streaming form",
 )
 def op_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+    from daq_3i_spark.streaming.pipeline import events_stream
     from daq_3i_spark.streaming.windows import sliding_aggs
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
-    events = raw.select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    events = events_stream(spark, sf_dir).select(
+        "ts",
         "event_type",
         "value",
     )
@@ -295,15 +291,12 @@ def op_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the equivalent batch range join",
 )
 def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from daq_3i_spark.streaming.pipeline import events_stream
 
     def side(tag: str) -> DataFrame:
-        raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
-        return raw.select(
+        return events_stream(spark, sf_dir).select(
             F.col("user_id").alias(f"user_{tag}"),
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias(f"ts_{tag}"),
+            F.col("ts").alias(f"ts_{tag}"),
             F.col("value").alias(f"value_{tag}"),
         ).withWatermark(f"ts_{tag}", "1 hour")
 
@@ -347,12 +340,10 @@ def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns makes the drained result deterministic — oracle is DISTINCT",
 )
 def op_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.streaming.pipeline import _EVENTS_RAW, events_stream_glob
+    from daq_3i_spark.streaming.pipeline import events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(events_stream_glob(sf_dir))
-    events = raw.select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    events = events_stream(spark, sf_dir).select(
+        "ts",
         "user_id",
         "event_type",
     )

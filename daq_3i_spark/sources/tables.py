@@ -4,14 +4,21 @@ Always ``spark.read.parquet`` (columnar scan, predicate pushdown + column
 pruning reach the footer).  At 100 TB these would be partitioned/bucketed
 table roots; the API is the same.
 
-``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).  We read nanos as long
-(``spark.sql.legacy.parquet.nanosAsLong`` — a runtime-settable SQL conf, so
-this works in any session, including the driver's) and truncate to
-microseconds with *integer* division — ``DIV 1000``, not ``/1000``: epoch
-nanos ≈ 1.7e18 overflows double's 53-bit mantissa, so float division would
-perturb the microsecond.  DuckDB truncates TIMESTAMP_NS -> TIMESTAMP (µs) the
-same way, so the two engines see identical timestamps.
+``events.parquet`` has shipped with two different physical types for ``ts``
+across testdata generations, so the loader adapts to what the footer says:
+
+* TIMESTAMP(NANOS) — Spark's vectorized reader rejects it
+  ([PARQUET_TYPE_ILLEGAL]); we read nanos as long
+  (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and truncate
+  to microseconds with *integer* division (epoch nanos overflow double's
+  53-bit mantissa, so float division would perturb the microsecond);
+* TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads TIMESTAMP_NTZ;
+  cast to TIMESTAMP under the UTC session timezone (an exact relabeling).
+
+Either way the session timezone is pinned to UTC first, so TIMESTAMP values
+collect as the same naive datetimes DuckDB reads from the parquet — the
+driver's value hash sees identical rows whatever timezone its session
+started with.
 """
 
 from __future__ import annotations
@@ -22,15 +29,52 @@ from pyspark.sql import functions as F
 from daq_3i_spark.schemas import ALL_TABLES
 
 
+def pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (runtime-settable SQL conf).
+
+    DuckDB parquet timestamps are naive; with a UTC session every Spark
+    TIMESTAMP renders/collects as the same naive value, making epoch
+    extraction (unix_micros vs epoch_us) and timestamp outputs engine-
+    portable regardless of the host session's default zone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    kind = dict(df.dtypes).get(col)
+    if kind == "bigint":  # legacy TIMESTAMP(NANOS) footer read via nanosAsLong
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if kind == "timestamp_ntz":  # exact relabel under the pinned UTC session
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str):
+    """The pre-normalization schema of the events feed (probed from the
+    footer by a batch read — one driver-side metadata call, scale-free).
+    readStream requires an explicit schema; deriving it from the footer keeps
+    the stream replay correct across testdata generations."""
+    pin_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def read_events_stream(spark: SparkSession, path_glob: str, sf_dir: str) -> DataFrame:
+    """readStream over the events feed with ``ts`` normalized to TIMESTAMP —
+    the streaming twin of load_events (same adaptivity, same UTC pin)."""
+    schema = events_raw_schema(spark, sf_dir)
+    return _normalize_ts(spark.readStream.schema(schema).parquet(path_glob))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
+    pin_utc(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

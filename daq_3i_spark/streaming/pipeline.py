@@ -35,23 +35,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from daq_3i_spark.functions.convert import convert_case_column
 from daq_3i_spark.operators.core import latest_per_key, retention_keep
 from daq_3i_spark.sources.daq_dims import channels_df, conversions_rows
-
-# events feed schema with raw nanosecond ts (see sources/tables.py)
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from daq_3i_spark.sources.tables import read_events_stream
 
 HEARTBEAT_PARAMETER = "daq-3i"  # daq-3i.py:21
 STATUS_OK = 1  # daq_status.py:6
@@ -63,18 +51,19 @@ def events_stream_glob(sf_dir: str) -> str:
     return os.path.join(sf_dir, "events.parque[t]")
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream replay of the events feed, ``ts`` normalized to TIMESTAMP
+    (schema probed from the footer — adapts across testdata generations)."""
+    return read_events_stream(spark, events_stream_glob(sf_dir), sf_dir)
+
+
 def build_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream replay of the events feed mapped to raw samples
     (id, channel_id, ts, value) — FIXTURES.md §A.6."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .parquet(events_stream_glob(sf_dir))
-    )
-    return raw.select(
+    return events_stream(spark, sf_dir).select(
         F.col("event_id").alias("id"),
         (F.col("user_id") % 40 + 1).cast("int").alias("channel_id"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.col("ts"),
         F.col("value"),
     )
 

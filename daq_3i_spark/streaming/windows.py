@@ -25,7 +25,7 @@ def windowed_aggs(events: DataFrame, width: str = "1 minute") -> DataFrame:
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -48,7 +48,7 @@ def sliding_aggs(
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
                 "sum_value"
             ),
         )

@@ -2,10 +2,14 @@
 
 Runs a registry query on Spark and its oracle SQL on DuckDB over the same
 parquet tables, then compares row count, column names, and an
-order-insensitive canonicalized value multiset.  Floats compare with a small
-tolerance locally (the registry's decimal-cast convention makes the driver's
-exact hash match; the tolerance here just keeps the local gate from being
-flakier than the real one).
+order-insensitive canonicalized value multiset.  Floats compare EXACTLY by
+default — the registry's determinism conventions (exact decimal sums
+surfaced as double, fixed-order elementwise math) make both engines
+bit-identical, and the driver's value hash is exact, so a local tolerance
+would hide real driver failures.  Decimal OUTPUT columns are treated as a
+registry bug: the driver's oracle fetch coerces DuckDB decimals to float64
+while Spark collects Decimal objects, so they can never hash-match (keep
+decimals internal, cast the final column to double).
 """
 
 from __future__ import annotations
@@ -54,7 +58,7 @@ def _approx_eq(a, b) -> bool:
     return False
 
 
-def compare(spark_df, oracle_tbl, float_exact: bool = False) -> list[str]:
+def compare(spark_df, oracle_tbl, float_exact: bool = True) -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     spark_cols = sorted(spark_df.columns)

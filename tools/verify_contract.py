@@ -42,9 +42,12 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     names = [x for x in qs if not only or x in only]
+    # NB: no "decimal" — the driver's oracle fetch coerces DuckDB decimals to
+    # float64 while Spark collects Decimal objects, so a decimal OUTPUT column
+    # can never hash-match (cast finals to double; keep decimals internal).
     scalar_ok = ("bigint", "int", "smallint", "tinyint", "long", "double",
                  "float", "string", "boolean", "date", "timestamp",
-                 "timestamp_ntz", "decimal", "binary")
+                 "timestamp_ntz", "binary")
     fails: list[str] = []
     for name in names:
         t0 = time.time()
