@@ -27,6 +27,8 @@ _CHECK_PRIORITY = [
     "op_sql_approx_sketches", "op_sql_q6_forecast", "op_sql_q4_priority",
     "op_sql_unpivot", "op_stream_due_filter", "op_source_modbus_sim",
     "op_stream_stream_join", "op_stream_dedup_keys",
+    # -- new this round ------------------------------------------------------
+    "op_graceful_stop",
     # -- round-3 non-pass, fixed this round ----------------------------------
     "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_rollup",
     "op_sql_cube", "op_sql_running_sum", "op_sql_json",
@@ -42,8 +44,7 @@ _CHECK_PRIORITY = [
     # -- family anchors (re-verify a representative of each family) ----------
     "op_decode_registers", "op_sink_append_channel_data",
     "op_latest_per_channel", "op_retention_topk", "op_asof_join",
-    "op_range_join", "op_join_salted", "op_dedup_exact", "op_dedup_minhash",
-    "op_sim_topk",
+    "op_range_join", "op_join_salted", "op_dedup_exact",
 ]
 
 

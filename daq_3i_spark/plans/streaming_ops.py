@@ -364,3 +364,75 @@ def op_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_dedup_keys")
+
+
+@register(
+    "op_graceful_stop",
+    f"""WITH {_D},
+    joined AS (
+      SELECT cd.id, cd.channel_id, cd.ts, cd.value, c.conversion_id
+      FROM channel_data cd JOIN channels c ON cd.channel_id = c.id AND c.enabled
+    )
+    SELECT id, channel_id, ts,
+           {convert_case_duckdb(_CONVS, "conversion_id", "value")} AS value
+    FROM joined""",
+    doc="cooperative shutdown mid-stream + checkpointed resume (SURVEY §2.7 "
+    "op_graceful_stop; the reference's SIGTERM `stopping` flag, "
+    "daq-3i.py:296-321).  The feed is split into 2 files streamed one per "
+    "micro-batch; query.stop() lands after the first progress event, then a "
+    "second query on the SAME checkpoint drains the rest.  Because the "
+    "foreachBatch sink is idempotent per batch_id, the stop can land before, "
+    "between, or inside a batch and the union of both runs is still exactly "
+    "the full feed — the oracle is the plain batch enrich+convert of every "
+    "event, no retention, nothing lost or duplicated",
+)
+def op_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.streaming.pipeline import (
+        enrich_and_convert,
+        persist_batch,
+        read_channel_data,
+    )
+
+    work = _workdir("op_graceful_stop")
+    feed = os.path.join(work, "feed")
+    channel_data_df(spark, sf_dir).repartition(2).write.parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+    samples = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    enriched = enrich_and_convert(samples, spark)
+    ckpt = os.path.join(work, "ckpt")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        persist_batch(spark, work, batch, batch_id)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            enriched.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and q.isActive and not q.recentProgress:
+            time.sleep(0.2)
+        q.stop()  # cooperative: the stopping flag analog
+        q.awaitTermination()
+
+        q2 = (
+            enriched.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_channel_data(spark, work)
