@@ -1,0 +1,194 @@
+"""Training-corpus preparation operators (BASELINE.json north star).
+
+Three LLM-data-pipeline stages beyond the dedup/similarity/text families
+already in extension_ops*: sequence packing (documents -> fixed-budget
+training sequences), benchmark-contamination detection (n-gram overlap with
+a held-out eval set), and Gopher-style repetition signals (the classic
+quality-filter inputs).  The reference has no text surface at all
+(/root/reference is a MODBUS DAQ daemon); these extend the engine the way
+BASELINE.json's north star asks.
+
+Scale notes (100 TB):
+
+* packing partitions by ``source`` — each shard packs independently, so the
+  running-sum window never needs a global ordering (one shuffle on source;
+  at production scale the shard key would be (source, day) or a hash bucket
+  with the same plan shape);
+* contamination broadcasts the eval-set shingle table (eval benchmarks are
+  tiny relative to the corpus) — the train side streams through a broadcast
+  hash join, no shuffle of the corpus;
+* repetition signals are pure per-row HOF arithmetic — whole-stage codegen,
+  no shuffle, scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.text import DUCK, SPARK
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.tables import load_spread
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "op_pack_sequences",
+    f"""WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // {_PACK_BUDGET} AS start_seq,
+           (cum - 1) // {_PACK_BUDGET} AS end_seq,
+           (cum - 1) // {_PACK_BUDGET} - (cum - n_tokens) // {_PACK_BUDGET} + 1
+             AS n_seqs,
+           (cum - n_tokens) % {_PACK_BUDGET} AS seq_offset
+    FROM c""",
+    doc="sequence packing for LLM pretraining: per source shard, documents "
+    "are concatenated in doc_id order into a token stream cut every "
+    f"{_PACK_BUDGET} tokens; each doc reports the packed sequences it spans "
+    "and its offset in the first one.  One shuffle (partition by source), "
+    "integer-only window arithmetic — the standard concat-and-chunk packing "
+    "as a declarative plan",
+)
+def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    b = F.lit(_PACK_BUDGET)
+    start_seq = F.expr(f"(cum - n_tokens) DIV {_PACK_BUDGET}")
+    end_seq = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start_seq.alias("start_seq"),
+        end_seq.alias("end_seq"),
+        (end_seq - start_seq + 1).alias("n_seqs"),
+        ((F.col("cum") - F.col("n_tokens")) % b).alias("seq_offset"),
+    )
+
+
+@register(
+    "op_contamination_check",
+    f"""WITH th AS (
+      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh0 AS (
+      SELECT doc_id, unnest({DUCK.shingle_hashes('th')}) AS h FROM th
+    ), sh AS (SELECT DISTINCT doc_id, h FROM sh0),
+    eval_sh AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT t.doc_id, t.h, e.eval_id
+      FROM sh t JOIN eval_sh e ON t.h = e.h
+      WHERE t.doc_id % 97 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+    FROM hits GROUP BY doc_id""",
+    doc="benchmark-contamination detection: the held-out eval set "
+    "(doc_id % 97 = 0 stand-in) is shingled (3-token rolling hashes, the "
+    "portable kernel from functions/text.py) and every training document "
+    "sharing at least one shingle is flagged with overlap counts.  The eval "
+    "shingle table is broadcast — the corpus side never shuffles, which is "
+    "what makes decontamination tractable at 100 TB",
+)
+def op_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    sh = (
+        docs.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
+        .select("doc_id", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
+        .distinct()
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    train_sh = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "op_text_repetition",
+    """WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) AS top_n,
+             CASE WHEN len(toks) >= 2 THEN
+               len(list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])))
+             ELSE 0 END AS n_uniq_bigrams
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(top_n AS DOUBLE) / n_tokens AS top_unigram_frac,
+           CAST(n_tokens - n_uniq AS DOUBLE) / n_tokens AS dup_unigram_frac,
+           CASE WHEN n_tokens >= 2 THEN
+             CAST(n_tokens - 1 - n_uniq_bigrams AS DOUBLE) / (n_tokens - 1)
+           ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
+    FROM m""",
+    doc="Gopher-style repetition signals per document: most-frequent-token "
+    "fraction, duplicate-token fraction, duplicate-bigram fraction — the "
+    "standard inputs to repetition quality filters.  Pure higher-order "
+    "array expressions (codegen'd, zero shuffle); integer counts divide to "
+    "double at the end so both engines emit identical bits",
+)
+def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " t -> size(filter(toks, x -> x = t))))"
+        ).alias("top_n"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            " size(array_distinct(transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i+1]))))"
+            " ELSE 0 END"
+        ).alias("n_uniq_bigrams"),
+    )
+    n = F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("top_n").cast("double") / n).alias("top_unigram_frac"),
+        ((n - F.col("n_uniq")).cast("double") / n).alias("dup_unigram_frac"),
+        F.when(
+            n >= 2,
+            (n - 1 - F.col("n_uniq_bigrams")).cast("double") / (n - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )

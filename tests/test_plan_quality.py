@@ -18,6 +18,7 @@ from daq_3i_spark.plans import QUERIES
 _EXECUTING = {name for name in QUERIES if name.startswith("op_stream_")} | {
     "op_sink_partitioned_scan",
     "op_source_modbus_sim",
+    "op_graceful_stop",
 }
 
 # non-equi joins where a broadcast nested loop IS the intended strategy
@@ -94,3 +95,20 @@ def test_result_schema_is_driver_hashable(spark, sf_dir, name):
         assert not isinstance(
             f.dataType, (T.ArrayType, T.MapType, T.StructType)
         ), f"{name}.{f.name} is {f.dataType.simpleString()} — not driver-hashable"
+        # round-4 lesson: the driver's oracle fetch coerces DuckDB decimals
+        # to float64 while Spark collects Decimal objects — a decimal OUTPUT
+        # column can never hash-match.  Keep decimals internal, cast finals
+        # to double (plans/registry.py docstring).
+        assert not isinstance(f.dataType, T.DecimalType), (
+            f"{name}.{f.name} is {f.dataType.simpleString()} — decimal "
+            "outputs never hash-match the driver's float64-coerced oracle"
+        )
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The corpus side must stream through a broadcast hash join against the
+    (tiny) eval-set shingle table — shuffling the corpus to decontaminate it
+    would be the 100 TB anti-plan."""
+    plan = _plan(spark, sf_dir, "op_contamination_check")
+    assert "BroadcastHashJoin" in plan, "eval shingles not broadcast"
+    assert "SortMergeJoin" not in plan, "contamination join degraded to SMJ"
