@@ -1,0 +1,119 @@
+"""Edge-case oracle parity for the training-corpus prep ops
+(plans/corpus_ops.py) on a hand-built documents table: packing budget
+boundaries (doc ending exactly on a cut, doc spanning several sequences),
+single-token documents (the dup_bigram guard), fully-repeated text, and a
+contamination hit/miss pair.  The sf0.01 sweep covers the bulk statistics;
+these pin the branches the synthetic corpus may not hit."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from daq_3i_spark.plans import QUERIES
+from oracle_check import compare, run_oracle
+
+BUDGET = 256
+
+
+def _mkdocs(spark, tmp_path, rows):
+    """Write a custom documents.parquet + the other tables from sf0.001 so
+    run_oracle can register every view."""
+    d = str(tmp_path / "sf_edge")
+    os.makedirs(d, exist_ok=True)
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{name}.parquet",
+                    os.path.join(d, f"{name}.parquet"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    # one plain FILE (not a Spark directory): both engines read it identically
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _rows():
+    exact = " ".join(["tok"] * BUDGET)          # ends exactly on a cut
+    spanning = " ".join(["w"] * (3 * BUDGET + 7))  # spans 4 sequences
+    return [
+        (1, "solo", "en", "web", 4),                      # 1 token: bigram guard
+        (2, "a b a b a b", "en", "web", 11),              # fully repeated bigrams
+        (3, exact, "en", "web", len(exact)),
+        (4, spanning, "en", "web", len(spanning)),
+        (5, "the quick brown fox jumps over the lazy dog", "en", "books", 44),
+        (10, "shared shingle text here", "en", "web", 24),    # train, contaminated
+        (11, "totally different words entirely", "en", "web", 32),  # train, clean
+        (0, "shared shingle text here", "en", "eval", 24),         # eval doc (0 % 97 == 0)
+        (97, "held out benchmark prompt", "en", "eval", 25),       # eval doc, no twin
+    ]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    return _mkdocs(spark, tmp_path_factory.mktemp("corpus_edge"), _rows())
+
+
+@pytest.mark.parametrize(
+    "op", ["op_pack_sequences", "op_contamination_check", "op_text_repetition"]
+)
+def test_edge_corpus_matches_oracle(spark, edge_dir, op):
+    q = QUERIES[op]
+    problems = compare(q.spark(spark, edge_dir), run_oracle(q.oracle, edge_dir))
+    assert not problems, problems
+
+
+def test_packing_boundaries(spark, edge_dir):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["op_pack_sequences"].spark(spark, edge_dir).collect()
+    }
+    # doc 3 fills sequence 0 of 'web' exactly... but packing order within the
+    # source shard is doc_id order: docs 1 (1 tok) and 2 (6 toks) come first.
+    web_prefix = 1 + 6
+    d3 = got[3]
+    assert d3["start_seq"] == web_prefix // BUDGET == 0
+    assert d3["seq_offset"] == web_prefix
+    assert d3["end_seq"] == (web_prefix + BUDGET - 1) // BUDGET == 1
+    # doc 4 starts right where doc 3 ended and spans 4 budget windows
+    d4 = got[4]
+    assert d4["seq_offset"] == (web_prefix + BUDGET) % BUDGET == web_prefix
+    assert d4["n_seqs"] == 4
+    # 'books' shard packs independently of 'web'
+    d5 = got[5]
+    assert d5["start_seq"] == 0 and d5["seq_offset"] == 0
+
+
+def test_repetition_guards(spark, edge_dir):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["op_text_repetition"].spark(spark, edge_dir).collect()
+    }
+    assert got[1]["dup_bigram_frac"] == 0.0          # single token: guard branch
+    assert got[1]["top_unigram_frac"] == 1.0
+    # "a b a b a b": 5 bigrams, 2 distinct -> 3/5 duplicated
+    assert got[2]["dup_bigram_frac"] == pytest.approx(3 / 5)
+    assert got[3]["top_unigram_frac"] == 1.0         # all-same token
+
+
+def test_contamination_flags_only_real_overlap(spark, edge_dir):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["op_contamination_check"].spark(spark, edge_dir).collect()
+    }
+    assert 10 in got, "doc sharing eval shingles must be flagged"
+    assert got[10]["n_eval_docs"] == 1
+    assert 11 not in got, "clean doc must not be flagged"
+    assert 0 not in got and 97 not in got, "eval docs are not training docs"
