@@ -52,6 +52,9 @@ HEADLINE = [
     "op_sim_kmeans_assign",
     "op_sim_ivf_trained_topk",
     "op_stream_session_window",
+    "op_pack_sequences",
+    "op_contamination_check",
+    "op_text_repetition",
 ]
 
 

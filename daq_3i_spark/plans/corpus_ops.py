@@ -90,10 +90,12 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH th AS (
       SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents
       WHERE len(string_split(lower(text), ' ')) >= 3
-    ), sh0 AS (
+    ), sh AS (
       SELECT doc_id, unnest({DUCK.shingle_hashes('th')}) AS h FROM th
-    ), sh AS (SELECT DISTINCT doc_id, h FROM sh0),
-    eval_sh AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 97 = 0),
+    ),
+    eval_sh AS (
+      SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE doc_id % 97 = 0
+    ),
     hits AS (
       SELECT t.doc_id, t.h, e.eval_id
       FROM sh t JOIN eval_sh e ON t.h = e.h
@@ -114,13 +116,16 @@ def op_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.size(F.split(F.lower("text"), " ")) >= 3
     )
-    sh = (
-        docs.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
-        .select("doc_id", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
+    # NO distinct on the corpus side: that would shuffle the whole corpus,
+    # and the final count(DISTINCT ...) aggregation dedups anyway — only the
+    # (tiny, broadcast) eval side is deduped before the join.
+    sh = docs.select(
+        "doc_id", F.expr(SPARK.token_hashes("text")).alias("th")
+    ).select("doc_id", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_id"), "h")
         .distinct()
-    )
-    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("eval_id"), "h"
     )
     train_sh = sh.filter(F.col("doc_id") % 97 != 0)
     return (
