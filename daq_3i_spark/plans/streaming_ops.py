@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,23 @@ def _workdir(name: str) -> str:
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+@contextmanager
+def pinned_shuffle(spark: SparkSession, n: int = 32):
+    """Pin spark.sql.shuffle.partitions for the enclosed streaming query.
+
+    Stateful streaming fixes state-store count = shuffle partitions at query
+    start and AQE never coalesces it; a vanilla-session default of 200 pays
+    200 state-store commits (and 200 Python state workers for
+    applyInPandasWithState) per micro-batch for a handful of keys — measured
+    8x slower on the keyed-state ops.  Restores the caller's setting."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -66,7 +84,8 @@ def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.streaming.pipeline import read_channel_data, run_pipeline
 
     work = _workdir("op_stream_pipeline")
-    run_pipeline(spark, sf_dir, work, available_now=True)
+    with pinned_shuffle(spark):
+        run_pipeline(spark, sf_dir, work, available_now=True)
     return read_channel_data(spark, work)
 
 
@@ -92,15 +111,16 @@ def op_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    q = (
-        windowed_aggs(events)
-        .writeStream.format("memory")
-        .queryName("stream_window_agg")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_shuffle(spark):
+        q = (
+            windowed_aggs(events)
+            .writeStream.format("memory")
+            .queryName("stream_window_agg")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("stream_window_agg").select(
         F.unix_micros("window_start").alias("window_start_us"),
         F.unix_micros("window_end").alias("window_end_us"),
@@ -128,15 +148,16 @@ def op_stream_latest_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.streaming.stateful import latest_per_key_stream
 
     samples = build_sample_stream(spark, sf_dir)
-    q = (
-        latest_per_key_stream(samples)
-        .writeStream.format("memory")
-        .queryName("stream_latest")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_shuffle(spark):
+        q = (
+            latest_per_key_stream(samples)
+            .writeStream.format("memory")
+            .queryName("stream_latest")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("stream_latest")
 
 
@@ -186,15 +207,16 @@ def op_stream_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     timing = channels_df(spark).select(
         F.col("id").alias("channel_id"), "timing"
     )
-    q = (
-        due_filter_stream(samples.join(F.broadcast(timing), "channel_id"))
-        .writeStream.format("memory")
-        .queryName("stream_due")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_shuffle(spark):
+        q = (
+            due_filter_stream(samples.join(F.broadcast(timing), "channel_id"))
+            .writeStream.format("memory")
+            .queryName("stream_due")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("stream_due")
 
 
@@ -257,9 +279,7 @@ def op_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    with pinned_shuffle(spark):
         q = (
             sliding_aggs(events)
             .writeStream.format("memory")
@@ -269,8 +289,6 @@ def op_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_window_sliding")
 
 
@@ -308,9 +326,7 @@ def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND ts_b <= ts_a + interval 5 minutes"
         ),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    with pinned_shuffle(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName("stream_stream_join")
@@ -319,8 +335,6 @@ def op_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_stream_join").select(
         F.col("user_a").alias("user_id"),
         F.unix_micros("ts_a").alias("ts_a_us"),
@@ -347,9 +361,7 @@ def op_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    with pinned_shuffle(spark):
         q = (
             events.withWatermark("ts", "1 hour")
             .dropDuplicates(["user_id", "event_type"])
@@ -361,8 +373,6 @@ def op_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_dedup_keys")
 
 
@@ -412,9 +422,7 @@ def op_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, batch_id: int) -> None:
         persist_batch(spark, work, batch, batch_id)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
+    with pinned_shuffle(spark):
         q = (
             enriched.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
@@ -433,6 +441,4 @@ def op_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q2.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return read_channel_data(spark, work)

@@ -150,22 +150,16 @@ def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id
         # convention: engines round double->decimal differently, doubles are
         # bit-portable.
         batch.write.mode("overwrite").parquet(os.path.join(cd_dir, f"batch_{batch_id}"))
-        now = F.max("ts")  # event time of the batch per key (deterministic)
-        chl_status = (
-            batch.groupBy("channel_id")
-            .agg(now.alias("ts"))
-            .select(
-                F.concat(F.lit("CHL: "), F.col("channel_id")).alias("parameter"),
-                F.lit(STATUS_OK).alias("status"),
-                "ts",
-            )
-        )
-        heartbeat = batch.agg(F.max("ts").alias("ts")).select(
-            F.lit(HEARTBEAT_PARAMETER).alias("parameter"),
-            F.lit(STATUS_OK).alias("status"),
-            "ts",
-        )
-        upsert_status(spark, work_dir, chl_status.unionByName(heartbeat), batch_id)
+        # status updates are one row per channel + one heartbeat — inherently
+        # tiny (the reference's daq_status table, daq_status.py:36-68), so ONE
+        # distributed aggregation collects them and the heartbeat derives
+        # driver-side instead of paying a second scan of the batch
+        per_chl = batch.groupBy("channel_id").agg(F.max("ts").alias("ts")).collect()
+        if per_chl:
+            rows = [(f"CHL: {r['channel_id']}", STATUS_OK, r["ts"]) for r in per_chl]
+            rows.append((HEARTBEAT_PARAMETER, STATUS_OK, max(r["ts"] for r in per_chl)))
+            updates = spark.createDataFrame(rows, "parameter string, status int, ts timestamp")
+            upsert_status(spark, work_dir, updates, batch_id)
     finally:
         batch.unpersist()
 
