@@ -55,6 +55,7 @@ HEADLINE = [
     "op_pack_sequences",
     "op_contamination_check",
     "op_text_repetition",
+    "op_corpus_training_shards",
 ]
 
 

@@ -197,3 +197,97 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )
+
+
+@register(
+    "op_corpus_training_shards",
+    f"""WITH t AS (
+      SELECT doc_id, source, text, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens
+      FROM t
+      WHERE len(toks) >= 4
+        AND 2 * list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) <= len(toks)
+        AND doc_id % 97 <> 0
+    ), eth AS (
+      SELECT {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE doc_id % 97 = 0 AND len(string_split(lower(text), ' ')) >= 3
+    ), esh AS (
+      SELECT DISTINCT unnest({DUCK.shingle_hashes('th')}) AS h FROM eth
+    ), tth AS (
+      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM q
+    ), tsh AS (
+      SELECT doc_id, unnest({DUCK.shingle_hashes('th')}) AS h FROM tth
+    ), flagged AS (
+      SELECT DISTINCT t.doc_id FROM tsh t JOIN esh USING (h)
+    ), clean AS (
+      SELECT doc_id, source, n_tokens,
+             regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      FROM q WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM clean GROUP BY norm
+    ), dedup AS (
+      SELECT c.source, c.n_tokens FROM clean c JOIN keep USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           (CAST(SUM(n_tokens) AS BIGINT) + {_PACK_BUDGET - 1})
+             // {_PACK_BUDGET} AS n_seqs
+    FROM dedup GROUP BY source""",
+    doc="the full corpus-to-training-shards pipeline as ONE declarative "
+    "plan: repetition quality gate (integer arithmetic, no float compare) "
+    "-> eval-set decontamination (broadcast shingles, corpus never "
+    "shuffles) -> exact dedup keep-min -> per-source packed-shard manifest "
+    f"(docs, tokens, {_PACK_BUDGET}-token sequences).  Every stage is a "
+    "composition of the standalone ops (op_text_repetition, "
+    "op_contamination_check, op_dedup_exact, op_pack_sequences); Catalyst "
+    "pipelines them without materialization barriers",
+)
+def op_corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    top_n = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " w -> size(filter(toks, x -> x = w))))"
+    )
+    q = (
+        docs.select("doc_id", "source", "text", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(
+            (F.col("n_tokens") >= 4)
+            & (2 * top_n <= F.col("n_tokens"))
+            & (F.col("doc_id") % 97 != 0)
+        )
+        .drop("toks")
+    )
+    esh = (
+        docs.filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.size(F.split(F.lower("text"), " ")) >= 3)
+        )
+        .select(F.expr(SPARK.token_hashes("text")).alias("th"))
+        .select(F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
+        .distinct()
+    )
+    tsh = q.select(
+        "doc_id", F.expr(SPARK.token_hashes("text")).alias("th")
+    ).select("doc_id", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"))
+    flagged = tsh.join(F.broadcast(esh), "h").select("doc_id").distinct()
+    clean = q.join(flagged, "doc_id", "anti").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm"),
+    )
+    keep = clean.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    dedup = clean.join(keep, "doc_id", "semi")
+    return dedup.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        ((F.sum("n_tokens") + (_PACK_BUDGET - 1)).cast("long") / _PACK_BUDGET)
+        .cast("long")
+        .alias("n_seqs"),
+    )
