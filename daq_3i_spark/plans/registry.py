@@ -46,7 +46,23 @@ QUERIES: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: SparkFn) -> SparkFn:
-        QUERIES[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=doc)
+        def pinned(spark: SparkSession, sf_dir: str, _fn: SparkFn = fn) -> DataFrame:
+            # Pin the session timezone BEFORE the plan is built, not just
+            # inside the loaders: timestamp literals parse in the session
+            # timezone at analysis time, so an op that constructs literals
+            # before its first load_* call would otherwise shift by the host
+            # session's offset (found by the Asia/Kathmandu sweep —
+            # op_range_join built its interval bounds pre-load).  DuckDB
+            # reads naive timestamps; UTC makes Spark collect the same
+            # wall-clock values whatever timezone the driver started with.
+            from daq_3i_spark.sources.tables import pin_utc
+
+            pin_utc(spark)
+            return _fn(spark, sf_dir)
+
+        pinned.__name__ = getattr(fn, "__name__", name)
+        pinned.__doc__ = fn.__doc__
+        QUERIES[name] = QueryDef(name=name, spark=pinned, oracle=oracle, doc=doc)
         return fn
 
     return deco
