@@ -243,17 +243,23 @@ def op_sql_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, part_value FROM pv
     WHERE CAST(part_value AS DOUBLE) >
           (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
-             AS DOUBLE) * CAST('0.001' AS DOUBLE) FROM lineitem)""",
+             AS DOUBLE) * CAST(1.2 AS DOUBLE)
+             / COUNT(DISTINCT l_partkey) FROM lineitem)""",
     doc="TPC-H Q11 analog (no partsupp: traded value per part from lineitem): "
-    "aggregate, then filter on a share of the global total via an "
-    "uncorrelated scalar subquery (broadcast one-row cross join in Spark)",
+    "aggregate, then keep parts above 1.2x the mean part share via an "
+    "uncorrelated scalar subquery (broadcast one-row cross join in Spark); "
+    "the threshold is scale-free so the query stays selective-but-nonempty "
+    "at every sf (TPC-H's fixed fraction degenerates to 0 rows here)",
 )
 def op_sql_q11_topvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * F.col("l_quantity")
     pv = li.groupBy("l_partkey").agg(_dec_sum(value).alias("part_value"))
     total = li.agg(
-        (_dec_sum(value).cast("double") * F.lit(0.001)).alias("__threshold")
+        (
+            _dec_sum(value).cast("double") * F.lit(1.2)
+            / F.countDistinct("l_partkey")
+        ).alias("__threshold")
     )
     return (
         pv.crossJoin(F.broadcast(total))
@@ -427,15 +433,23 @@ def op_sql_q19_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT threshold FROM avg_bal)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY c.c_nationkey""",
     doc="TPC-H Q22 analog (no phone column: grouped by nationkey): "
     "above-average balance via uncorrelated scalar subquery with an exact "
-    "sum/count average + anti join against orders",
+    "sum/count average + anti join against orders RECENT orders (the "
+    "synthetic custkeys cover every customer, so the TPC-H no-orders-ever "
+    "predicate degenerates to 0 rows; idle-since-cutoff keeps the anti-join "
+    "shape and a non-trivial result)",
 )
 def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias(
             "__threshold"
@@ -444,7 +458,7 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__threshold"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")  # o pre-filtered to recent
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
