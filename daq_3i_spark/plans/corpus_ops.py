@@ -291,3 +291,67 @@ def op_corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+def _norm_text(dialect_spark: bool) -> str:
+    # whitespace-normalized lowercased text, identical in both dialects
+    if dialect_spark:
+        return "regexp_replace(lower(text), '\\\\s+', ' ')"
+    return "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+@register(
+    "op_stream_corpus_ingest",
+    f"""WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks, text
+      FROM documents
+    ), q AS (
+      SELECT text FROM t
+      WHERE len(toks) >= 4
+        AND 2 * list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) <= len(toks)
+    )
+    SELECT DISTINCT {DUCK.char_hash(_norm_text(False))} AS fingerprint
+    FROM q""",
+    doc="continuous corpus ingestion as a streaming query: documents replay "
+    "through an on-the-fly repetition quality gate, then streaming exact "
+    "dedup keyed on the portable content fingerprint (rolling hash of the "
+    "normalized text) — dropDuplicates keyed state across micro-batches, "
+    "the LLM-corpus twin of op_stream_dedup_keys.  Emitting just the "
+    "fingerprint keys makes the drained result deterministic; at 100 TB "
+    "this is the ingest-time dedup that keeps exact-duplicate pages from "
+    "ever landing in the corpus store",
+)
+def op_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from daq_3i_spark.plans.streaming_ops import pinned_shuffle
+    from daq_3i_spark.sources.tables import pin_utc
+
+    pin_utc(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "documents.parque[t]")
+    )
+    toks = F.split(F.lower("text"), " ")
+    top_n = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " w -> size(filter(toks, x -> x = w))))"
+    )
+    gated = (
+        raw.select("text", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter((F.col("n_tokens") >= 4) & (2 * top_n <= F.col("n_tokens")))
+        .select(F.expr(SPARK.char_hash(_norm_text(True))).alias("fingerprint"))
+    )
+    with pinned_shuffle(spark):
+        q = (
+            gated.dropDuplicates(["fingerprint"])
+            .writeStream.format("memory")
+            .queryName("stream_corpus_ingest")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_corpus_ingest")
