@@ -263,6 +263,13 @@ def op_corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("toks")
     )
+    # materialize the gated set ONCE: it feeds both the shingle branch and
+    # the dedup branch, and the O(tokens x distinct-tokens) repetition gate
+    # would otherwise re-run per branch (no subtree reuse across DataFrame
+    # references) — measured ~40% off the op at sf0.1.  On a cluster,
+    # reliable checkpoint/Delta materialization replaces localCheckpoint
+    # (same note as the LSH ops, SCALE.md).
+    q = q.localCheckpoint(eager=True)
     esh = (
         docs.filter(
             (F.col("doc_id") % 97 == 0)
