@@ -31,6 +31,7 @@ _CHECK_PRIORITY = [
     # -- new this round ------------------------------------------------------
     "op_graceful_stop", "op_pack_sequences", "op_contamination_check",
     "op_text_repetition", "op_corpus_training_shards", "op_stream_corpus_ingest",
+    "op_sim_range_search",
     # -- round-3 non-pass, fixed this round ----------------------------------
     "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_rollup",
     "op_sql_cube", "op_sql_running_sum", "op_sql_json",
@@ -44,7 +45,7 @@ _CHECK_PRIORITY = [
     "op_sql_q11_topvalue", "op_sql_q22_idle_rich", "op_window_agg_events",
     "op_session_window_batch",
     # -- family anchors (re-verify a representative of each family) ----------
-    "op_decode_registers", "op_retention_topk", "op_dedup_exact",
+    "op_decode_registers", "op_dedup_exact",
 ]
 
 

@@ -351,6 +351,47 @@ def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.3  # cosine radius for range search
+
+
+@register(
+    "op_sim_range_search",
+    f"""WITH en AS (
+      SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS nq FROM en
+          WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT q.query_id, e.vec_id,
+             ({duckdb_dot_fold('q.qe', 'e.embedding')}) / sqrt(q.nq * e.n2)
+               AS cos_sim
+      FROM q JOIN en e ON q.query_id <> e.vec_id
+    ) WHERE cos_sim >= {_RANGE_TAU}""",
+    doc=f"radius (range) similarity search: every corpus vector within "
+    f"cosine >= {_RANGE_TAU} of each of the {_N_QUERIES} query vectors — "
+    "the retrieval mode top-k can't express (result size driven by the "
+    "data, not k).  Same broadcast-queries + one-Arrow-pass corpus scan as "
+    "op_sim_topk but with NO shuffle at all: the radius predicate filters "
+    "inside the scan stage, so at 100 TB the cost is exactly one pass over "
+    "the embeddings",
+)
+def op_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return (
+        cos_scores_queries(emb, qids, Q)
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
 _LSH_PLANES = 4  # 16 sign buckets; bucket ~= |corpus|/16 vectors
 
 

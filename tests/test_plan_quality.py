@@ -28,6 +28,7 @@ _EXECUTING = {name for name in QUERIES if name.startswith("op_stream_")} | {
 _BNL_ALLOWED = {
     "op_sim_topk",
     "op_sim_lsh_topk",
+    "op_sim_range_search",
     "op_sql_scalar_subquery",
     "op_asof_join",  # union branch pruning can leave a broadcast single-row join
     "op_filter_dirty",  # ts > (scalar max_ts - 1h): single-row broadcast side
