@@ -224,7 +224,7 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT t.doc_id FROM tsh t JOIN esh USING (h)
     ), clean AS (
       SELECT doc_id, source, n_tokens,
-             regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+             regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS norm
       FROM q WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
     ), keep AS (
       SELECT min(doc_id) AS doc_id FROM clean GROUP BY norm
@@ -287,24 +287,32 @@ def op_corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_tokens",
-        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm"),
+        # explicit class, not \s: Java \s includes \x0b, RE2 \s does not —
+        # the class below is identical in both engines (ADVICE r4)
+        F.regexp_replace(F.lower("text"), r"[ \t\n\x0b\f\r]+", " ").alias("norm"),
     )
     keep = clean.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     dedup = clean.join(keep, "doc_id", "semi")
     return dedup.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        ((F.sum("n_tokens") + (_PACK_BUDGET - 1)).cast("long") / _PACK_BUDGET)
-        .cast("long")
-        .alias("n_seqs"),
+        # integer DIV, not float /: matches the oracle's BIGINT // exactly
+        # for any _PACK_BUDGET, not just powers of two (ADVICE r4)
+        F.expr(
+            f"(CAST(sum(n_tokens) AS BIGINT) + {_PACK_BUDGET - 1}) DIV {_PACK_BUDGET}"
+        ).alias("n_seqs"),
     )
 
 
 def _norm_text(dialect_spark: bool) -> str:
-    # whitespace-normalized lowercased text, identical in both dialects
+    # whitespace-normalized lowercased text, identical in both dialects.
+    # Explicit character class instead of \s: Java regex \s includes
+    # vertical tab \x0b, RE2 \s does not (ADVICE r4).  Spark SQL string
+    # literals unescape backslashes once, DuckDB literals do not — hence
+    # the doubled backslashes on the Spark side only.
     if dialect_spark:
-        return "regexp_replace(lower(text), '\\\\s+', ' ')"
-    return "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+        return "regexp_replace(lower(text), '[ \\\\t\\\\n\\\\x0b\\\\f\\\\r]+', ' ')"
+    return "regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 
 
 @register(

@@ -45,10 +45,10 @@ from daq_3i_spark.functions.vectors import (
     duckdb_norm2_fold,
     sign_buckets_np,
 )
+from daq_3i_spark.functions.numeric import fx_sum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_spread, load_table
 
-_DEC = "decimal(18,6)"
 
 # ---------------------------------------------------------------------------
 # dedup family
@@ -747,7 +747,7 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
              AS window_end_us,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="tumbling 1-minute event-time windows per event_type (batch twin of "
     "streaming/pipeline.py's windowed aggregation; epoch-aligned in both "
@@ -761,7 +761,7 @@ def op_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            fx_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_micros("w.start").alias("window_start_us"),
@@ -1129,7 +1129,7 @@ def op_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value
     FROM w GROUP BY 1, 2, 3""",
     doc="sliding event-time windows (2-minute width, 1-minute slide): each "
     "event lands in exactly 2 windows; Spark's F.window handles the "
@@ -1141,7 +1141,7 @@ def op_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            fx_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -38,10 +38,10 @@ from daq_3i_spark.plans.extension_ops import (
     _duck_sig_cte,
     op_dedup_minhash,
 )
+from daq_3i_spark.functions.numeric import fx_sum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_spread, load_table
 
-_DEC = "decimal(18,6)"
 
 # ---------------------------------------------------------------------------
 # duplicate clusters: connected components over the MinHash pair graph
@@ -295,7 +295,7 @@ def _duck_bm25_term(tf: str, df: str) -> str:
       FROM documents
     ),
     g AS (
-      SELECT CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl,
+      SELECT (CAST(CAST(SUM(CAST(FLOOR((dl) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) / COUNT(*) AS avgdl,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
              CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
@@ -336,7 +336,7 @@ def op_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     g = t.agg(
-        (F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count("*")).alias("avgdl"),
+        (fx_sum(F.col("dl")) / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
         *[
             F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
@@ -430,7 +430,7 @@ _GAP_S = 600  # 10 minutes, matching op_session_window_batch
            epoch_us(min(ts)) AS session_start_us,
            epoch_us(max(ts)) + {_GAP_S} * 1000000 AS session_end_us,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value
     FROM s GROUP BY user_id, sid""",
     doc="Spark's native session_window (10-min gap) as a real streaming "
     "aggregation with keyed session state, drained with availableNow in "
@@ -461,7 +461,7 @@ def op_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.session_window("ts", f"{_GAP_S} seconds"), "user_id")
             .agg(
                 F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+                fx_sum(F.col("value")).alias("sum_value"),
             )
             .writeStream.format("memory")
             .queryName("stream_session_window")

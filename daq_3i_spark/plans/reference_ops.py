@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from daq_3i_spark.functions.convert import convert_case_column, convert_case_duckdb
 from daq_3i_spark.functions.decode import decode_cols, decode_sql_duckdb
 from daq_3i_spark.operators.core import latest_per_key, oldest_n_per_key
+from daq_3i_spark.functions.numeric import fx_sum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events
 from daq_3i_spark.sources.daq_dims import (
@@ -34,7 +35,6 @@ from daq_3i_spark.sources.daq_dims import (
 _D = dims_cte_sql()
 _CONVS = [(cid, expr) for cid, _name, expr in conversions_rows()]
 
-_DEC = "decimal(25,6)"
 
 
 def _cd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,7 +692,7 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel_id, epoch_us(bucket_ts) AS bucket_us,
            count(*) AS n_samples,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+           (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value,
            min(value) AS min_value, max(value) AS max_value
     FROM b GROUP BY channel_id, bucket_ts""",
     doc="hypertable-style continuous aggregate: hourly per-channel rollup of "
@@ -710,7 +710,7 @@ def op_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd.groupBy("channel_id", bucket.alias("bucket_ts"))
         .agg(
             F.count("*").alias("n_samples"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            fx_sum(F.col("value")).alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )

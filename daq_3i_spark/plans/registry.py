@@ -10,15 +10,14 @@ Determinism conventions (so the order-insensitive value hash matches):
   correctly-rounded primitives (+ - * / sqrt; never libm pow) are
   bit-identical across engines, so no rounding is needed;
 * float AGGREGATES (sums/avgs) are order-nondeterministic, so they are
-  computed as exact decimal sums — SUM(CAST(x AS DECIMAL(18,6))) — and the
-  final column is cast to DOUBLE in BOTH dialects (the decimal->double cast
-  of the same exact sum is correctly rounded, hence bit-identical).  The
-  final cast must NOT stay decimal: the driver's oracle fetch coerces DuckDB
-  decimals to float64 while Spark collects Decimal objects, so a decimal
-  OUTPUT column never hash-matches.  18 digits keeps Spark's unscaled-long
-  decimal fast path in reach while holding every value domain in the
-  testdata (≤1e12 with 6 decimals); reference_ops keeps decimal(25,6)
-  internally where it mirrors the reference's own sink type (db_model.py:54);
+  computed as exact 6-decimal fixed-point BIGINT sums surfaced as DOUBLE —
+  see functions/numeric.py (fx_sum / fx_sum_sql) for the construction and
+  why it is bit-identical across engines at ANY magnitude (the earlier
+  DECIMAL(18,6)-sum-cast-to-DOUBLE convention relied on DuckDB's
+  decimal->double cast being correctly rounded, which fails past 2^53
+  unscaled).  The surfaced column must NOT stay decimal: the driver's
+  oracle fetch coerces DuckDB decimals to float64 while Spark collects
+  Decimal objects, so a decimal OUTPUT column never hash-matches;
 * every aggregate/computed column is aliased identically in both dialects;
 * no query depends on row order (the driver sorts before hashing).
 """

@@ -7,9 +7,10 @@ broadcast dims, semi/anti joins, grouping sets (rollup/cube), set ops,
 ranking/analytic windows, scalar subqueries, conditional pivots, JSON
 extraction.  Each query is written identically for Catalyst and DuckDB.
 
-Float-aggregate convention (see plans/registry.py): revenue-style sums are
-exact decimal sums pinned to DECIMAL(18,6); averages divide two exact
-quantities as doubles (bit-identical across engines).
+Float-aggregate convention (see functions/numeric.py): revenue-style sums
+are exact 6-decimal fixed-point BIGINT sums surfaced as DOUBLE through
+correctly-rounded IEEE primitives only — bit-identical across engines by
+construction; averages divide two such exact quantities as doubles.
 """
 
 from __future__ import annotations
@@ -17,18 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql as FX, fx_unscaled
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_table, spread
 
-_DEC = "decimal(18,6)"
-
-
-def _dec_sum(col):
-    # exact decimal sum (order-insensitive), surfaced as DOUBLE: the
-    # driver's oracle fetch coerces DuckDB decimals to float64, so decimal
-    # OUTPUT columns can never hash-match — the decimal->double cast of the
-    # same exact sum is correctly rounded and bit-identical in both engines.
-    return F.sum(col.cast(_DEC)).cast("double")
 
 
 # --- TPC-H Q1: scan-heavy groupBy with many aggregates -------------------------
@@ -36,16 +29,14 @@ def _dec_sum(col):
 
 @register(
     "op_sql_q1",
-    """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
-         AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
-         AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    f"""SELECT l_returnflag, l_linestatus,
+       {FX('l_quantity')} AS sum_qty,
+       {FX('l_extendedprice')} AS sum_base_price,
+       {FX('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {FX('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {FX('l_quantity')} / COUNT(*) AS avg_qty,
+       {FX('l_extendedprice')} / COUNT(*) AS avg_price,
+       {FX('l_discount')} / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus""",
@@ -59,15 +50,13 @@ def op_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-        _dec_sum(disc_price).alias("sum_disc_price"),
-        _dec_sum(charge).alias("sum_charge"),
-        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias("avg_qty"),
-        (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count("*")).alias(
-            "avg_price"
-        ),
-        (F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+        fx_sum(F.col("l_quantity")).alias("sum_qty"),
+        fx_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        fx_sum(disc_price).alias("sum_disc_price"),
+        fx_sum(charge).alias("sum_charge"),
+        (fx_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        (fx_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+        (fx_sum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -77,9 +66,8 @@ def op_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q3_topk",
-    """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-         AS DOUBLE) AS revenue
+    f"""SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       {FX('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -103,7 +91,7 @@ def op_sql_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(fx_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -114,9 +102,8 @@ def op_sql_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q5_region",
-    """SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-         AS DOUBLE) AS revenue
+    f"""SELECT n.n_name,
+       {FX('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -147,7 +134,7 @@ def op_sql_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(fx_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -200,9 +187,9 @@ def op_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_rollup",
-    """SELECT l_returnflag, l_linestatus,
+    f"""SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       {FX('l_quantity')} AS sum_qty,
        COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     doc="hierarchical subtotals (ROLLUP) with GROUPING() disambiguation",
@@ -212,17 +199,17 @@ def op_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").alias("g_flag"),
         F.grouping("l_linestatus").alias("g_status"),
-        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        fx_sum(F.col("l_quantity")).alias("sum_qty"),
         F.count("*").alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
 
 
 @register(
     "op_sql_cube",
-    """SELECT o_orderstatus, o_orderpriority,
+    f"""SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+       {FX('o_totalprice')} AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     doc="full cross-dimensional subtotals (CUBE)",
 )
@@ -232,7 +219,7 @@ def op_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").alias("g_status"),
         F.grouping("o_orderpriority").alias("g_prio"),
         F.count("*").alias("n"),
-        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        fx_sum(F.col("o_totalprice")).alias("sum_price"),
     ).select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "sum_price")
 
 
@@ -274,10 +261,10 @@ def op_sql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_sql_running_sum",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+       CAST(CAST(SUM(CAST(FLOOR((l_quantity) * 1e6 + 0.5) AS BIGINT))
          OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-         AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+         / 1e6 AS running_qty
     FROM lineitem WHERE l_suppkey <= 5""",
     doc="running aggregate over an ordered frame (cumulative quantity per supplier)",
 )
@@ -292,7 +279,9 @@ def op_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double").alias("running_qty"),
+        (F.sum(fx_unscaled(F.col("l_quantity"))).over(w).cast("double") / F.lit(1e6)).alias(
+            "running_qty"
+        ),
     )
 
 
@@ -301,18 +290,16 @@ def op_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_scalar_subquery",
-    """SELECT p_partkey, p_name, p_retailprice
+    f"""SELECT p_partkey, p_name, p_retailprice
     FROM part
     WHERE p_retailprice > (
-      SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM part)""",
+      SELECT {FX('p_retailprice')} / COUNT(*) FROM part)""",
     doc="uncorrelated scalar subquery: parts pricier than the mean "
-    "(mean via exact decimal sum for cross-engine determinism)",
+    "(mean via exact fixed-point sum for cross-engine determinism)",
 )
 def op_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    mean = p.agg(
-        (F.sum(F.col("p_retailprice").cast(_DEC)).cast("double") / F.count("*")).alias("m")
-    )
+    mean = p.agg((fx_sum(F.col("p_retailprice")) / F.count("*")).alias("m"))
     return (
         p.crossJoin(F.broadcast(mean))
         .filter(F.col("p_retailprice") > F.col("m"))
@@ -346,9 +333,9 @@ def op_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_json",
-    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    f"""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       {FX('value')} AS sum_value
     FROM events GROUP BY 1""",
     doc="JSON property extraction on events.props (get_json_object) + aggregate",
 )
@@ -359,7 +346,7 @@ def op_sql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
         )
         .groupBy("k")
-        .agg(F.count("*").alias("n"), _dec_sum(F.col("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n"), fx_sum(F.col("value")).alias("sum_value"))
     )
 
 
@@ -414,12 +401,12 @@ def op_sql_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_having_bigorders",
-    """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    f"""SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {FX('l.l_quantity')} AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
-    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) > 150""",
-    doc="TPC-H Q18 analog: grouped decimal sum with a HAVING filter — the "
+    HAVING {FX('l.l_quantity')} > 150""",
+    doc="TPC-H Q18 analog: grouped exact fixed-point sum with a HAVING filter — the "
     "filter applies post-aggregate (cannot push down), everything else is "
     "one hash aggregate after the join",
 )
@@ -429,7 +416,7 @@ def op_sql_having_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .agg(fx_sum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
 
@@ -463,8 +450,8 @@ def op_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_grouping_sets",
-    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    f"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           {FX('o_totalprice')} AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))""",
@@ -475,7 +462,8 @@ def op_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+               CAST(SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1e6 AS total
         FROM v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))"""

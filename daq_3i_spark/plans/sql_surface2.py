@@ -3,10 +3,10 @@ driver's slimmed star schema (no partsupp / shipmode / commitdate columns, so
 Q2/Q4/Q12/Q16/Q20/Q21 have no faithful analog; cost-side expressions use
 p_retailprice as the supply-cost proxy and are labeled as analogs).
 
-Same conventions as sql_surface.py (plans/registry.py docstring): float
-aggregates as exact DECIMAL(18,6) sums, averages/ratios as double divisions
-of exact sums, identical aliasing in both dialects, broadcast hints on every
-dimension side.  Each query is the canonical multi-join/agg/subquery shape
+Same conventions as sql_surface.py (functions/numeric.py docstring): float
+aggregates as exact fixed-point BIGINT sums surfaced as DOUBLE,
+averages/ratios as double divisions of exact sums, identical aliasing in
+both dialects, broadcast hints on every dimension side.  Each query is the canonical multi-join/agg/subquery shape
 Catalyst should collapse into broadcast hash joins over one fact scan —
 `.explain` shows no shuffle except the final groupBy exchanges.
 """
@@ -16,15 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql as FX
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_table, spread
-
-_DEC = "decimal(18,6)"
-
-
-def _dec_sum(col):
-    # exact decimal sum surfaced as DOUBLE (see sql_surface._dec_sum)
-    return F.sum(col.cast(_DEC)).cast("double")
 
 
 def _revenue():
@@ -36,8 +30,8 @@ def _revenue():
 
 @register(
     "op_sql_q7_volume",
-    """SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    f"""SELECT supp_nation, cust_nation, l_year,
+       {FX('volume')} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -81,7 +75,7 @@ def op_sql_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(_dec_sum(_revenue()).alias("revenue"))
+        .agg(fx_sum(_revenue()).alias("revenue"))
     )
 
 
@@ -90,10 +84,9 @@ def op_sql_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q8_market_share",
-    """SELECT o_year,
-       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
-            AS DECIMAL(18,6))) AS DOUBLE)
-         / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    f"""SELECT o_year,
+       {FX("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+         / {FX('volume')} AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -139,9 +132,7 @@ def op_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (_dec_sum(promo).cast("double") / _dec_sum(volume).cast("double")).alias(
-                "mkt_share"
-            )
+            (fx_sum(promo) / fx_sum(volume)).alias("mkt_share")
         )
     )
 
@@ -151,8 +142,8 @@ def op_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q9_profit",
-    """SELECT nation, o_year,
-       CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    f"""SELECT nation, o_year,
+       {FX('amount')} AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
@@ -185,7 +176,7 @@ def op_sql_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(_dec_sum(amount).alias("sum_profit"))
+        .agg(fx_sum(amount).alias("sum_profit"))
     )
 
 
@@ -194,9 +185,8 @@ def op_sql_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q10_returned",
-    """SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-         AS DOUBLE) AS revenue
+    f"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       {FX('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -223,7 +213,7 @@ def op_sql_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(_dec_sum(_revenue()).alias("revenue"))
+        .agg(fx_sum(_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -234,16 +224,14 @@ def op_sql_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q11_topvalue",
-    """WITH pv AS (
+    f"""WITH pv AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
-               AS DOUBLE) AS part_value
+             {FX('l_extendedprice * l_quantity')} AS part_value
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, part_value FROM pv
     WHERE CAST(part_value AS DOUBLE) >
-          (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
-             AS DOUBLE) * CAST(1.2 AS DOUBLE)
+          (SELECT {FX('l_extendedprice * l_quantity')} * CAST(1.2 AS DOUBLE)
              / COUNT(DISTINCT l_partkey) FROM lineitem)""",
     doc="TPC-H Q11 analog (no partsupp: traded value per part from lineitem): "
     "aggregate, then keep parts above 1.2x the mean part share via an "
@@ -254,12 +242,9 @@ def op_sql_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_sql_q11_topvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * F.col("l_quantity")
-    pv = li.groupBy("l_partkey").agg(_dec_sum(value).alias("part_value"))
+    pv = li.groupBy("l_partkey").agg(fx_sum(value).alias("part_value"))
     total = li.agg(
-        (
-            _dec_sum(value).cast("double") * F.lit(1.2)
-            / F.countDistinct("l_partkey")
-        ).alias("__threshold")
+        (fx_sum(value) * F.lit(1.2) / F.countDistinct("l_partkey")).alias("__threshold")
     )
     return (
         pv.crossJoin(F.broadcast(total))
@@ -273,12 +258,10 @@ def op_sql_q11_topvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q14_promo",
-    """SELECT CAST(100.0 AS DOUBLE)
-        * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
-               AS DECIMAL(18,6))) AS DOUBLE)
-        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-               AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+    f"""SELECT CAST(100.0 AS DOUBLE)
+        * {FX("CASE WHEN p.p_type = 'PROMO'"
+              " THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+        / {FX('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
@@ -294,11 +277,7 @@ def op_sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
-        (
-            F.lit(100.0)
-            * _dec_sum(promo).cast("double")
-            / _dec_sum(rev).cast("double")
-        ).alias("promo_revenue")
+        (F.lit(100.0) * fx_sum(promo) / fx_sum(rev)).alias("promo_revenue")
     )
 
 
@@ -307,10 +286,9 @@ def op_sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q15_topsupplier",
-    """WITH rev AS (
+    f"""WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-               AS DOUBLE) AS total_revenue
+             {FX('l_extendedprice * (1 - l_discount)')} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -329,7 +307,7 @@ def op_sql_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _dec_sum(_revenue()).alias("total_revenue")
+        fx_sum(_revenue()).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     s = load_table(spark, sf_dir, "supplier")
@@ -346,14 +324,12 @@ def op_sql_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q17_smallqty",
-    """WITH pq AS (
+    f"""WITH pq AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*) AS avg_qty
+             {FX('l_quantity')} / COUNT(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    SELECT {FX('l.l_extendedprice')} / CAST(7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN pq ON pq.l_partkey = l.l_partkey
@@ -366,20 +342,14 @@ def op_sql_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_sql_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pq = li.groupBy("l_partkey").agg(
-        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias(
-            "avg_qty"
-        )
+        (fx_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty")
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(pq.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
-        .agg(
-            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias(
-                "avg_yearly"
-            )
-        )
+        .agg((fx_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -388,8 +358,7 @@ def op_sql_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q19_disjunction",
-    """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    f"""SELECT {FX('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 11)
@@ -413,7 +382,7 @@ def op_sql_q19_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
-        .agg(_dec_sum(_revenue()).alias("revenue"))
+        .agg(fx_sum(_revenue()).alias("revenue"))
     )
 
 
@@ -422,15 +391,13 @@ def op_sql_q19_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q22_idle_rich",
-    """WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-               AS threshold
+    f"""WITH avg_bal AS (
+      SELECT {FX('c_acctbal')} / COUNT(*) AS threshold
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-             AS totacctbal
+           {FX('c.c_acctbal')} AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT threshold FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -451,9 +418,7 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias(
-            "__threshold"
-        )
+        (fx_sum(F.col("c_acctbal")) / F.count("*")).alias("__threshold")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -462,7 +427,7 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+            fx_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
@@ -497,8 +462,7 @@ def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_q6_forecast",
-    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-             AS DOUBLE) AS revenue
+    f"""SELECT {FX('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -517,7 +481,7 @@ def op_sql_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        fx_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
     )
 
 

@@ -21,11 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from daq_3i_spark.functions.convert import convert_case_duckdb
+from daq_3i_spark.functions.decode import REG_COUNT, decode_sql_duckdb
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.daq_dims import conversions_rows, dims_cte_sql
 
 _D = dims_cte_sql()
 _CONVS = [(cid, expr) for cid, _name, expr in conversions_rows()]
+
+# the modbus_sim poll instant used by op_source_modbus_sim AND its oracle
+_MODBUS_POLL_TS = 1_700_000_000
+
+# REG_COUNT (functions/decode.py) rendered as SQL, for the simulator oracle
+_REG_COUNT_SQL = (
+    "CASE format_code "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(REG_COUNT.items()))
+    + " ELSE 1 END"
+)
 
 _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".tmp")
@@ -95,7 +106,7 @@ def op_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute')
              AS window_end_us,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value
     FROM events GROUP BY 1, 2, 3""",
     doc="watermarked tumbling-window aggregation running as a real streaming "
     "query (readStream replay, complete mode, availableNow drain); equals "
@@ -191,12 +202,36 @@ def op_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_stream_due_filter",
-    None,  # sequential per-key emission state is not SQL-expressible
+    f"""WITH RECURSIVE {_D},
+    t AS (
+      SELECT cd.id, cd.channel_id, cd.ts, cd.value,
+             CAST(ch.timing AS BIGINT) * 1000000 AS timing_us,
+             row_number() OVER (PARTITION BY cd.channel_id
+                                ORDER BY cd.ts, cd.id) AS rn
+      FROM channel_data cd JOIN channels ch ON cd.channel_id = ch.id
+    ),
+    walk AS (
+      SELECT channel_id, rn, id, ts, value,
+             epoch_us(ts) AS last_us, TRUE AS emitted
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.channel_id, t.rn, t.id, t.ts, t.value,
+             CASE WHEN epoch_us(t.ts) - w.last_us > t.timing_us
+                  THEN epoch_us(t.ts) ELSE w.last_us END,
+             epoch_us(t.ts) - w.last_us > t.timing_us
+      FROM t JOIN walk w ON t.channel_id = w.channel_id AND t.rn = w.rn + 1
+    )
+    SELECT channel_id, id, ts, value FROM walk WHERE emitted""",
+    # the keyed-state walk IS SQL-expressible as a recursive CTE: one
+    # frontier row per channel per step, carrying the last-emitted clock —
+    # exactly _due_fn's sequential scan in (ts, id) order.  The availableNow
+    # single-file replay delivers one micro-batch, so the streaming result
+    # equals this whole-history walk.
     doc="the per-channel sampling-interval gate (check_read_due, bus.py:38-49) "
     "as a keyed-state streaming op: emit iff ts - last_emitted_ts > timing "
-    "(strict, seconds), state = one timestamp per channel. Checked row-only "
-    "here; tests/test_streaming.py verifies against a sequential reference "
-    "implementation",
+    "(strict, seconds), state = one timestamp per channel.  Oracled via a "
+    "recursive-CTE replay of the same walk; tests/test_streaming.py also "
+    "verifies against a sequential reference implementation",
 )
 def op_stream_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.daq_dims import channels_df
@@ -222,11 +257,33 @@ def op_stream_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_source_modbus_sim",
-    None,  # custom DataSource — rows-only driver check
+    f"""WITH {_D},
+    polled AS (
+      SELECT c.id AS channel_id, c.bus_id, c.address, c.format_code,
+             {_REG_COUNT_SQL} AS n_regs
+      FROM channels c JOIN buses b ON c.bus_id = b.id
+      WHERE c.enabled AND b.enabled AND b.protocol = 1 AND c.func_code = 3
+    ),
+    regs AS (
+      SELECT channel_id, bus_id, address, format_code,
+             address % 65536 AS r0,
+             CASE WHEN n_regs >= 2 THEN (address + 1) % 65536 END AS r1,
+             CASE WHEN n_regs >= 3 THEN (address + 2) % 65536 END AS r2
+      FROM polled
+    )
+    SELECT channel_id, bus_id, address, format_code,
+           make_timestamp({_MODBUS_POLL_TS * 1_000_000}) AS ts,
+           {decode_sql_duckdb('format_code', 'r0', 'r1', 'r2')} AS value
+    FROM regs""",
+    # the simulator is fully pinned (register n holds n + tick, one tick,
+    # poll_ts fixed — modbus_server.py:89-95), so the oracle reconstructs the
+    # poll sweep from the dims CTE + the shared DuckDB decode rendering
     doc="the MODBUS acquisition source as a PySpark Python DataSource "
     "(sources/modbus_source.py): simulated device with the reference "
     "simulator's register map, partitioned one-per-bus, decode applied "
-    "downstream; live pymodbus transport is the documented swap-in",
+    "downstream; live pymodbus transport is the documented swap-in.  "
+    "Deterministic, so fully oracled: the expected sweep is rebuilt in SQL "
+    "from the same dims fixture and decode arithmetic",
 )
 def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.decode import decode_cols
@@ -236,7 +293,7 @@ def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(ModbusSimDataSource)
     except Exception:
         pass  # already registered in this session
-    raw = spark.read.format("modbus_sim").option("poll_ts", 1_700_000_000).load()
+    raw = spark.read.format("modbus_sim").option("poll_ts", _MODBUS_POLL_TS).load()
     return raw.select(
         "channel_id",
         "bus_id",
@@ -263,7 +320,7 @@ def op_source_modbus_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            CAST(window_start + INTERVAL '2 minutes' AS TIMESTAMP) AS window_end,
            event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value
     FROM w GROUP BY 1, 2, 3""",
     doc="sliding event-time windows (2-min width, 1-min slide) as a real "
     "watermarked streaming aggregation (complete-mode availableNow drain; "

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(25,6)"
+from daq_3i_spark.functions.numeric import fx_sum
 
 
 def windowed_aggs(events: DataFrame, width: str = "1 minute") -> DataFrame:
@@ -25,7 +25,7 @@ def windowed_aggs(events: DataFrame, width: str = "1 minute") -> DataFrame:
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            fx_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -48,7 +48,7 @@ def sliding_aggs(
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            fx_sum(F.col("value")).alias(
                 "sum_value"
             ),
         )
