@@ -40,36 +40,88 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_media(payload: bytes, mime: str) -> np.ndarray:
-    """Decode an image/audio/video payload to a sample array.
+_PNM_MAGIC = {b"P5": ("image/x-portable-graymap", 1), b"P6": ("image/x-portable-pixmap", 3)}
 
-    STUB: real codecs (PIL / soundfile / av) are not present in this
-    environment.  The Spark-side contract is what matters: bytes in, ndarray
-    out, called only from within an Arrow batch.
+
+def _parse_pnm_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a binary PNM (P5/P6) header: returns (channels, width, height,
+    maxval, data_offset).  Public format, netpbm spec: magic, then
+    whitespace/comment-separated width height maxval, then ONE whitespace
+    byte, then raw samples."""
+    if payload[:2] not in _PNM_MAGIC:
+        raise ValueError(f"not a binary PNM payload: magic {payload[:2]!r}")
+    channels = _PNM_MAGIC[payload[:2]][1]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PNM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields[0], fields[1], fields[2]
+    return channels, width, height, maxval, pos
+
+
+def decode_media(payload: bytes, mime: str) -> np.ndarray:
+    """Decode an image payload to an (H, W, C) uint8 sample array.
+
+    Real decode for the binary netpbm formats (pure numpy, no codec deps):
+    ``image/x-portable-pixmap`` (PPM/P6, RGB) and
+    ``image/x-portable-graymap`` (PGM/P5, gray).  Every other mime raises —
+    compressed codecs (JPEG/PNG/audio/video) need libraries not present in
+    this environment; they would plug in here behind the same
+    bytes-in/ndarray-out contract, called only from within an Arrow batch.
     """
+    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        channels, width, height, maxval, off = _parse_pnm_header(payload)
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        need = width * height * channels
+        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        return data.reshape(height, width, channels)
     raise NotImplementedError(
-        f"media decode for {mime!r} requires codec libraries not present here; "
-        "extract_features uses deterministic byte statistics instead"
+        f"media decode for {mime!r} requires codec libraries not present here"
     )
 
 
 def _byte_features(payload: bytes) -> np.ndarray:
-    """Deterministic fake feature vector from byte statistics (stands in for
-    the real decoder's embedding; stable across runs and partitionings)."""
+    """Deterministic feature vector from byte statistics (stands in for the
+    real decoder's embedding; stable across runs and partitionings).
+
+    Cross-engine determinism (the DuckDB oracle recomputes these): every
+    float is derived from EXACT integer aggregates (sum, sum-of-squares,
+    min, max, counts) through a fixed tree of correctly-rounded IEEE ops
+    (divide, multiply, subtract, sqrt) — bit-identical to the same formula
+    evaluated in SQL, no accumulation-order dependence."""
     if not payload:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
-    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    n = float(b.size)
+    import math
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n = b.size
+    s = int(b.sum(dtype=np.int64))
+    s2 = int((b.astype(np.int64) ** 2).sum(dtype=np.int64))
+    mu = s / n
+    var = s2 / n - mu * mu
+    std = math.sqrt(var) if var > 0 else 0.0
     feats = np.array(
         [
-            n,
-            b.mean(),
-            b.std(),
-            b.min(),
-            b.max(),
-            float(np.count_nonzero(b > 127)) / n,
-            b[0],
-            b[-1],
+            float(n),
+            mu,
+            std,
+            float(int(b.min())),
+            float(int(b.max())),
+            int((b > 127).sum()) / n,
+            float(b[0]),
+            float(b[-1]),
         ],
         dtype=np.float64,
     )

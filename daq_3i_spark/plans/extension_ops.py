@@ -708,15 +708,61 @@ def op_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB has no byte-iteration over BLOBs; the oracle kernel extracts the
+# byte list through hex() — element i is the pair of hex digits 2i-1, 2i.
+_BYTES_KERNEL = (
+    "list_transform(range(1, octet_length(payload) + 1), i ->"
+    " (strpos('0123456789ABCDEF', substr(hex(payload), 2*i-1, 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', substr(hex(payload), 2*i, 1)) - 1))"
+)
+
+
 @register(
     "op_multimodal_features",
-    None,  # Arrow/pandas path — rows-only driver check
+    f"""WITH p AS (
+      SELECT doc_id, 'text/plain' AS mime, encode(text) AS payload
+      FROM documents
+    ), b AS (
+      SELECT doc_id, mime, octet_length(payload) AS n,
+             {_BYTES_KERNEL} AS bl
+      FROM p
+    ), agg AS (
+      SELECT doc_id, mime, n,
+             CAST(list_sum(bl) AS BIGINT) AS s,
+             CAST(list_sum(list_transform(bl, x -> x * x)) AS BIGINT) AS s2,
+             list_min(bl) AS mn, list_max(bl) AS mx,
+             len(list_filter(bl, x -> x > 127)) AS gt,
+             bl[1] AS fst, bl[n] AS lst
+      FROM b
+    ), f AS (
+      SELECT doc_id, mime, n, mn, mx, gt, fst, lst,
+             CAST(s AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+      FROM agg
+    )
+    SELECT doc_id, mime, CAST(n AS INTEGER) AS n_bytes,
+           CAST(n AS REAL) AS f0,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(mu AS REAL) END AS f1,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE
+             CAST(CASE WHEN var > 0 THEN sqrt(var) ELSE 0 END AS REAL) END AS f2,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(mn AS REAL) END AS f3,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(mx AS REAL) END AS f4,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE
+             CAST(CAST(gt AS DOUBLE) / n AS REAL) END AS f5,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(fst AS REAL) END AS f6,
+           CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(lst AS REAL) END AS f7
+    FROM f""",
+    # oracle-matchable by construction: every feature derives from EXACT
+    # integer aggregates through a fixed tree of correctly-rounded IEEE ops
+    # (functions/multimodal.py:_byte_features), then one double->float32
+    # rounding on each side
     doc="multimodal feature extraction over binary payloads via mapInPandas "
-    "(Arrow-batched; the real decode is a documented stub — see "
-    "functions/multimodal.py): deterministic 8-dim byte-statistics features, "
-    "projected to scalar columns f0..f7 (the driver's canonicalizer can't "
-    "hash array cells). The Spark plumbing (schema, batching, partition "
-    "preservation) is real",
+    "(Arrow-batched, numpy per batch, no shuffle): deterministic 8-dim "
+    "byte-statistics features projected to scalar columns f0..f7 (the "
+    "driver's canonicalizer can't hash array cells), fully hash-oracled "
+    "against a DuckDB re-derivation over hex(payload).  Real image decode "
+    "lives in op_multimodal_decode",
 )
 def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.multimodal import FEATURE_DIM, extract_features
@@ -734,6 +780,93 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.get("features", i).alias(f"f{i}") for i in range(FEATURE_DIM)],
     )
+
+
+_PPM_W, _PPM_H = 4, 3
+_PPM_BODY = _PPM_W * _PPM_H * 3  # 36 raw RGB bytes
+_PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n".encode()
+
+
+@register(
+    "op_multimodal_decode",
+    f"""WITH p AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), b AS (
+      SELECT doc_id, octet_length(payload) AS n,
+             {_BYTES_KERNEL} AS bl
+      FROM p
+    ), body AS (
+      SELECT doc_id,
+             list_transform(range(1, {_PPM_BODY} + 1),
+               i -> CASE WHEN i <= n THEN bl[i] ELSE 0 END) AS px
+      FROM b
+    )
+    SELECT doc_id,
+           CAST({_PPM_W} AS INTEGER) AS width,
+           CAST({_PPM_H} AS INTEGER) AS height,
+           CAST(255 AS INTEGER) AS maxval,
+           CAST(CAST(list_sum(px) AS BIGINT) AS DOUBLE) / {_PPM_BODY} AS px_mean,
+           CAST(CAST(list_sum(list_filter(px, (x, i) -> i % 3 = 1)) AS BIGINT)
+             AS DOUBLE) / {_PPM_W * _PPM_H} AS r_mean,
+           CAST(CAST(list_sum(list_filter(px, (x, i) -> i % 3 = 2)) AS BIGINT)
+             AS DOUBLE) / {_PPM_W * _PPM_H} AS g_mean,
+           CAST(CAST(list_sum(list_filter(px, (x, i) -> i % 3 = 0)) AS BIGINT)
+             AS DOUBLE) / {_PPM_W * _PPM_H} AS b_mean
+    FROM body""",
+    # the oracle never parses PPM: it recomputes the expected pixel stats
+    # straight from the known body bytes (text bytes zero-padded to 36), so
+    # the Spark side's header construction + decode_media parse + reshape is
+    # verified end-to-end against an independent derivation
+    doc="REAL image decode through the multimodal pipeline: each document's "
+    f"bytes are framed as a {_PPM_W}x{_PPM_H} binary PPM (P6) image "
+    "(header + zero-padded RGB body), decoded by the pure-numpy netpbm "
+    "parser (functions/multimodal.py:decode_media — magic, dims, maxval, "
+    "offset, reshape to HxWxC), and reduced to per-image / per-channel "
+    "pixel means via exact integer sums.  mapInPandas Arrow batches, no "
+    "shuffle; the decode is no longer a stub",
+)
+def op_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from daq_3i_spark.functions.multimodal import decode_media
+
+    docs = load_spread(spark, sf_dir, "documents")
+    body = F.substring(
+        F.concat(F.expr("encode(text, 'utf-8')"), F.lit(bytearray(_PPM_BODY))),
+        1,
+        _PPM_BODY,
+    )
+    packed = docs.select(
+        "doc_id", F.concat(F.lit(bytearray(_PPM_HEADER)), body).alias("payload")
+    )
+
+    schema = (
+        "doc_id long, width int, height int, maxval int, "
+        "px_mean double, r_mean double, g_mean double, b_mean double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "maxval",
+                "px_mean", "r_mean", "g_mean", "b_mean",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_media(bytes(payload), "image/x-portable-pixmap")
+                h, w, c = img.shape
+                flat = img.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(255)
+                out["px_mean"].append(int(flat.sum()) / (h * w * c))
+                out["r_mean"].append(int(flat[:, :, 0].sum()) / (h * w))
+                out["g_mean"].append(int(flat[:, :, 1].sum()) / (h * w))
+                out["b_mean"].append(int(flat[:, :, 2].sum()) / (h * w))
+            yield pd.DataFrame(out)
+
+    return packed.mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------

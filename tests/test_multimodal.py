@@ -28,9 +28,33 @@ def packed(spark, sf_dir):
     ).cache()
 
 
-def test_decode_is_documented_stub():
+def test_decode_unsupported_mime_raises():
+    # compressed codecs stay behind the documented capability gate
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_ppm_golden():
+    # 2x2 P6: pixels (R,G,B) = (0,1,2),(3,4,5) / (6,7,8),(9,10,11)
+    payload = b"P6\n2 2\n255\n" + bytes(range(12))
+    img = decode_media(payload, "image/x-portable-pixmap")
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [0, 1, 2]
+    assert img[1, 1].tolist() == [9, 10, 11]
+
+
+def test_decode_pgm_with_comment_header():
+    payload = b"P5\n# a comment line\n3 1\n255\n\x0a\x14\x1e"
+    img = decode_media(payload, "image/x-portable-graymap")
+    assert img.shape == (1, 3, 1)
+    assert img[0, :, 0].tolist() == [10, 20, 30]
+
+
+def test_decode_rejects_malformed():
+    with pytest.raises(ValueError):
+        decode_media(b"GIF89a....", "image/x-portable-pixmap")
+    with pytest.raises(ValueError):
+        decode_media(b"P6\nxx\n255\n", "image/x-portable-pixmap")
 
 
 def test_features_deterministic(spark, packed):
