@@ -58,7 +58,7 @@ from daq_3i_spark.sources.tables import load_events, load_spread, load_table
 @register(
     "op_dedup_exact",
     """WITH n AS (
-      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      SELECT doc_id, regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS norm
       FROM documents
     ), k AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm)
     SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -71,7 +71,7 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate combines map-side and shuffles only (norm-hash, min-id) pairs,
     # and the semi-join shuffles compact longs — never full texts.
     docs = load_spread(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    norm = F.regexp_replace(F.lower("text"), r"[ \t\n\x0b\f\r]+", " ")
     keep = (
         docs.select(F.col("doc_id"), norm.alias("__norm"))
         .groupBy("__norm")
@@ -1053,7 +1053,7 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), survivors2 AS (  -- exact dedup, keep min doc_id per normalized text
       SELECT s.* FROM survivors1 s
       JOIN (SELECT min(doc_id) AS doc_id
-            FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+            FROM (SELECT doc_id, regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS norm
                   FROM survivors1) GROUP BY norm) k USING (doc_id)
     ), th AS (
       SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM survivors2
@@ -1093,7 +1093,7 @@ def op_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = docs.filter(score >= 0.6)
 
-    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    norm = F.regexp_replace(F.lower("text"), r"[ \t\n\x0b\f\r]+", " ")
     keep_exact = (
         s1.select("doc_id", norm.alias("__norm"))
         .groupBy("__norm")

@@ -47,7 +47,6 @@ from daq_3i_spark.sources.tables import load_spread, load_table
 # duplicate clusters: connected components over the MinHash pair graph
 # ---------------------------------------------------------------------------
 
-_CC_MAX_ITERS = 20
 
 
 @register(
@@ -80,64 +79,33 @@ _CC_MAX_ITERS = 20
            CAST(sizes.n AS BIGINT) AS comp_size
     FROM comp JOIN sizes USING (component)""",
     doc="duplicate clusters from the MinHash pair graph: connected components "
-    "by iterative min-label propagation (converged min-label is "
-    "order-independent, so the result is deterministic); each iteration is "
-    "one equi-join + min-aggregate shuffled on node id, lineage cut with "
-    "localCheckpoint. At 100 TB this is the standard alternating large-star/"
-    "small-star CC; dup-cluster diameters are tiny so few rounds converge. "
-    "Oracle: recursive CTE min-reachable-label",
+    "by alternating large-star/small-star contraction "
+    "(operators/graph.py, Kiveris et al. SoCC'14) — O(log^2 n) rounds "
+    "regardless of component diameter, each round two shuffle-on-node "
+    "aggregates over the shrinking edge list; the SCALE.md extreme-scale "
+    "path, now the only implementation.  Deterministic (component = min "
+    "reachable doc_id).  Oracle: recursive CTE min-reachable-label",
 )
 def op_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize the pair list ONCE (the union below has two branches, and
-    # the propagation loop would otherwise re-run the whole MinHash plan
-    # per branch per iteration)
+    from daq_3i_spark.operators.graph import star_components
+
+    # materialize the pair list ONCE (the contraction loop would otherwise
+    # re-run the whole MinHash plan every round)
     pairs = op_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
-    # the label-propagation loop is many tiny shuffles; a default-200
-    # partition count pays scheduler overhead per iteration for kB of data.
-    # Pin the loop's shuffles to the core count, restore after.
+    # the contraction loop is many tiny shuffles; a default-200 partition
+    # count pays scheduler overhead per round for kB of data.  Pin the
+    # loop's shuffles to the core count, restore after.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     try:
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionByName(
-                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-            )
-            .repartition(spark.sparkContext.defaultParallelism, "src")
-            .persist()
-        )
-        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-            "lbl", F.col("node")
-        )
-        labels = labels.localCheckpoint(eager=True)
-        for _ in range(_CC_MAX_ITERS):
-            prop = edges.join(labels, edges.src == labels.node).select(
-                F.col("dst").alias("node"), "lbl"
-            )
-            new = (
-                labels.unionByName(prop)
-                .groupBy("node")
-                .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new.join(labels.withColumnRenamed("lbl", "__old"), "node")
-                .filter(F.col("lbl") < F.col("__old"))
-                .count()
-            )
-            labels = new
-            if changed == 0:
-                break
-        edges.unpersist()
+        labels = star_components(spark, pairs)
         pairs.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("comp_size"))
-    return labels.join(sizes, "lbl").select(
-        F.col("node").alias("doc_id"),
-        F.col("lbl").alias("component"),
-        "comp_size",
-    )
+    sizes = labels.groupBy("component").agg(F.count("*").alias("comp_size"))
+    return labels.join(sizes, "component").select("doc_id", "component", "comp_size")
 
 
 # ---------------------------------------------------------------------------

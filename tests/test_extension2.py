@@ -27,6 +27,49 @@ def test_components_cover_pairs(spark, sf_dir, components):
         )
 
 
+def test_star_components_deep_chain(spark):
+    """A depth-400 chain converges in O(log^2) star rounds, not O(depth) —
+    the property min-label propagation lacked (VERDICT r4 item 6)."""
+    import daq_3i_spark.operators.graph as graph
+
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    rounds = 0
+    orig_small = graph._small_star
+
+    def counting_small(e):
+        nonlocal rounds
+        rounds += 1
+        return orig_small(e)
+
+    graph._small_star = counting_small
+    try:
+        labels = {
+            r["doc_id"]: r["component"]
+            for r in graph.star_components(spark, pairs).collect()
+        }
+    finally:
+        graph._small_star = orig_small
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}  # one component, min-label root
+    assert rounds <= 12, f"chain of {n} took {rounds} star rounds"
+
+
+def test_star_components_forest(spark):
+    """Multiple components + isolated-node contract (absent from output)."""
+    from daq_3i_spark.operators.graph import star_components
+
+    edges = [(5, 3), (3, 9), (20, 21), (30, 30)]  # self-loop dropped
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in star_components(spark, pairs).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
 def test_components_min_label_and_sizes(components):
     """The component id is the min member id; sizes count members."""
     by_comp: dict[int, list[int]] = {}
