@@ -13,39 +13,41 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get
 # every registry entry oracle-verified across rounds, the checked window is
-# rotated each round.  Round 4 window: the 14 entries no round has ever
-# checked, then every round-3 non-pass (all root-caused and fixed this round:
-# the regenerated testdata's TIMESTAMP(MICROS) events feed broke the
-# nanos-as-long loaders, and decimal OUTPUT columns can never hash-match
-# because the driver's oracle fetch coerces DuckDB decimals to float64),
-# then re-verifications of passing ops whose code this round's decimal->
-# double convention touched, then family anchors.  All 110 entries pass the
-# exact-compare local gate (tools/verify_contract.py) before this ordering.
+# rotated each round.  Round 5 window: entries never driver-checked or newly
+# oracled this round (multimodal decode/features, modbus sim, due filter),
+# the rewritten star-contraction components op, every op whose output path
+# changed when the decimal-sum convention became fixed-point BIGINT sums
+# (commit dcfa715 landed AFTER round 4's check, so all 28 fx_sum users need
+# re-verification under the new convention), the corpus/streaming ops touched
+# by the whitespace-class + integer-DIV + persist_batch fixes, and family
+# anchors.  All 117 oracled entries pass the exact-compare local gate
+# (tools/verify_contract.py) before this ordering.
 _CHECK_PRIORITY = [
-    # -- never driver-checked in rounds 1-3 ----------------------------------
-    "op_rollup_hourly", "op_multimodal_resize", "op_multimodal_frames",
-    "op_text_langid_ngram", "op_sim_kmeans_assign", "op_sim_ivf_trained_topk",
-    "op_sql_approx_sketches", "op_sql_q6_forecast", "op_sql_q4_priority",
-    "op_sql_unpivot", "op_stream_due_filter", "op_source_modbus_sim",
-    "op_stream_stream_join", "op_stream_dedup_keys",
-    # -- new this round ------------------------------------------------------
-    "op_graceful_stop", "op_pack_sequences", "op_contamination_check",
-    "op_text_repetition", "op_corpus_training_shards", "op_stream_corpus_ingest",
-    "op_sim_range_search",
-    # -- round-3 non-pass, fixed this round ----------------------------------
-    "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_rollup",
-    "op_sql_cube", "op_sql_running_sum", "op_sql_json",
-    "op_sql_having_bigorders", "op_sql_grouping_sets", "op_window_sliding",
-    "op_stream_pipeline", "op_stream_window_agg", "op_stream_window_sliding",
-    "op_stream_session_window", "op_stream_latest_per_channel",
-    "op_sink_partitioned_scan", "op_sql_q7_volume", "op_sql_q9_profit",
+    # -- never driver-checked / newly oracled this round ---------------------
+    "op_multimodal_decode", "op_multimodal_features", "op_source_modbus_sim",
+    "op_stream_due_filter",
+    # -- rewritten this round (star-contraction) -----------------------------
+    "op_dedup_components",
+    # -- fx_sum convention change (dcfa715) touched their output columns -----
+    "op_rollup_hourly", "op_sql_q6_forecast", "op_sql_q1", "op_sql_q3_topk",
+    "op_sql_q5_region", "op_sql_rollup", "op_sql_cube", "op_sql_running_sum",
+    "op_sql_json", "op_sql_having_bigorders", "op_sql_grouping_sets",
+    "op_window_sliding", "op_stream_window_agg", "op_stream_window_sliding",
+    "op_stream_session_window", "op_sql_q7_volume", "op_sql_q9_profit",
     "op_sql_q10_returned", "op_sql_q15_topsupplier", "op_sql_q19_disjunction",
-    "op_convert_expr", "flagship_pipeline",
-    # -- passing, but decimal->double touched their output column ------------
     "op_sql_q11_topvalue", "op_sql_q22_idle_rich", "op_window_agg_events",
-    "op_session_window_batch",
+    "op_text_bm25", "op_sql_scalar_subquery", "op_sql_q8_market_share",
+    "op_sql_q14_promo", "op_sql_q17_smallqty", "op_session_window_batch",
+    # -- whitespace-class / DIV / persist_batch fixes (dcfa715, 711300d) -----
+    "op_dedup_exact", "op_corpus_clean_pipeline", "op_pack_sequences",
+    "op_corpus_training_shards", "op_stream_corpus_ingest",
+    "op_contamination_check", "op_stream_pipeline", "flagship_pipeline",
+    "op_graceful_stop", "op_stream_latest_per_channel",
+    # -- modified / new this round (PII scrub, portable sketch) --------------
+    "op_text_scrub", "op_sql_kmv_sketch",
     # -- family anchors (re-verify a representative of each family) ----------
-    "op_decode_registers", "op_dedup_exact",
+    "op_decode_registers", "op_dedup_minhash", "op_sim_topk",
+    "op_multimodal_resize",
 ]
 
 

@@ -1230,22 +1230,86 @@ def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# PII scrub patterns — restricted to constructs with IDENTICAL semantics in
+# Java regex (Spark) and RE2 (DuckDB): explicit ASCII classes, bounded
+# repetition, no \s / \b / backreferences / lookaround.  Applied in order:
+# emails first (their local parts contain digits), then structured ids
+# (SSN-shaped), then phones, then bare long digit runs, then residual digits.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = "[+][0-9]{7,15}|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PII_LONGID = "[0-9]{6,}"
+
+# The synthetic corpus carries no digits at all, so the scrub kernel is
+# exercised against deterministic PII trailers derived from doc_id — both
+# engines build the identical string from the identical columns (same
+# fixture-in-query pattern as op_multimodal_decode's PPM framing).
+_PII_TRAILER_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')"
+    " || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')"
+    " || ' ref ' || lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 9, '0')"
+)
+
+
 @register(
     "op_text_scrub",
-    """SELECT doc_id,
-           len(regexp_extract_all(text, '[0-9]')) AS n_digits,
-           md5(regexp_replace(text, '[0-9]', '#', 'g')) AS scrubbed_md5
-    FROM documents""",
-    doc="pattern scrubbing (the PII-redaction primitive): digits replaced "
-    "with '#', redaction count + content digest returned; regexes restricted "
-    "to classes identical in Java regex and RE2",
+    f"""WITH t0 AS (
+      SELECT doc_id, {_PII_TRAILER_SQL} AS pii_text FROM documents
+    ), t1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS n_emails,
+             regexp_replace(pii_text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS s
+      FROM t0
+    ), t2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(s, '{_PII_SSN}')) AS n_ssn,
+             regexp_replace(s, '{_PII_SSN}', '<ID>', 'g') AS s
+      FROM t1
+    ), t3 AS (
+      SELECT doc_id, n_emails, n_ssn,
+             len(regexp_extract_all(s, '{_PII_PHONE}')) AS n_phones,
+             regexp_replace(s, '{_PII_PHONE}', '<PHONE>', 'g') AS s
+      FROM t2
+    ), t4 AS (
+      SELECT doc_id, n_emails, n_ssn, n_phones,
+             len(regexp_extract_all(s, '{_PII_LONGID}')) AS n_ids,
+             regexp_replace(s, '{_PII_LONGID}', '<ID>', 'g') AS s
+      FROM t3
+    )
+    SELECT doc_id, n_emails, n_ssn, n_phones, n_ids,
+           len(regexp_extract_all(s, '[0-9]')) AS n_digits,
+           md5(regexp_replace(s, '[0-9]', '#', 'g')) AS scrubbed_md5
+    FROM t4""",
+    doc="multi-pattern PII scrubbing (the training-data redaction pass): "
+    "emails -> <EMAIL>, SSN-shaped ids -> <ID>, intl/US phones -> <PHONE>, "
+    "bare 6+-digit runs -> <ID>, residual digits -> '#', applied in that "
+    "order with per-pattern redaction counts and a final content digest.  "
+    "Patterns restricted to constructs identical in Java regex and RE2; "
+    "shuffle-free codegen projection (one regexp chain per row, no UDF)",
 )
 def op_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
-    return docs.select(
+    trailer = _PII_TRAILER_SQL.replace("AS VARCHAR", "AS STRING")
+    df = docs.withColumn("s", F.expr(trailer))
+    out_cols = []
+    for cnt, pat, repl in [
+        ("n_emails", _PII_EMAIL, "<EMAIL>"),
+        ("n_ssn", _PII_SSN, "<ID>"),
+        ("n_phones", _PII_PHONE, "<PHONE>"),
+        ("n_ids", _PII_LONGID, "<ID>"),
+    ]:
+        df = df.withColumn(
+            cnt, F.size(F.expr(f"regexp_extract_all(s, '{pat}', 0)"))
+        ).withColumn("s", F.regexp_replace("s", pat, repl))
+        out_cols.append(cnt)
+    return df.select(
         "doc_id",
-        F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")).alias("n_digits"),
-        F.md5(F.expr("encode(regexp_replace(text, '[0-9]', '#'), 'utf-8')")).alias(
+        *out_cols,
+        F.size(F.expr("regexp_extract_all(s, '[0-9]', 0)")).alias("n_digits"),
+        F.md5(F.expr("encode(regexp_replace(s, '[0-9]', '#'), 'utf-8')")).alias(
             "scrubbed_md5"
         ),
     )

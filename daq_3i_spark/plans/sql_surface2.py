@@ -457,6 +457,90 @@ def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable KMV sketch: the ORACLED mergeable-sketch path ------------------
+
+_KMV_K = 16
+
+
+def _hex48(md5_sql: str, pos_fn: str) -> str:
+    """48-bit uniform hash from the first 12 hex chars of an md5 expression.
+
+    Pure positional arithmetic (hex digit -> value via position in the hex
+    alphabet), identical in Java-regex-free Spark SQL and DuckDB modulo the
+    1-based position function name (instr vs strpos).  48 bits fit exactly
+    in BIGINT and DOUBLE, so every downstream op is correctly rounded on
+    identical operands in both engines.
+    """
+    terms = [
+        f"(CAST({pos_fn}('0123456789abcdef', substring({md5_sql}, {i}, 1)) "
+        f"AS BIGINT) - 1) * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_KMV_EST = (
+    f"CASE WHEN n_distinct_exact <= {_KMV_K} THEN CAST(n_distinct_exact AS DOUBLE) "
+    f"ELSE CAST({_KMV_K - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) "
+    "/ CAST(kmv_kth_hash AS DOUBLE) END"
+)
+
+
+@register(
+    "op_sql_kmv_sketch",
+    f"""WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             {_hex48("md5(CAST(l_suppkey AS VARCHAR))", "strpos")} AS u
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, u,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS nd
+      FROM h
+    ), a AS (
+      SELECT l_returnflag,
+             max(nd) AS n_distinct_exact,
+             {_KMV_K} AS kmv_k,
+             max(u) AS kmv_kth_hash
+      FROM r WHERE rn <= {_KMV_K}
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_distinct_exact, kmv_k, kmv_kth_hash,
+           {_KMV_EST} AS kmv_estimate
+    FROM a""",
+    doc=f"portable KMV (k-minimum-values) distinct-count sketch, k={_KMV_K}: "
+    "hash every value to 48 bits via md5-hex positional arithmetic, keep the "
+    "k smallest distinct hashes per group, estimate ND = (k-1)*2^48/kth_min "
+    "(exact count when ND <= k).  Unlike approx_count_distinct's HLL this "
+    "estimator is bit-identical across engines — the full hash-match oracle "
+    "for the mergeable-sketch aggregation path that op_sql_approx_sketches "
+    "can only rows-check.  Shuffle carries DISTINCT (group, 48-bit hash) "
+    "pairs — bounded by distinct count, never by row count; at 100 TB the "
+    "same contract drops onto a datasketches-style partial aggregate with "
+    "the identical estimator arithmetic",
+)
+def op_sql_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    u = _hex48("md5(encode(CAST(l_suppkey AS STRING), 'utf-8'))", "instr")
+    h = li.select("l_returnflag", F.expr(u).alias("u")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag")
+    r = h.withColumn("rn", F.row_number().over(w.orderBy("u"))).withColumn(
+        "nd", F.count("*").over(w)
+    )
+    return (
+        r.filter(F.col("rn") <= _KMV_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("nd").alias("n_distinct_exact"),
+            F.lit(_KMV_K).alias("kmv_k"),
+            F.max("u").alias("kmv_kth_hash"),
+        )
+        .withColumn("kmv_estimate", F.expr(_KMV_EST))
+    )
+
+
 # --- TPC-H Q6: forecasting revenue change (pure filter + agg) ----------------
 
 

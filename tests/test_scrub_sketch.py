@@ -1,0 +1,122 @@
+"""Cross-engine portability tests for the round-5 additions: the
+multi-pattern PII scrub chain (op_text_scrub) and the portable KMV
+distinct-count sketch (op_sql_kmv_sketch).  Both ops' oracle contract is
+bit-identical Spark/DuckDB output; these tests drive the kernels directly
+on adversarial fixtures the synthetic corpus doesn't contain."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from daq_3i_spark.plans.extension_ops import (
+    _PII_EMAIL,
+    _PII_LONGID,
+    _PII_PHONE,
+    _PII_SSN,
+)
+from daq_3i_spark.plans.sql_surface2 import _KMV_K, _hex48
+from daq_3i_spark.plans import QUERIES
+
+PII_CASES = [
+    "reach me at john.doe+spam@sub.example.co.uk or 555-123-4567",
+    "+4915123456789 is my number; backup 030.1234.5678",
+    "ssn 123-45-6789 acct 123456789012",
+    "a@b.co x@y.z",  # second address has a 1-letter TLD: must NOT match
+    "12345",  # below the long-run floor: residual digits only
+    "123456",  # exactly at the long-run floor
+    "id9999999@x.comm555-12-3456",
+    "no pii at all, not even digits",
+    "",
+    "+12 and + 1234567 and ++123456789",
+]
+
+_CHAIN = [
+    (_PII_EMAIL, "<EMAIL>"),
+    (_PII_SSN, "<ID>"),
+    (_PII_PHONE, "<PHONE>"),
+    (_PII_LONGID, "<ID>"),
+    ("[0-9]", "#"),
+]
+
+
+def _spark_scrub(spark, texts):
+    expr = "text"
+    for pat, repl in _CHAIN:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}')"
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r[0] for r in df.select(F.expr(expr).alias("v")).collect()]
+
+
+def _duck_scrub(texts):
+    expr = "text"
+    for pat, repl in _CHAIN:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    con = duckdb.connect()
+    return [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        for t in texts
+    ]
+
+
+def test_pii_chain_cross_engine(spark):
+    assert _spark_scrub(spark, PII_CASES) == _duck_scrub(PII_CASES)
+
+
+def test_pii_chain_semantics(spark):
+    out = dict(zip(PII_CASES, _spark_scrub(spark, PII_CASES)))
+    assert out[PII_CASES[0]] == "reach me at <EMAIL> or <PHONE>"
+    assert out["ssn 123-45-6789 acct 123456789012"] == "ssn <ID> acct <ID>"
+    assert out["a@b.co x@y.z"] == "<EMAIL> x@y.z"
+    assert out["12345"] == "#####"
+    assert out["123456"] == "<ID>"
+    assert out["no pii at all, not even digits"] == "no pii at all, not even digits"
+
+
+def test_pii_registry_counts(spark, sf_dir):
+    """Every synthetic doc carries exactly one trailer of each PII kind."""
+    df = QUERIES["op_text_scrub"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1
+        assert r["n_ssn"] == 1
+        assert r["n_phones"] == 1
+        assert r["n_ids"] == 1  # the 9-digit ref trailer
+        assert r["n_digits"] == 0  # nothing left un-redacted
+
+
+def test_hex48_cross_engine(spark):
+    """The 48-bit md5-positional hash is bit-identical across engines."""
+    s = _hex48("md5(encode(CAST(id AS STRING), 'utf-8'))", "instr")
+    sv = [
+        r[0]
+        for r in spark.range(500).select(F.expr(s).alias("u")).collect()
+    ]
+    d = _hex48("md5(CAST(id AS VARCHAR))", "strpos")
+    con = duckdb.connect()
+    dv = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {d} AS u FROM (SELECT range AS id FROM range(500)) ORDER BY id"
+        ).fetchall()
+    ]
+    assert sv == dv
+    assert all(0 <= v < 2**48 for v in sv)
+
+
+def test_kmv_estimate_branches(spark, sf_dir):
+    """Exact branch when nd <= k; estimate branch within KMV's error
+    envelope when nd >> k (rel std err ~ 1/sqrt(k-2); allow 4 sigma)."""
+    rows = {
+        r["l_returnflag"]: r
+        for r in QUERIES["op_sql_kmv_sketch"].spark(spark, sf_dir).collect()
+    }
+    assert rows
+    for r in rows.values():
+        nd, est = r["n_distinct_exact"], r["kmv_estimate"]
+        if nd <= _KMV_K:
+            assert est == float(nd)
+        else:
+            assert abs(est - nd) / nd < 4 / (_KMV_K - 2) ** 0.5

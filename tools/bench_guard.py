@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Bench regression guard — fail >1.5x per-query slides unless explained.
+
+Usage:
+    python tools/bench_guard.py PREV.json NEW.json [--threshold 1.5]
+
+Accepts either the driver's wrapper format (BENCH_r{N}.json with a "parsed"
+key) or bench.py's raw one-line JSON ({"queries": {...}, ...}).  Compares
+per-query wall times on the intersection of query sets and the common-query
+total.  A query slower than threshold x its previous time is a REGRESSION
+unless its name appears in BENCH_NOTES.md (the adjudication ledger — a note
+naming the op and explaining the slide makes it an accepted, documented
+offset, e.g. the round-4 degraded-host window).
+
+Exit codes: 0 = clean or fully explained, 1 = unexplained regression(s),
+2 = usage / unreadable input.
+
+Cross-round caveat (see BENCH_NOTES.md): whole-run offsets where EVERY query
+shifts by a similar factor are the signature of a slow host window, not an
+operator regression.  The guard therefore also prints the median ratio; when
+the median itself exceeds the threshold the per-query failures are reported
+but tagged "whole-run offset" so the adjudication targets the right cause.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+
+def load_times(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc:  # driver wrapper
+        doc = doc["parsed"]
+    q = doc.get("queries")
+    if not isinstance(q, dict) or not q:
+        raise ValueError(f"{path}: no per-query times found")
+    return {k: float(v) for k, v in q.items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("prev")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--notes",
+        default=os.path.join(os.path.dirname(__file__), "..", "BENCH_NOTES.md"),
+    )
+    args = ap.parse_args()
+
+    try:
+        prev, new = load_times(args.prev), load_times(args.new)
+    except (OSError, ValueError, json.JSONDecodeError) as exc:
+        print(f"bench_guard: {exc}", file=sys.stderr)
+        return 2
+
+    notes = ""
+    if os.path.exists(args.notes):
+        with open(args.notes) as f:
+            notes = f.read()
+
+    common = sorted(set(prev) & set(new))
+    if not common:
+        print("bench_guard: no common queries between the two benches", file=sys.stderr)
+        return 2
+
+    ratios = {q: new[q] / prev[q] if prev[q] > 0 else float("inf") for q in common}
+    median = statistics.median(ratios.values())
+    total_prev = sum(prev[q] for q in common)
+    total_new = sum(new[q] for q in common)
+    print(
+        f"common queries: {len(common)}  total {total_prev:.2f}s -> {total_new:.2f}s "
+        f"({total_new / total_prev:.2f}x)  median per-query ratio {median:.2f}x"
+    )
+
+    regressions = [(q, r) for q, r in ratios.items() if r > args.threshold]
+    regressions.sort(key=lambda t: -t[1])
+    unexplained = []
+    for q, r in regressions:
+        tag = " [whole-run offset]" if median > args.threshold else ""
+        if q in notes:
+            print(f"  EXPLAINED  {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x){tag}")
+        else:
+            print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x){tag}")
+            unexplained.append(q)
+
+    if unexplained:
+        print(
+            f"bench_guard: {len(unexplained)} unexplained regression(s) > "
+            f"{args.threshold}x — add an adjudicating note to BENCH_NOTES.md "
+            "naming each op, or fix the slide.",
+            file=sys.stderr,
+        )
+        return 1
+    print("bench_guard: clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
