@@ -20,7 +20,7 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # (commit dcfa715 landed AFTER round 4's check, so all 28 fx_sum users need
 # re-verification under the new convention), the corpus/streaming ops touched
 # by the whitespace-class + integer-DIV + persist_batch fixes, and family
-# anchors.  All 117 oracled entries pass the exact-compare local gate
+# anchors.  All 119 oracled entries pass the exact-compare local gate
 # (tools/verify_contract.py) before this ordering.
 _CHECK_PRIORITY = [
     # -- never driver-checked / newly oracled this round ---------------------
@@ -43,11 +43,10 @@ _CHECK_PRIORITY = [
     "op_corpus_training_shards", "op_stream_corpus_ingest",
     "op_contamination_check", "op_stream_pipeline", "flagship_pipeline",
     "op_graceful_stop", "op_stream_latest_per_channel",
-    # -- modified / new this round (PII scrub, portable sketch) --------------
-    "op_text_scrub", "op_sql_kmv_sketch",
+    # -- modified / new this round (PII scrub, sketch, capped LSH) -----------
+    "op_text_scrub", "op_sql_kmv_sketch", "op_dedup_minhash_capped",
     # -- family anchors (re-verify a representative of each family) ----------
-    "op_decode_registers", "op_dedup_minhash", "op_sim_topk",
-    "op_multimodal_resize",
+    "op_decode_registers", "op_dedup_minhash", "op_multimodal_resize",
 ]
 
 

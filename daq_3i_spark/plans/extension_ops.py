@@ -158,6 +158,98 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-bucket cap for LSH self-joins: a viral near-duplicate (one document
+# repeated n times) puts all n copies in the same (band_idx, band_val)
+# bucket, and the plain self-join expands n(n-1)/2 pairs — the quadratic
+# blow-up SCALE.md names as the known dedup risk.  Buckets over the cap
+# instead emit star pairs (bucket-min doc vs each member): n-1 candidates,
+# still signature-verified, and downstream connected components recovers
+# the full cluster from the star exactly as it would from the clique.
+_LSH_BUCKET_CAP = 8
+
+
+def minhash_capped_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Candidate near-dup pairs with per-bucket work capped at O(n)."""
+    sigs = _spark_sigs_of(docs)
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
+    ).localCheckpoint(eager=True)
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("rep"),
+        F.expr("min_by(sig, doc_id)").alias("rep_sig"),
+    )
+    bb = bands.join(sizes, ["band_idx", "band_val"])
+    small = bb.filter(F.col("n") <= cap)
+    a, b = small.alias("a"), small.alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig").alias("sa"),
+        F.col("b.sig").alias("sb"),
+    )
+    star = (
+        bb.filter((F.col("n") > cap) & (F.col("doc_id") != F.col("rep")))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("rep_sig").alias("sa"),
+            F.col("sig").alias("sb"),
+        )
+    )
+    return (
+        clique.unionByName(star)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_sim", F.expr(SPARK.sig_match_frac("sa", "sb")))
+        .filter(F.col("est_sim") >= 0.5)
+        .select("doc_a", "doc_b", "est_sim")
+    )
+
+
+@register(
+    "op_dedup_minhash_capped",
+    f"""WITH {_duck_sig_cte()},
+    sizes AS (
+      SELECT band_idx, band_val, count(*) AS n,
+             min(doc_id) AS rep, arg_min(sig, doc_id) AS rep_sig
+      FROM bands GROUP BY band_idx, band_val
+    ),
+    bb AS (
+      SELECT bands.doc_id, bands.sig, bands.band_idx, bands.band_val,
+             sizes.n, sizes.rep, sizes.rep_sig
+      FROM bands JOIN sizes USING (band_idx, band_val)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+      FROM bb a JOIN bb b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE a.n <= {_LSH_BUCKET_CAP}
+      UNION
+      SELECT rep, doc_id, rep_sig, sig FROM bb
+      WHERE n > {_LSH_BUCKET_CAP} AND doc_id <> rep
+    )
+    SELECT DISTINCT doc_a, doc_b, {DUCK.sig_match_frac('sa', 'sb')} AS est_sim
+    FROM cand
+    WHERE {DUCK.sig_match_frac('sa', 'sb')} >= 0.5""",
+    doc="MinHash-LSH candidates with the hot-bucket cap EXERCISED: buckets "
+    f"over {_LSH_BUCKET_CAP} members emit star pairs (bucket-min vs member, "
+    "n-1 candidates) instead of the n(n-1)/2 clique — the viral-duplicate "
+    "mitigation SCALE.md promises, as a first-class oracled op.  On corpora "
+    "with no hot bucket the output equals op_dedup_minhash exactly; "
+    "tests/test_scrub_sketch.py drives a 200-copy viral corpus through both "
+    "engines and asserts linear pair work",
+)
+def op_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_capped_pairs(load_spread(spark, sf_dir, "documents"))
+
+
 @register(
     "op_dedup_simhash",
     f"""WITH th AS (

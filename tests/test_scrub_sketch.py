@@ -120,3 +120,68 @@ def test_kmv_estimate_branches(spark, sf_dir):
             assert est == float(nd)
         else:
             assert abs(est - nd) / nd < 4 / (_KMV_K - 2) ** 0.5
+
+
+# --- hot-bucket cap (op_dedup_minhash_capped) --------------------------------
+
+
+def _viral_docs():
+    viral = "spark table scan merge window batch value key row agg"
+    noise = [
+        f"doc {i} unique filler words alpha beta gamma delta {i} epsilon"
+        for i in range(20)
+    ]
+    rows = [(i, viral) for i in range(200)]
+    rows += [(1000 + i, t) for i, t in enumerate(noise)]
+    return rows
+
+
+def test_capped_viral_bucket_linear_work(spark):
+    """200 exact copies must produce exactly the 199 star pairs (0, j) —
+    not the 19 900-pair clique the uncapped self-join would expand."""
+    from daq_3i_spark.plans.extension_ops import minhash_capped_pairs
+
+    docs = spark.createDataFrame(_viral_docs(), "doc_id long, text string")
+    pairs = minhash_capped_pairs(docs).collect()
+    copy_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] < 1000}
+    assert copy_pairs == {(0, j) for j in range(1, 200)}
+    for r in pairs:
+        if r["doc_b"] < 1000:
+            assert r["est_sim"] == 1.0
+
+
+def test_capped_cross_engine_viral(spark):
+    """The capped op's DuckDB oracle agrees with Spark on the viral corpus."""
+    import pandas as pd
+
+    from daq_3i_spark.plans.extension_ops import minhash_capped_pairs
+
+    rows = _viral_docs()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["est_sim"])
+        for r in minhash_capped_pairs(docs).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        (a, b, s)
+        for a, b, s in con.execute(
+            QUERIES["op_dedup_minhash_capped"].oracle
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_capped_equals_uncapped_without_hot_buckets(spark, sf_dir):
+    """On the synthetic corpus (max bucket size 14 < cap never trips at
+    sf0.001) the capped op must be pair-for-pair identical to the plain one."""
+    plain = {
+        (r["doc_a"], r["doc_b"], r["est_sim"])
+        for r in QUERIES["op_dedup_minhash"].spark(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["est_sim"])
+        for r in QUERIES["op_dedup_minhash_capped"].spark(spark, sf_dir).collect()
+    }
+    assert plain == capped
