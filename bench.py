@@ -56,6 +56,9 @@ HEADLINE = [
     "op_contamination_check",
     "op_text_repetition",
     "op_corpus_training_shards",
+    "op_dedup_minhash_capped",
+    "op_sql_kmv_sketch",
+    "op_text_scrub",
 ]
 
 

@@ -174,13 +174,24 @@ def minhash_capped_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFra
     bands = sigs.select(
         "doc_id", "sig",
         F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
-    ).localCheckpoint(eager=True)
-    sizes = bands.groupBy("band_idx", "band_val").agg(
-        F.count("*").alias("n"),
-        F.min("doc_id").alias("rep"),
-        F.expr("min_by(sig, doc_id)").alias("rep_sig"),
     )
-    bb = bands.join(sizes, ["band_idx", "band_val"])
+    # bucket size + representative in ONE window pass over the band shuffle
+    # (an agg+join-back would re-execute the aggregate per consumer), then
+    # materialize once: the annotated bands feed three branches (both clique
+    # self-join sides + the star branch) and the interpreted HOF signature
+    # chain must not re-run per branch.  min(struct(doc_id, sig)) orders by
+    # the unique doc_id, so it is exactly arg_min(sig, doc_id).
+    w = Window.partitionBy("band_idx", "band_val")
+    bb = (
+        bands.withColumn("n", F.count("*").over(w))
+        .withColumn("rs", F.min(F.struct("doc_id", "sig")).over(w))
+        .select(
+            "doc_id", "sig", "band_idx", "band_val", "n",
+            F.col("rs.doc_id").alias("rep"),
+            F.col("rs.sig").alias("rep_sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
     small = bb.filter(F.col("n") <= cap)
     a, b = small.alias("a"), small.alias("b")
     clique = a.join(
