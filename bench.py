@@ -58,6 +58,7 @@ HEADLINE = [
     "op_corpus_training_shards",
     "op_dedup_minhash_capped",
     "op_sql_kmv_sketch",
+    "op_sql_histogram_quantile",
     "op_text_scrub",
 ]
 

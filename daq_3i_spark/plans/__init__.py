@@ -43,10 +43,11 @@ _CHECK_PRIORITY = [
     "op_corpus_training_shards", "op_stream_corpus_ingest",
     "op_contamination_check", "op_stream_pipeline", "flagship_pipeline",
     "op_graceful_stop", "op_stream_latest_per_channel",
-    # -- modified / new this round (PII scrub, sketch, capped LSH) -----------
+    # -- modified / new this round (PII scrub, sketches, capped LSH) ---------
     "op_text_scrub", "op_sql_kmv_sketch", "op_dedup_minhash_capped",
+    "op_sql_histogram_quantile",
     # -- family anchors (re-verify a representative of each family) ----------
-    "op_decode_registers", "op_dedup_minhash", "op_multimodal_resize",
+    "op_dedup_minhash", "op_multimodal_resize",
 ]
 
 

@@ -541,6 +541,83 @@ def op_sql_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable histogram quantile: the ORACLED mergeable-quantile path --------
+
+_HIST_WIDTH = 100.0  # l_extendedprice bucket width
+_HIST_Q = 0.5
+
+
+@register(
+    "op_sql_histogram_quantile",
+    f"""WITH b AS (
+      SELECT l_returnflag,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) / {_HIST_WIDTH}) AS BIGINT)
+               AS bucket,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM b
+    ), hit AS (
+      SELECT l_returnflag, bucket, cnt, cum, n,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY bucket) AS rn
+      FROM c
+      WHERE CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * {_HIST_Q}
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(bucket AS DOUBLE) * {_HIST_WIDTH}
+             + (CAST(n AS DOUBLE) * {_HIST_Q} - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE) * {_HIST_WIDTH} AS p50_est
+    FROM hit WHERE rn = 1""",
+    doc="portable fixed-grid histogram quantile (p50 of l_extendedprice, "
+    f"bucket width {_HIST_WIDTH:g}): bucket counts -> cumulative window -> "
+    "linear interpolation inside the straddling bucket.  The mergeable "
+    "QUANTILE path that is bit-identical across engines (every step is "
+    "integer counts or correctly-rounded double arithmetic on identical "
+    "operands), unlike percentile_approx's t-digest which is rows-only; "
+    "error bounded by bucket width.  At 100 TB: histogram counts are one "
+    "map-side-combined aggregate, merge = addition, memory bounded by "
+    "value-range/width per group",
+)
+def op_sql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice").cast("double") / _HIST_WIDTH)
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("l_returnflag")
+    c = b.withColumn(
+        "cum", F.sum("cnt").over(wp.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("cnt").over(wp))
+    hit = c.filter(
+        F.col("cum").cast("double") >= F.col("n").cast("double") * _HIST_Q
+    ).withColumn("rn", F.row_number().over(wp.orderBy("bucket")))
+    return hit.filter(F.col("rn") == 1).select(
+        "l_returnflag",
+        "n",
+        (
+            F.col("bucket").cast("double") * _HIST_WIDTH
+            + (
+                F.col("n").cast("double") * _HIST_Q
+                - (F.col("cum") - F.col("cnt")).cast("double")
+            )
+            / F.col("cnt").cast("double")
+            * _HIST_WIDTH
+        ).alias("p50_est"),
+    )
+
+
 # --- TPC-H Q6: forecasting revenue change (pure filter + agg) ----------------
 
 

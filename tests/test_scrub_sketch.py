@@ -185,3 +185,93 @@ def test_capped_equals_uncapped_without_hot_buckets(spark, sf_dir):
         for r in QUERIES["op_dedup_minhash_capped"].spark(spark, sf_dir).collect()
     }
     assert plain == capped
+
+
+def test_pii_chain_fuzz_cross_engine(spark):
+    """Seeded random ASCII fuzz: the scrub chain must stay bit-identical
+    across engines on arbitrary digit/symbol soup, not just curated cases."""
+    import random
+
+    rng = random.Random(0x5EED)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 @.+-()#\t\n"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ_%,;:!\x0b"
+    )
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(150)
+    ]
+    assert _spark_scrub(spark, cases) == _duck_scrub(cases)
+
+
+def test_bench_guard_self():
+    """The guard must flag an unexplained 2x slide and accept explained ones."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        prev = os.path.join(d, "prev.json")
+        new = os.path.join(d, "new.json")
+        notes = os.path.join(d, "notes.md")
+        json.dump({"queries": {"q_ok": 1.0, "q_bad": 1.0}}, open(prev, "w"))
+        json.dump({"queries": {"q_ok": 1.1, "q_bad": 2.0}}, open(new, "w"))
+        open(notes, "w").write("nothing relevant\n")
+        guard = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "bench_guard.py",
+        )
+        r = subprocess.run(
+            [sys.executable, guard, prev, new, "--notes", notes],
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 1 and "q_bad" in r.stdout
+        open(notes, "w").write("q_bad: accepted, data got heavier\n")
+        r = subprocess.run(
+            [sys.executable, guard, prev, new, "--notes", notes],
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_histogram_quantile_error_bound(spark, sf_dir):
+    """The fixed-grid p50 estimate must sit within one bucket width of the
+    exact median (linear interpolation cannot leave the straddling bucket)."""
+    from daq_3i_spark.plans.sql_surface2 import _HIST_WIDTH
+
+    est = {
+        r["l_returnflag"]: r["p50_est"]
+        for r in QUERIES["op_sql_histogram_quantile"].spark(spark, sf_dir).collect()
+    }
+    assert est
+    con = duckdb.connect()
+    exact = {
+        f: p
+        for f, p in con.execute(
+            f"SELECT l_returnflag, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) "
+            f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, e in est.items():
+        assert abs(e - exact[flag]) <= _HIST_WIDTH, (flag, e, exact[flag])
+
+
+def test_capped_pairs_feed_components(spark):
+    """End-to-end viral-scale dedup: capped star pairs -> star-contraction
+    components must still recover the full 200-copy cluster."""
+    from daq_3i_spark.operators.graph import star_components
+    from daq_3i_spark.plans.extension_ops import minhash_capped_pairs
+
+    docs = spark.createDataFrame(_viral_docs(), "doc_id long, text string")
+    pairs = minhash_capped_pairs(docs).select("doc_a", "doc_b")
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in star_components(spark, pairs).collect()
+    }
+    viral_labels = {labels[i] for i in range(200) if i in labels}
+    assert viral_labels == {0}, "all 200 copies must share the min-label root"
