@@ -1167,20 +1167,35 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sig, i - 1 AS band_idx, bh[i] AS band_val
       FROM (SELECT doc_id, sig, {DUCK.band_hashes('sig')} AS bh FROM sig)
       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) t
-    ), near_dups AS (  -- near-dup pairs: larger doc_id of each pair is dropped
-      SELECT DISTINCT b.doc_id
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id
-      WHERE {DUCK.sig_match_frac('a.sig', 'b.sig')} >= 0.5
+    ), sizes AS (  -- hot-bucket cap: same construction as op_dedup_minhash_capped
+      SELECT band_idx, band_val, count(*) AS n,
+             min(doc_id) AS rep, arg_min(sig, doc_id) AS rep_sig
+      FROM bands GROUP BY band_idx, band_val
+    ), bb AS (
+      SELECT bands.doc_id, bands.sig, bands.band_idx, bands.band_val,
+             sizes.n, sizes.rep, sizes.rep_sig
+      FROM bands JOIN sizes USING (band_idx, band_val)
+    ), near_dups AS (  -- the larger doc_id of each verified pair is dropped
+      SELECT DISTINCT doc_b AS doc_id FROM (
+        SELECT b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+        FROM bb a JOIN bb b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.n <= {_LSH_BUCKET_CAP}
+        UNION
+        SELECT doc_id, rep_sig, sig FROM bb
+        WHERE n > {_LSH_BUCKET_CAP} AND doc_id <> rep
+      ) WHERE {DUCK.sig_match_frac('sa', 'sb')} >= 0.5
     )
     SELECT doc_id, lang, source, n_chars FROM survivors2
     WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)""",
     doc="the end-to-end training-corpus cleaner, composing the kernels: "
     "quality gate -> exact dedup (hash groupBy + semi join) -> MinHash-LSH "
-    "near-dedup (keep the smaller doc_id of each candidate pair). Every "
-    "stage is the same operator exposed individually; one declarative plan, "
-    "shuffles only on norm-hash and band buckets",
+    "near-dedup (keep the smaller doc_id of each candidate pair), with the "
+    "hot-bucket star cap from op_dedup_minhash_capped so a viral duplicate "
+    "cannot blow the pair expansion quadratic. Every stage is the same "
+    "operator exposed individually; one declarative plan, shuffles only on "
+    "norm-hash and band buckets",
 )
 def op_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
@@ -1204,26 +1219,14 @@ def op_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     s2 = s1.join(keep_exact, "doc_id", "semi")
-    # NB: measured at sf0.1 — materializing s2 or the banded signatures here
-    # REGRESSES this composition (the chain is cheap enough that the
-    # checkpoint round-trip costs more than the recompute); only
-    # op_dedup_minhash/op_dedup_ngram_jaccard benefit from materialization
+    # NB: measured at sf0.1 — materializing s2 here REGRESSES this
+    # composition (the upstream chain is cheap enough that the checkpoint
+    # round-trip costs more than the recompute).  The capped pair generator
+    # materializes its own annotated bands exactly once.
 
-    sigs = _spark_sigs_of(s2)
-    bands = sigs.select(
-        "doc_id", "sig",
-        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
     near_dups = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(F.expr(SPARK.sig_match_frac("a.sig", "b.sig")) >= 0.5)
-        .select(F.col("b.doc_id").alias("doc_id"))
+        minhash_capped_pairs(s2)
+        .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     return s2.join(near_dups, "doc_id", "anti").select(

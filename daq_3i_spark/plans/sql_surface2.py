@@ -444,7 +444,9 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replaces exact distinct/percentile at 100 TB (partial sketches combine "
     "map-side; exact distinct shuffles every distinct value, exact "
     "percentile sorts per group).  Error is bounded by test, not oracle — "
-    "sketch estimates are engine-specific by nature",
+    "HLL/t-digest estimates are engine-specific by nature; the fully "
+    "ORACLED portable twins of this path are op_sql_kmv_sketch "
+    "(distinct-count) and op_sql_histogram_quantile (quantile)",
 )
 def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
