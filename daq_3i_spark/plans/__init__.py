@@ -6,6 +6,7 @@ import daq_3i_spark.plans.extension_ops  # noqa: F401,E402
 import daq_3i_spark.plans.extension_ops2  # noqa: F401,E402
 import daq_3i_spark.plans.sql_surface  # noqa: F401,E402
 import daq_3i_spark.plans.sql_surface2  # noqa: F401,E402
+import daq_3i_spark.plans.sql_surface3  # noqa: F401,E402
 import daq_3i_spark.plans.streaming_ops  # noqa: F401,E402
 import daq_3i_spark.plans.format_ops  # noqa: F401,E402
 import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
@@ -26,6 +27,9 @@ _CHECK_PRIORITY = [
     # -- never driver-checked / newly oracled this round ---------------------
     "op_multimodal_decode", "op_multimodal_features", "op_source_modbus_sim",
     "op_stream_due_filter",
+    # -- new this round: TPC-H analog completions (sql_surface3.py) ----------
+    "op_sql_q2_mincost", "op_sql_q12_lateships", "op_sql_q20_dominant",
+    "op_sql_q21_waiting",
     # -- rewritten this round (star-contraction) -----------------------------
     "op_dedup_components",
     # -- fx_sum convention change (dcfa715) touched their output columns -----

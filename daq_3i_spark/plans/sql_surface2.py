@@ -1,7 +1,9 @@
 """op_sql_* batch 2 — the remaining TPC-H query patterns expressible on the
-driver's slimmed star schema (no partsupp / shipmode / commitdate columns, so
-Q2/Q4/Q12/Q16/Q20/Q21 have no faithful analog; cost-side expressions use
-p_retailprice as the supply-cost proxy and are labeled as analogs).
+driver's slimmed star schema (no partsupp / shipmode / commitdate columns;
+cost-side expressions use p_retailprice as the supply-cost proxy and are
+labeled as analogs).  The four patterns that need the missing columns
+verbatim (Q2/Q12/Q20/Q21) get structural analogs in sql_surface3.py,
+completing the 22-query sweep.
 
 Same conventions as sql_surface.py (functions/numeric.py docstring): float
 aggregates as exact fixed-point BIGINT sums surfaced as DOUBLE,
