@@ -375,6 +375,103 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stop-shingle document-frequency cap: shingles seen in more than this many
+#: docs (per lang) carry no dedup signal and quadratic pair cost — drop them.
+#: The shipped corpus tops out at df=14 (sf0.1), so at test scale the capped
+#: op's output EQUALS the uncapped one (tested); the cap exists for the
+#: 100 TB case where one viral boilerplate shingle (df=10^6) would otherwise
+#: put 10^12 pairs through a single reducer.
+_NGRAM_DF_CAP = 16
+
+
+@register(
+    "op_dedup_ngram_capped",
+    f"""WITH th AS (
+      SELECT doc_id, lang, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh0 AS (
+      SELECT doc_id, lang, unnest({DUCK.shingle_hashes('th')}) AS h FROM th
+    ), shd AS (SELECT DISTINCT doc_id, lang, h FROM sh0),
+    sh AS (
+      SELECT doc_id, lang, h FROM (
+        SELECT doc_id, lang, h,
+               count(*) OVER (PARTITION BY lang, h) AS df FROM shd
+      ) WHERE df <= {_NGRAM_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""",
+    doc="df-capped stop-shingle variant of op_dedup_ngram_jaccard: shingles "
+    f"with document frequency > {_NGRAM_DF_CAP} (per lang) are dropped "
+    "before the posting-list self-join, so pair work is bounded by "
+    "cap x |postings| instead of the unbounded hot-shingle df^2; Jaccard is "
+    "computed on the reduced shingle sets (sizes AND intersections both "
+    "post-filter, a true Jaccard of the capped representation).  On the "
+    "shipped corpus (max df 14 at sf0.1) the output is IDENTICAL to the "
+    "uncapped twin — the cap only bites on viral boilerplate (tested on a "
+    "200-copy corpus).  The df annotation is one window pass over the "
+    "posting shuffle, same trick as op_dedup_minhash_capped's bucket stats",
+)
+def op_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    return ngram_capped_pairs(docs)
+
+
+def ngram_capped_pairs(docs: DataFrame, cap: int = _NGRAM_DF_CAP) -> DataFrame:
+    """Exact-Jaccard near-dup pairs over df-capped shingle posting lists."""
+    shd = (
+        docs.select(
+            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+        )
+        .select(
+            "doc_id", "lang", F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h")
+        )
+        .distinct()
+    )
+    # df annotation + stop-shingle filter in one window pass, then materialize
+    # ONCE: the filtered postings feed three consumers (both self-join sides +
+    # sizes) and the shingle hashing is interpreted HOF arithmetic (same
+    # rationale as the uncapped op's checkpoint)
+    sh = (
+        shd.withColumn("df", F.count("*").over(Window.partitionBy("lang", "h")))
+        .filter(F.col("df") <= cap)
+        .drop("df")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
 @register(
     "op_dedup_embedding",
     f"""WITH e AS (

@@ -187,6 +187,49 @@ def test_capped_equals_uncapped_without_hot_buckets(spark, sf_dir):
     assert plain == capped
 
 
+def test_ngram_capped_equals_uncapped_without_hot_shingles(spark, sf_dir):
+    """On the synthetic corpus (max shingle df 14 at sf0.1, less at sf0.001)
+    the df cap never trips, so the capped op must be pair-for-pair identical
+    to the exact op."""
+    plain = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["op_dedup_ngram_jaccard"].spark(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["op_dedup_ngram_capped"].spark(spark, sf_dir).collect()
+    }
+    assert plain == capped
+
+
+def test_ngram_capped_viral_shingles_dropped(spark):
+    """200 copies of one doc push every one of its shingles past the df cap:
+    the viral docs drop out of the posting lists entirely (bounding pair work
+    at cap x |postings| — the capped-LSH path owns viral detection), and the
+    DuckDB oracle agrees with Spark on the same corpus."""
+    import pandas as pd
+
+    from daq_3i_spark.plans.extension_ops import ngram_capped_pairs
+
+    rows = [(i, t, "en") for i, t in _viral_docs()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = ngram_capped_pairs(docs).collect()
+    assert not [r for r in pairs if r["doc_a"] < 1000 and r["doc_b"] < 1000]
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    want = sorted(
+        (a, b, j)
+        for a, b, j in con.execute(
+            QUERIES["op_dedup_ngram_capped"].oracle
+        ).fetchall()
+    )
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs)
+    assert got == want
+
+
 def test_pii_chain_fuzz_cross_engine(spark):
     """Seeded random ASCII fuzz: the scrub chain must stay bit-identical
     across engines on arbitrary digit/symbol soup, not just curated cases."""
