@@ -370,3 +370,92 @@ def op_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("stream_corpus_ingest")
+
+
+# --- chunk-granularity exact-substring dedup ---------------------------------
+
+#: passage granularity: non-overlapping 16-token chunks.  RefinedWeb /
+#: MassiveText dedup removes repeated PASSAGES across documents, not just
+#: whole-document duplicates; fixed-boundary chunks are the shuffle-friendly
+#: realization (a suffix-array substring dedup has no distributed plan).
+_SUBSTR_CHUNK = 16
+#: composite first-occurrence key: doc_id * 2^20 + chunk_id.  chunk_id is
+#: bounded by ceil(100/16) = 7 on the shipped corpus and < 2^20 for any
+#: document under ~16M tokens, so the key is collision-free and orders by
+#: (doc_id, chunk_id) lexicographically — "first occurrence" is well defined
+#: corpus-wide and engine-independent.
+_SUBSTR_KEY_BASE = 1 << 20
+
+
+@register(
+    "op_dedup_substring",
+    f"""WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, k - 1 AS chunk_id,
+             array_to_string(
+               toks[(k-1)*{_SUBSTR_CHUNK}+1 : (k-1)*{_SUBSTR_CHUNK}+{_SUBSTR_CHUNK}],
+               ' ') AS chunk_text
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS k) u
+      WHERE k <= CAST(ceil(n / {_SUBSTR_CHUNK}.0) AS BIGINT)
+    ), ann AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             doc_id * {_SUBSTR_KEY_BASE} + chunk_id AS key,
+             min(doc_id * {_SUBSTR_KEY_BASE} + chunk_id)
+               OVER (PARTITION BY md5(chunk_text)) AS fk
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN key = fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN key = fk THEN chunk_text END,
+                                   ' ' ORDER BY chunk_id), '')) AS clean_md5
+    FROM ann GROUP BY doc_id""",
+    doc="exact-substring dedup at passage granularity (RefinedWeb-style): "
+    "documents are cut into non-overlapping 16-token chunks, every chunk "
+    "text seen before (first occurrence = smallest (doc_id, chunk_id) "
+    "corpus-wide) is dropped, and each document is rebuilt from its "
+    "surviving chunks in order — surfaced as kept/total counts plus the md5 "
+    "of the rebuilt text so the full reconstruction is hash-verified "
+    "without shipping document bodies through the driver.  Two shuffles: "
+    "chunk-hash window for first-occurrence marking, doc_id re-group for "
+    "reassembly; chunk texts cross the wire once each",
+)
+def op_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(1, CAST(ceil(n / {_SUBSTR_CHUNK}.0) AS INT))")
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        (F.col("k") - 1).alias("chunk_id"),
+        F.array_join(
+            F.slice("toks", (F.col("k") - 1) * _SUBSTR_CHUNK + 1, _SUBSTR_CHUNK), " "
+        ).alias("chunk_text"),
+    )
+    key = (F.col("doc_id") * _SUBSTR_KEY_BASE + F.col("chunk_id")).alias("key")
+    ann = ch.select("doc_id", "chunk_id", "chunk_text", key).withColumn(
+        "fk", F.min("key").over(Window.partitionBy(F.md5("chunk_text")))
+    )
+    kept = F.col("key") == F.col("fk")
+    kept_struct = F.when(kept, F.struct("chunk_id", "chunk_text"))
+    return ann.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

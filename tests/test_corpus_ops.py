@@ -67,7 +67,16 @@ def edge_dir(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "op", ["op_pack_sequences", "op_contamination_check", "op_text_repetition"]
+    "op",
+    [
+        "op_pack_sequences",
+        "op_contamination_check",
+        "op_text_repetition",
+        # edge corpus also exercises op_dedup_substring's n_kept=0 branch:
+        # docs 0 and 10 share their single sub-16-token chunk, so doc 10
+        # rebuilds to the empty string (md5('') must agree cross-engine)
+        "op_dedup_substring",
+    ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_dir, op):
     q = QUERIES[op]
@@ -117,3 +126,30 @@ def test_contamination_flags_only_real_overlap(spark, edge_dir):
     assert got[10]["n_eval_docs"] == 1
     assert 11 not in got, "clean doc must not be flagged"
     assert 0 not in got and 97 not in got, "eval docs are not training docs"
+
+
+def test_substring_dedup_first_occurrence(spark, tmp_path_factory):
+    """Passage-level semantics: a chunk repeated verbatim in a later document
+    is dropped there (first occurrence = smallest (doc_id, chunk_id)); a
+    fully-duplicated document rebuilds to the empty string."""
+    import hashlib
+
+    a = " ".join(f"a{i}" for i in range(32))                   # 2 chunks
+    chunk2 = " ".join(f"a{i}" for i in range(16, 32))
+    b = chunk2 + " " + " ".join(f"b{i}" for i in range(16))    # chunk1 == a.chunk2
+    rows = [
+        (1, a, "en", "web", len(a)),
+        (2, b, "en", "web", len(b)),
+        (3, a, "en", "web", len(a)),                            # full duplicate
+    ]
+    d = _mkdocs(spark, tmp_path_factory.mktemp("substr"), rows)
+    q = QUERIES["op_dedup_substring"]
+    got = {r["doc_id"]: r for r in q.spark(spark, d).collect()}
+    assert (got[1]["n_chunks"], got[1]["n_kept"]) == (2, 2)
+    assert (got[2]["n_chunks"], got[2]["n_kept"]) == (2, 1)
+    b_kept = " ".join(f"b{i}" for i in range(16))
+    assert got[2]["clean_md5"] == hashlib.md5(b_kept.encode()).hexdigest()
+    assert (got[3]["n_chunks"], got[3]["n_kept"]) == (2, 0)
+    assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
+    assert not problems, problems
