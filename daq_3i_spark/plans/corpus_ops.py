@@ -459,3 +459,71 @@ def op_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+# --- token-budget mixture sampling -------------------------------------------
+
+#: per-source token budget for the sampled training mixture.  A fixed budget
+#: (not a fraction) is the real-world shape: mixture specs say "20B tokens of
+#: web, 5B of code", and the sampler must pick a reproducible subset of each
+#: source that fills its budget.
+_MIX_BUDGET = 3_000
+#: deterministic shuffle order: an LCG mix of doc_id (plain BIGINT arithmetic,
+#: identical in both engines; doc_id ties broken by doc_id itself).  Hash
+#: order makes the selection a uniform sample that is stable across runs,
+#: engines, and cluster sizes — rerunning the pipeline on the same corpus
+#: always picks the same documents.
+_MIX_A, _MIX_C, _MIX_M = 1103515245, 12345, 2147483647
+
+
+@register(
+    "op_corpus_budget_sample",
+    f"""WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             (doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} AS h
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS BIGINT) AS sample_rank
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens, sample_rank
+    FROM w WHERE cum_tokens - n_tokens < {_MIX_BUDGET}""",
+    doc="training-mixture sampling under a per-source token budget: documents "
+    "are ordered by a portable LCG hash of doc_id (a reproducible shuffle), "
+    "a running token sum fills each source's budget greedily, and a document "
+    "is selected iff it starts before the budget is exhausted — so the "
+    "manifest is deterministic across runs, engines, and cluster sizes.  One "
+    "shuffle on source, running-sum window within the partition (the "
+    "op_pack_sequences shape); at 100 TB a dominant source would sub-shard "
+    "into (source, hash bucket) with per-bucket budgets, same plan",
+)
+def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
+        ((F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum = (
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    return (
+        t.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIX_BUDGET)
+    )

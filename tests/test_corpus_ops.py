@@ -153,3 +153,35 @@ def test_substring_dedup_first_occurrence(spark, tmp_path_factory):
     assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
     problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
     assert not problems, problems
+
+
+def test_budget_sample_fills_each_source(spark, sf_dir):
+    """Greedy-fill invariants per source: every selected doc starts under the
+    budget, dropping the last selected doc leaves the budget unfilled (or the
+    source is exhausted), and the selection is deterministic across runs."""
+    from daq_3i_spark.plans.corpus_ops import _MIX_BUDGET
+
+    q = QUERIES["op_corpus_budget_sample"]
+    rows = q.spark(spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    n_docs = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, sel in by_src.items():
+        sel.sort(key=lambda r: r["sample_rank"])
+        ranks = [r["sample_rank"] for r in sel]
+        assert ranks == list(range(1, len(sel) + 1)), "selection is a hash-order prefix"
+        for r in sel:
+            assert r["cum_tokens"] - r["n_tokens"] < _MIX_BUDGET
+        # either the budget is filled or the source is exhausted
+        assert sel[-1]["cum_tokens"] >= _MIX_BUDGET or len(sel) == n_docs[src]
+    again = {(r["doc_id"], r["cum_tokens"]) for r in q.spark(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["cum_tokens"]) for r in rows}
