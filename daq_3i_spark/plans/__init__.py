@@ -21,8 +21,8 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # (commit dcfa715 landed AFTER round 4's check, so all 28 fx_sum users need
 # re-verification under the new convention), the corpus/streaming ops touched
 # by the whitespace-class + integer-DIV + persist_batch fixes, and family
-# anchors.  All 119 oracled entries pass the exact-compare local gate
-# (tools/verify_contract.py) before this ordering.
+# anchors.  Every oracled entry (all but op_sql_approx_sketches) passes the
+# exact-compare local gate (tools/verify_contract.py) before this ordering.
 _CHECK_PRIORITY = [
     # -- never driver-checked / newly oracled this round ---------------------
     "op_multimodal_decode", "op_multimodal_features", "op_source_modbus_sim",
@@ -30,7 +30,7 @@ _CHECK_PRIORITY = [
     # -- new this round: TPC-H analog completions (sql_surface3.py) ----------
     "op_sql_q2_mincost", "op_sql_q12_lateships", "op_sql_q20_dominant",
     "op_sql_q21_waiting", "op_dedup_ngram_capped", "op_dedup_substring",
-    "op_corpus_budget_sample",
+    "op_corpus_budget_sample", "op_rollup_incremental",
     # -- rewritten this round (star-contraction) -----------------------------
     "op_dedup_components",
     # -- fx_sum convention change (dcfa715) touched their output columns -----

@@ -683,9 +683,9 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_rollup_hourly",
-    f"""WITH {_D},
+#: the full-recompute rollup SQL — also the oracle of op_rollup_incremental
+#: (streaming_ops.py), whose incremental maintenance must equal a recompute
+ROLLUP_HOURLY_SQL = f"""WITH {_D},
     b AS (
       SELECT channel_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, value
       FROM channel_data
@@ -694,7 +694,12 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_samples,
            (CAST(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6) AS sum_value,
            min(value) AS min_value, max(value) AS max_value
-    FROM b GROUP BY channel_id, bucket_ts""",
+    FROM b GROUP BY channel_id, bucket_ts"""
+
+
+@register(
+    "op_rollup_hourly",
+    ROLLUP_HOURLY_SQL,
     doc="hypertable-style continuous aggregate: hourly per-channel rollup of "
     "channel_data (count/sum/min/max) — the materialized downsample a DAQ "
     "front-end reads instead of raw samples.  One hash aggregate with "
@@ -704,7 +709,12 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "epilogue writes them, exactly like the retention pass)",
 )
 def op_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cd = _cd(spark, sf_dir)
+    return hourly_rollup(_cd(spark, sf_dir))
+
+
+def hourly_rollup(cd: DataFrame) -> DataFrame:
+    """The continuous-aggregate kernel, shared with op_rollup_incremental
+    (which maintains the same table by invalidate-and-recompute)."""
     bucket = F.date_trunc("hour", F.col("ts"))
     return (
         cd.groupBy("channel_id", bucket.alias("bucket_ts"))

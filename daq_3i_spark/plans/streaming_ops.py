@@ -499,3 +499,64 @@ def op_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q2.awaitTermination()
     return read_channel_data(spark, work)
+
+
+# --- incremental continuous-aggregate refresh --------------------------------
+
+#: refresh split instant — deliberately NOT on an hour boundary, so the
+#: bucket containing it receives rows from BOTH the stored aggregate's epoch
+#: and the delta; correct maintenance must invalidate and recompute that
+#: straddled bucket, not merge into it blindly.
+_ROLLUP_SPLIT = "2024-01-25 12:30:00"
+
+
+from daq_3i_spark.plans.reference_ops import (  # no cycle: reference_ops
+    ROLLUP_HOURLY_SQL,                         # never imports streaming_ops
+    hourly_rollup,
+)
+
+
+@register(
+    "op_rollup_incremental",
+    ROLLUP_HOURLY_SQL,  # the oracle IS the from-scratch recompute
+    doc="incremental refresh of the hourly continuous aggregate "
+    "(TimescaleDB-style invalidate-and-recompute): the rollup of everything "
+    "before the split instant is materialized to parquet (the stored "
+    "aggregate), then a delta batch (ts >= split) arrives; the op "
+    "invalidates exactly the (channel, hour) buckets the delta touches via "
+    "a broadcast anti-join on the stored table, recomputes those buckets "
+    "from the full data, and unions them with the untouched stored rows.  "
+    "The ORACLE is the from-scratch rollup — a hash match proves "
+    "incremental maintenance == full recompute, including the bucket the "
+    "split instant straddles.  At scale the delta is one micro-batch and "
+    "the anti-join prunes to touched partitions; only touched buckets "
+    "re-aggregate",
+)
+def op_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    split = F.lit(_ROLLUP_SPLIT).cast("timestamp")
+
+    # epoch 1: the stored aggregate (what a foreachBatch epilogue persisted)
+    work = _workdir("op_rollup_incremental")
+    path = os.path.join(work, "rollup_hourly")
+    hourly_rollup(cd.filter(F.col("ts") < split)).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    # epoch 2: the delta invalidates every (channel, hour) bucket it touches
+    delta = cd.filter(F.col("ts") >= split)
+    touched = delta.select(
+        "channel_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+    ).distinct()
+    kept = stored.join(F.broadcast(touched), ["channel_id", "bucket_us"], "anti")
+    # recompute touched buckets from the FULL data (pre-split rows of the
+    # straddled bucket included) — a semi-join prunes the scan to them
+    refreshed = hourly_rollup(
+        cd.withColumn(
+            "bucket_us", F.unix_micros(F.date_trunc("hour", F.col("ts")))
+        ).join(F.broadcast(touched), ["channel_id", "bucket_us"], "semi")
+    )
+    return kept.unionByName(refreshed)
+

@@ -19,6 +19,7 @@ _EXECUTING = {name for name in QUERIES if name.startswith("op_stream_")} | {
     "op_sink_partitioned_scan",
     "op_source_modbus_sim",
     "op_graceful_stop",
+    "op_rollup_incremental",  # materializes the stored aggregate at build time
 }
 
 # non-equi joins where a broadcast nested loop IS the intended strategy

@@ -467,3 +467,32 @@ def test_stale_monitor_flags_stopped_channels(spark, sf_dir, feed_dir):
         if (global_max - mx).total_seconds() >= 2 * stale_after
     }
     assert must_flag <= set(got), f"missed stale channels: {must_flag - set(got)}"
+
+
+def test_rollup_incremental_prunes_recompute(spark, sf_dir):
+    """The refresh must only recompute the buckets the delta touches: the
+    stored aggregate's untouched rows survive the anti-join unmodified, and
+    touched buckets (including the one the split instant straddles) are a
+    small fraction of the table."""
+    from pyspark.sql import functions as F
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.plans.streaming_ops import _ROLLUP_SPLIT
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    split = F.lit(_ROLLUP_SPLIT).cast("timestamp")
+    touched = (
+        cd.filter(F.col("ts") >= split)
+        .select("channel_id", F.date_trunc("hour", "ts").alias("b"))
+        .distinct()
+        .count()
+    )
+    total = (
+        cd.select("channel_id", F.date_trunc("hour", "ts").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert 0 < touched < total / 2, "delta must touch a strict minority"
+    out = QUERIES["op_rollup_incremental"].spark(spark, sf_dir).count()
+    assert out == total
