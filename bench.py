@@ -60,6 +60,12 @@ HEADLINE = [
     "op_sql_kmv_sketch",
     "op_sql_histogram_quantile",
     "op_text_scrub",
+    "op_dedup_ngram_capped",
+    "op_dedup_substring",
+    "op_corpus_budget_sample",
+    "op_rollup_incremental",
+    "op_sql_q2_mincost",
+    "op_sql_q21_waiting",
 ]
 
 

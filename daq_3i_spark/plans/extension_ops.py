@@ -1630,3 +1630,66 @@ def op_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "op_text_lm_score",
+    """WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM t CROSS JOIN LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), pair_counts AS (
+      SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), head_counts AS (
+      SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM pair_counts GROUP BY w1
+    ), lm AS (
+      SELECT p.w1, p.w2, CAST(p.n AS DOUBLE) / h.n1 AS cond_p
+      FROM pair_counts p JOIN head_counts h USING (w1)
+      WHERE p.n >= 5
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(CAST(FLOOR(coalesce(lm.cond_p, 0) * 1e6 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6
+             / CAST(count(*) AS DOUBLE) AS lm_score
+    FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+    GROUP BY doc_id""",
+    doc="perplexity-style LM quality scoring (the CCNet filter shape): the "
+    "corpus's own bigram LM (op_text_bigrams: P(w2|w1), support >= 5) is "
+    "applied back to every document — lm_score is the mean conditional "
+    "probability of the doc's bigrams, unseen/low-support bigrams scoring "
+    "0, so boilerplate-heavy docs score high and token-soup scores near 0.  "
+    "All arithmetic is rational (count ratios) + fixed-point summation, so "
+    "the score is bit-identical cross-engine with no libm log.  Shuffles: "
+    "LM aggregation on (w1,w2) then w1, score join on (w1,w2), final "
+    "regroup on doc_id; at 100 TB the LM head would be df-capped and the "
+    "hot-bigram tail broadcast (same stop-entry trick as the capped dedups)",
+)
+def op_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    bg = t.select(
+        "doc_id",
+        F.posexplode(F.expr("slice(toks, 1, size(toks) - 1)")).alias("i0", "w1"),
+        F.col("toks"),
+    ).select("doc_id", "w1", F.expr("toks[i0 + 1]").alias("w2"))
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    head_counts = pair_counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    lm = (
+        pair_counts.join(head_counts, "w1")
+        .filter(F.col("n") >= 5)
+        .select("w1", "w2", (F.col("n").cast("double") / F.col("n1")).alias("cond_p"))
+    )
+    p_fx = F.floor(F.coalesce(F.col("cond_p"), F.lit(0.0)) * F.lit(1e6) + F.lit(0.5))
+    return (
+        bg.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(p_fx).cast("double") / F.lit(1e6)
+                / F.count("*").cast("double")
+            ).alias("lm_score"),
+        )
+    )

@@ -185,3 +185,23 @@ def test_budget_sample_fills_each_source(spark, sf_dir):
         assert sel[-1]["cum_tokens"] >= _MIX_BUDGET or len(sel) == n_docs[src]
     again = {(r["doc_id"], r["cum_tokens"]) for r in q.spark(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["cum_tokens"]) for r in rows}
+
+
+def test_lm_score_separates_boilerplate_from_soup(spark, tmp_path_factory):
+    """A corpus where one bigram dominates: documents made of the dominant
+    pair score near 1, a document of singleton bigrams scores 0 (support <5
+    pairs fall out of the LM)."""
+    boiler = " ".join(["click here"] * 10)         # "click here" df 10+, "here click" df 9
+    soup = " ".join(f"u{i}" for i in range(20))    # every bigram unique
+    rows = [(i, boiler, "en", "web", len(boiler)) for i in range(3)]
+    rows.append((9, soup, "en", "web", len(soup)))
+    d = _mkdocs(spark, tmp_path_factory.mktemp("lm"), rows)
+    q = QUERIES["op_text_lm_score"]
+    got = {r["doc_id"]: r for r in q.spark(spark, d).collect()}
+    assert got[9]["lm_score"] == 0.0
+    for i in range(3):
+        # 19 bigrams per boiler doc: 10x "click here" (P=1) + 9x "here click"
+        # (P=1) -> every bigram fully predictable, score 1
+        assert got[i]["lm_score"] == pytest.approx(1.0)
+    problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
+    assert not problems, problems
