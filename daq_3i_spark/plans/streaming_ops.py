@@ -560,3 +560,92 @@ def op_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.unionByName(refreshed)
 
+
+
+@register(
+    "op_stream_rollup_refresh",
+    ROLLUP_HOURLY_SQL,  # oracle: from-scratch recompute over all batches
+    doc="the hourly continuous aggregate maintained ACROSS MICRO-BATCHES: "
+    "the sample feed replays in 4 micro-batches (maxFilesPerTrigger=1) and "
+    "a foreachBatch sink merges each batch's partial aggregates into a "
+    "versioned rollup snapshot — counts and fixed-point BIGINT sums add, "
+    "min/min and max/max combine, so the merge is exact and "
+    "order-insensitive (the mergeable-aggregate design: partials combine "
+    "associatively, nothing ever re-scans raw history — the 100 TB "
+    "continuous-aggregate path, unlike op_rollup_incremental's "
+    "invalidate-and-recompute which re-reads touched buckets).  The oracle "
+    "is the from-scratch rollup over everything, so the hash match proves "
+    "4-way incremental merge == batch recompute bit-for-bit.  Exactly-once: "
+    "snapshot v=batch_id is overwritten on replay, so a crashed batch "
+    "converges",
+)
+def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    work = _workdir("op_stream_rollup_refresh")
+    feed = os.path.join(work, "feed")
+    channel_data_df(spark, sf_dir).repartition(4).write.parquet(feed)
+    roll_root = os.path.join(work, "rollup")
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(roll_root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(roll_root)
+            if d.startswith("v=")
+        )
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "channel_id",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        ).agg(
+            F.count("*").alias("n_samples"),
+            F.sum(fx_unscaled(F.col("value"))).alias("sum_fx"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        merged = _partial(batch)
+        vs = [v for v in _versions() if v < batch_id]
+        if vs:
+            stored = spark.read.parquet(os.path.join(roll_root, f"v={vs[-1]}"))
+            merged = (
+                stored.unionByName(merged)
+                .groupBy("channel_id", "bucket_us")
+                .agg(
+                    F.sum("n_samples").alias("n_samples"),
+                    F.sum("sum_fx").alias("sum_fx"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(roll_root, f"v={batch_id}")
+        )
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
+    )
+    with pinned_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final = spark.read.parquet(os.path.join(roll_root, f"v={_versions()[-1]}"))
+    return final.select(
+        "channel_id",
+        "bucket_us",
+        "n_samples",
+        (F.col("sum_fx").cast("double") / F.lit(1e6)).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

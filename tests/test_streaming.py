@@ -496,3 +496,20 @@ def test_rollup_incremental_prunes_recompute(spark, sf_dir):
     assert 0 < touched < total / 2, "delta must touch a strict minority"
     out = QUERIES["op_rollup_incremental"].spark(spark, sf_dir).count()
     assert out == total
+
+
+def test_stream_rollup_refresh_is_multibatch(spark, sf_dir):
+    """The merge must be exercised across real micro-batches: the feed
+    replays as 4 files with maxFilesPerTrigger=1, so >= 2 rollup snapshot
+    versions exist after the drain and the last one is the op's output."""
+    import os
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.plans.streaming_ops import _TMP_ROOT
+
+    out = QUERIES["op_stream_rollup_refresh"].spark(spark, sf_dir)
+    n = out.count()
+    roll_root = os.path.join(_TMP_ROOT, "op_stream_rollup_refresh", "rollup")
+    versions = [d for d in os.listdir(roll_root) if d.startswith("v=")]
+    assert len(versions) >= 2, "drain must produce several merged snapshots"
+    assert n > 0
