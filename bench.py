@@ -66,6 +66,8 @@ HEADLINE = [
     "op_rollup_incremental",
     "op_sql_q2_mincost",
     "op_sql_q21_waiting",
+    "op_text_lm_score",
+    "op_stream_rollup_refresh",
 ]
 
 

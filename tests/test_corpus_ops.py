@@ -205,3 +205,36 @@ def test_lm_score_separates_boilerplate_from_soup(spark, tmp_path_factory):
         assert got[i]["lm_score"] == pytest.approx(1.0)
     problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
     assert not problems, problems
+
+
+def test_substring_dedup_random_corpora_cross_engine(spark, tmp_path_factory):
+    """Seeded random corpora with forced chunk collisions: Spark and DuckDB
+    must agree exactly, and the global invariant holds — across all docs,
+    every distinct chunk text survives exactly once."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> frequent collisions
+    for trial in range(3):
+        rows = []
+        for doc_id in range(rng.randint(3, 9)):
+            n = rng.randint(1, 40)
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((doc_id, text, "en", "web", len(text)))
+        d = _mkdocs(spark, tmp_path_factory.mktemp(f"fz{trial}"), rows)
+        q = QUERIES["op_dedup_substring"]
+        problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
+        assert not problems, f"trial {trial}: {problems}"
+        # global uniqueness: recompute kept chunks in python
+        seen, kept_counts = set(), {}
+        for doc_id, text, *_ in sorted(rows):
+            toks = text.lower().split(" ")
+            kept = 0
+            for c in range(0, len(toks), 16):
+                chunk = " ".join(toks[c : c + 16])
+                if chunk not in seen:
+                    seen.add(chunk)
+                    kept += 1
+            kept_counts[doc_id] = kept
+        got = {r["doc_id"]: r["n_kept"] for r in q.spark(spark, d).collect()}
+        assert got == kept_counts, f"trial {trial}"

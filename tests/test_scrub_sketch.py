@@ -318,3 +318,42 @@ def test_capped_pairs_feed_components(spark):
     }
     viral_labels = {labels[i] for i in range(200) if i in labels}
     assert viral_labels == {0}, "all 200 copies must share the min-label root"
+
+
+# --- TPC-H analog brute-force crosschecks ------------------------------------
+
+
+def test_q21_analog_matches_bruteforce(spark, sf_dir):
+    """The semi/anti self-join realization must equal a literal python
+    evaluation of the EXISTS / NOT EXISTS definition on the same data."""
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        if r["o_orderstatus"] == "F"
+    }
+    import datetime
+
+    suppliers_of = defaultdict(set)
+    for r in li:
+        suppliers_of[r["l_orderkey"]].add(r["l_suppkey"])
+    late = []
+    for r in li:
+        o = orders.get(r["l_orderkey"])
+        if o and r["l_shipdate"] > o["o_orderdate"] + datetime.timedelta(days=90):
+            late.append((r["l_orderkey"], r["l_suppkey"]))
+    late_supps = defaultdict(set)
+    for ok, sk in late:
+        late_supps[ok].add(sk)
+    numwait = defaultdict(int)
+    for ok, sk in late:
+        if len(suppliers_of[ok]) > 1 and late_supps[ok] == {sk}:
+            numwait[sk] += 1
+    want = sorted(numwait.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r["s_suppkey"], r["numwait"])
+        for r in QUERIES["op_sql_q21_waiting"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
