@@ -527,3 +527,100 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIX_BUDGET)
     )
+
+
+@register(
+    "op_corpus_dedup_sample",
+    f"""WITH t AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, source, k - 1 AS chunk_id,
+             toks[(k-1)*{_SUBSTR_CHUNK}+1 : (k-1)*{_SUBSTR_CHUNK}+{_SUBSTR_CHUNK}]
+               AS chunk
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS k) u
+      WHERE k <= CAST(ceil(n / {_SUBSTR_CHUNK}.0) AS BIGINT)
+    ), ann AS (
+      SELECT doc_id, source, chunk,
+             doc_id * {_SUBSTR_KEY_BASE} + chunk_id AS key,
+             min(doc_id * {_SUBSTR_KEY_BASE} + chunk_id)
+               OVER (PARTITION BY md5(array_to_string(chunk, ' '))) AS fk
+      FROM ch
+    ), deduped AS (
+      SELECT doc_id, source,
+             CAST(SUM(CASE WHEN key = fk THEN len(chunk) ELSE 0 END) AS BIGINT)
+               AS n_tokens
+      FROM ann GROUP BY doc_id, source
+    ), live AS (
+      SELECT doc_id, source, n_tokens,
+             (doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} AS h
+      FROM deduped WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+             AS BIGINT) AS sample_rank
+    FROM live
+    QUALIFY cum_tokens - n_tokens < {_MIX_BUDGET}""",
+    doc="curation composite in the REAL order — dedup first, then sample: "
+    "passage-level substring dedup rewrites every document's token count to "
+    "its surviving chunks only, documents deduplicated to nothing drop out, "
+    "and the per-source token budget fills over POST-dedup counts (sampling "
+    "before dedup would overcount duplicated passages against the budget).  "
+    "One declarative plan: chunk-hash window -> doc regroup -> per-source "
+    "running-sum window; the same three shuffles as the standalone stages, "
+    "nothing materializes in between",
+)
+def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = docs.select("doc_id", "source", toks.alias("toks"), F.size(toks).alias("n"))
+    ch = t.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(1, CAST(ceil(n / {_SUBSTR_CHUNK}.0) AS INT))")
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("k") - 1).alias("chunk_id"),
+        F.slice("toks", (F.col("k") - 1) * _SUBSTR_CHUNK + 1, _SUBSTR_CHUNK).alias(
+            "chunk"
+        ),
+    )
+    key = (F.col("doc_id") * _SUBSTR_KEY_BASE + F.col("chunk_id")).alias("key")
+    ann = ch.select("doc_id", "source", "chunk", key).withColumn(
+        "fk",
+        F.min("key").over(Window.partitionBy(F.md5(F.array_join("chunk", " ")))),
+    )
+    deduped = ann.groupBy("doc_id", "source").agg(
+        F.sum(
+            F.when(F.col("key") == F.col("fk"), F.size("chunk")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    live = deduped.filter(F.col("n_tokens") > 0).withColumn(
+        "h", (F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum = (
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    return (
+        live.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIX_BUDGET)
+    )

@@ -238,3 +238,26 @@ def test_substring_dedup_random_corpora_cross_engine(spark, tmp_path_factory):
             kept_counts[doc_id] = kept
         got = {r["doc_id"]: r["n_kept"] for r in q.spark(spark, d).collect()}
         assert got == kept_counts, f"trial {trial}"
+
+
+def test_dedup_sample_composite_counts_postdedup_tokens(spark, tmp_path_factory):
+    """The budget must fill over POST-dedup token counts: a fully-duplicated
+    document contributes nothing and is never sampled; a partially-duplicated
+    document is charged only for its surviving chunks."""
+    a = " ".join(f"a{i}" for i in range(32))                  # 2 chunks, 32 toks
+    b = " ".join(f"a{i}" for i in range(16)) + " " + " ".join(
+        f"b{i}" for i in range(8)
+    )                                                          # chunk1 dup of a's
+    rows = [
+        (1, a, "en", "web", len(a)),
+        (2, b, "en", "web", len(b)),
+        (3, a, "en", "web", len(a)),                           # full duplicate
+    ]
+    d = _mkdocs(spark, tmp_path_factory.mktemp("ds"), rows)
+    q = QUERIES["op_corpus_dedup_sample"]
+    got = {r["doc_id"]: r for r in q.spark(spark, d).collect()}
+    assert 3 not in got, "fully-duplicated doc must not be sampled"
+    assert got[1]["n_tokens"] == 32
+    assert got[2]["n_tokens"] == 8, "only the surviving 8-token chunk counts"
+    problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
+    assert not problems, problems
