@@ -300,3 +300,33 @@ def sign_buckets_np(A: "np.ndarray", perms, modulus: int, n_planes: int) -> "np.
             proj += w[i] * A[:, i]
         bucket += (proj > 0).astype(np.int64) << p
     return bucket
+
+
+def l2_fold(a: Column, b: Column) -> Column:
+    """Sequential double fold of the squared L2 distance: acc starts at 0.0
+    and adds (a[i]-b[i])^2 in element order — subtraction, multiplication and
+    addition of doubles are correctly rounded, so the result is bit-identical
+    to :func:`duckdb_l2_fold` on the same operands."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def duckdb_l2_fold(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`l2_fold` (same element order, same op order)."""
+    diffsq = (
+        f"list_transform(generate_series(1, len({a})), "
+        f"__i -> (CAST({a}[__i] AS DOUBLE) - CAST({b}[__i] AS DOUBLE))"
+        f" * (CAST({a}[__i] AS DOUBLE) - CAST({b}[__i] AS DOUBLE)))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {diffsq}), "
+        f"(__acc, __v) -> __acc + __v)"
+    )

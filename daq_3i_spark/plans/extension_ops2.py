@@ -873,3 +873,129 @@ def op_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+# --- product quantization (PQ-ADC) -------------------------------------------
+
+#: PQ geometry: 64 dims = 4 subspaces x 16 dims, 16 codewords per subspace
+#: -> a vector compresses to 4 bytes (16x beyond op_embed_quantize's int8),
+#: the memory regime real billion-vector ANN indexes (IVF-PQ) live in.
+_PQ_M, _PQ_D, _PQ_K = 4, 16, 16
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    from daq_3i_spark.functions.vectors import duckdb_l2_fold
+
+    return duckdb_l2_fold(a, b)
+
+
+@register(
+    "op_sim_pq_topk",
+    f"""WITH subs AS (
+      SELECT vec_id, s,
+             embedding[s*{_PQ_D}+1 : s*{_PQ_D}+{_PQ_D}] AS sub
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) u
+    ), cws AS (
+      SELECT vec_id AS code, s, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ), dist AS (
+      SELECT v.vec_id, v.s, c.code,
+             {_pq_l2_sql('v.sub', 'c.cvec')} AS d
+      FROM subs v JOIN cws c USING (s)
+    ), asg AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), codes AS (
+      SELECT vec_id,
+             max(CASE WHEN s = 0 THEN code END) AS c0,
+             max(CASE WHEN s = 1 THEN code END) AS c1,
+             max(CASE WHEN s = 2 THEN code END) AS c2,
+             max(CASE WHEN s = 3 THEN code END) AS c3
+      FROM asg GROUP BY vec_id
+    ), qd AS (
+      SELECT vec_id AS query_id, s, code, d FROM dist
+      WHERE vec_id < {_N_QUERIES}
+    ), adc AS (
+      SELECT q0.query_id, codes.vec_id,
+             q0.d + q1.d + q2.d + q3.d AS adc_dist
+      FROM codes
+      JOIN qd q0 ON q0.s = 0 AND q0.code = codes.c0
+      JOIN qd q1 ON q1.s = 1 AND q1.code = codes.c1
+                AND q1.query_id = q0.query_id
+      JOIN qd q2 ON q2.s = 2 AND q2.code = codes.c2
+                AND q2.query_id = q0.query_id
+      JOIN qd q3 ON q3.s = 3 AND q3.code = codes.c3
+                AND q3.query_id = q0.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rnk FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {_TOP_K}""",
+    doc="product-quantization ANN (the billion-vector memory regime): 64-dim "
+    "vectors compress to 4 subspace codes (4 bytes, vs 256 raw — the "
+    "compression IVF-PQ indexes run on), queries score candidates with an "
+    "asymmetric-distance table (4 lookups + 3 adds per vector, no "
+    "full-dim arithmetic at query time).  Codebooks are the deterministic "
+    "seed vectors (a Lloyd refinement would reuse op_sim_kmeans_assign's "
+    "exact-mean loop verbatim); assignment argmin and ADC sums are "
+    "sequential double folds, bit-identical cross-engine, ties broken by "
+    "code then vec_id.  Scale: encode is one broadcast join over the corpus "
+    "(codebook is KB-sized), search never touches raw vectors — the "
+    "distance TABLE broadcasts, candidates shuffle only for the final "
+    "per-query top-k",
+)
+def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.vectors import l2_fold
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * _PQ_D + 1, _PQ_D) for s in range(_PQ_M)])
+        ).alias("s", "sub"),
+    )
+    subs = subs.localCheckpoint(eager=True)  # feeds dist twice (corpus + codebook)
+    cws = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sub").alias("cvec")
+    )
+    dist = subs.join(F.broadcast(cws), "s").select(
+        "vec_id", "s", "code", l2_fold(F.col("sub"), F.col("cvec")).alias("d")
+    )
+    dist = dist.localCheckpoint(eager=True)  # interpreted HOF: run it once
+    w_asg = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    asg = (
+        dist.withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    codes = asg.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"c{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    qd = dist.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", "code", "d"
+    )
+    res = codes
+    for s in range(_PQ_M):
+        qs = qd.filter(F.col("s") == s).select(
+            "query_id", F.col("code").alias(f"c{s}"), F.col("d").alias(f"d{s}")
+        )
+        on = [f"c{s}"] if s == 0 else ["query_id", f"c{s}"]
+        res = res.join(F.broadcast(qs), on)
+    adc = (
+        F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
+    ).alias("adc_dist")
+    w_k = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        res.select("query_id", "vec_id", adc)
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_dist", "rnk")
+    )

@@ -357,3 +357,80 @@ def test_q21_analog_matches_bruteforce(spark, sf_dir):
         for r in QUERIES["op_sql_q21_waiting"].spark(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_q2_analog_matches_bruteforce(spark, sf_dir):
+    """Window-min + double-equality join must equal a literal python
+    evaluation: per LARGE part, the supplier(s) achieving the min unit
+    price, ordered by acctbal desc with the full tie-break chain."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    parts = {
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+        if r["p_type"] == "LARGE"
+    }
+    supp = {r["s_suppkey"]: r for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()}
+    nation = {r["n_nationkey"]: r["n_name"] for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()}
+    cost = {}
+    for r in li:
+        if r["l_partkey"] in parts:
+            k = (r["l_partkey"], r["l_suppkey"])
+            u = r["l_extendedprice"] / r["l_quantity"]
+            cost[k] = min(cost.get(k, float("inf")), u)
+    pmin = {}
+    for (pk, sk), u in cost.items():
+        pmin[pk] = min(pmin.get(pk, float("inf")), u)
+    rows = []
+    for (pk, sk), u in cost.items():
+        if u == pmin[pk]:
+            s = supp[sk]
+            rows.append(
+                (s["s_acctbal"], s["s_name"], nation[s["s_nationkey"]], pk, u, sk)
+            )
+    rows.sort(key=lambda t: (-t[0], t[2], t[1], t[3], t[5]))
+    want = [t[:5] for t in rows[:100]]
+    got = [
+        (r["s_acctbal"], r["s_name"], r["n_name"], r["p_partkey"], r["unit_cost"])
+        for r in QUERIES["op_sql_q2_mincost"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_q20_analog_matches_bruteforce(spark, sf_dir):
+    """Dominant-supplier semantics: 2*q > total per part, PROMO parts,
+    1997 shipments, nation prefix filter."""
+    import datetime
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    promo = {
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+        if r["p_type"] == "PROMO"
+    }
+    nat = {
+        r["n_nationkey"]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+        if r["n_name"].startswith("NATION_1")
+    }
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    q = defaultdict(int)
+    for r in li:
+        if r["l_partkey"] in promo and lo <= r["l_shipdate"] < hi:
+            q[(r["l_suppkey"], r["l_partkey"])] += int(r["l_quantity"] * 1e6 + 0.5)
+    tot = defaultdict(int)
+    for (sk, pk), v in q.items():
+        tot[pk] += v
+    dominant = {sk for (sk, pk), v in q.items() if 2 * v > tot[pk]}
+    want = sorted(
+        (s["s_suppkey"], s["s_name"])
+        for s in supp
+        if s["s_suppkey"] in dominant and s["s_nationkey"] in nat
+    )
+    got = sorted(
+        (r["s_suppkey"], r["s_name"])
+        for r in QUERIES["op_sql_q20_dominant"].spark(spark, sf_dir).collect()
+    )
+    assert got == want
