@@ -68,6 +68,7 @@ HEADLINE = [
     "op_sql_q21_waiting",
     "op_text_lm_score",
     "op_stream_rollup_refresh",
+    "op_sim_ivfpq_topk",
 ]
 
 

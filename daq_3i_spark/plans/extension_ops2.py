@@ -889,9 +889,10 @@ def _pq_l2_sql(a: str, b: str) -> str:
     return duckdb_l2_fold(a, b)
 
 
-@register(
-    "op_sim_pq_topk",
-    f"""WITH subs AS (
+#: shared PQ encode CTEs (subspace split -> codebook distances -> argmin
+#: codes -> per-query distance tables) — composed by BOTH the flat PQ oracle
+#: and the IVF-PQ oracle below
+_PQ_CODES_CTE = f"""subs AS (
       SELECT vec_id, s,
              embedding[s*{_PQ_D}+1 : s*{_PQ_D}+{_PQ_D}] AS sub
       FROM embeddings
@@ -918,38 +919,13 @@ def _pq_l2_sql(a: str, b: str) -> str:
     ), qd AS (
       SELECT vec_id AS query_id, s, code, d FROM dist
       WHERE vec_id < {_N_QUERIES}
-    ), adc AS (
-      SELECT q0.query_id, codes.vec_id,
-             q0.d + q1.d + q2.d + q3.d AS adc_dist
-      FROM codes
-      JOIN qd q0 ON q0.s = 0 AND q0.code = codes.c0
-      JOIN qd q1 ON q1.s = 1 AND q1.code = codes.c1
-                AND q1.query_id = q0.query_id
-      JOIN qd q2 ON q2.s = 2 AND q2.code = codes.c2
-                AND q2.query_id = q0.query_id
-      JOIN qd q3 ON q3.s = 3 AND q3.code = codes.c3
-                AND q3.query_id = q0.query_id
-    )
-    SELECT query_id, vec_id, adc_dist, rnk FROM (
-      SELECT query_id, vec_id, adc_dist,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY adc_dist, vec_id) AS rnk
-      FROM adc
-    ) WHERE rnk <= {_TOP_K}""",
-    doc="product-quantization ANN (the billion-vector memory regime): 64-dim "
-    "vectors compress to 4 subspace codes (4 bytes, vs 256 raw — the "
-    "compression IVF-PQ indexes run on), queries score candidates with an "
-    "asymmetric-distance table (4 lookups + 3 adds per vector, no "
-    "full-dim arithmetic at query time).  Codebooks are the deterministic "
-    "seed vectors (a Lloyd refinement would reuse op_sim_kmeans_assign's "
-    "exact-mean loop verbatim); assignment argmin and ADC sums are "
-    "sequential double folds, bit-identical cross-engine, ties broken by "
-    "code then vec_id.  Scale: encode is one broadcast join over the corpus "
-    "(codebook is KB-sized), search never touches raw vectors — the "
-    "distance TABLE broadcasts, candidates shuffle only for the final "
-    "per-query top-k",
-)
-def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str):
+    """(emb, codes, qd): the PQ encode dataflow shared by the flat and
+    IVF-composed search ops — subspace split, codebook distances (sequential
+    L2 folds), argmin codes, per-query distance tables."""
     from daq_3i_spark.functions.vectors import l2_fold
 
     emb = load_spread(spark, sf_dir, "embeddings")
@@ -982,6 +958,12 @@ def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = dist.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "s", "code", "d"
     )
+    return emb, codes, qd
+
+
+def _pq_adc(codes: DataFrame, qd: DataFrame) -> DataFrame:
+    """ADC scores for every (query, encoded-vector) pair present in codes:
+    four broadcast distance-table joins, fixed-order sum."""
     res = codes
     for s in range(_PQ_M):
         qs = qd.filter(F.col("s") == s).select(
@@ -992,10 +974,141 @@ def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
     ).alias("adc_dist")
+    return res.select("query_id", "vec_id", adc)
+
+
+def _pq_topk(scored: DataFrame) -> DataFrame:
     w_k = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     return (
-        res.select("query_id", "vec_id", adc)
-        .withColumn("rnk", F.row_number().over(w_k))
+        scored.withColumn("rnk", F.row_number().over(w_k))
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "adc_dist", "rnk")
     )
+
+
+@register(
+    "op_sim_pq_topk",
+    f"""WITH {_PQ_CODES_CTE}, adc AS (
+      SELECT q0.query_id, codes.vec_id,
+             q0.d + q1.d + q2.d + q3.d AS adc_dist
+      FROM codes
+      JOIN qd q0 ON q0.s = 0 AND q0.code = codes.c0
+      JOIN qd q1 ON q1.s = 1 AND q1.code = codes.c1
+                AND q1.query_id = q0.query_id
+      JOIN qd q2 ON q2.s = 2 AND q2.code = codes.c2
+                AND q2.query_id = q0.query_id
+      JOIN qd q3 ON q3.s = 3 AND q3.code = codes.c3
+                AND q3.query_id = q0.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rnk FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {_TOP_K}""",
+    doc="product-quantization ANN (the billion-vector memory regime): 64-dim "
+    "vectors compress to 4 subspace codes (4 bytes, vs 256 raw — the "
+    "compression IVF-PQ indexes run on), queries score candidates with an "
+    "asymmetric-distance table (4 lookups + 3 adds per vector, no "
+    "full-dim arithmetic at query time).  Codebooks are the deterministic "
+    "seed vectors (a Lloyd refinement would reuse op_sim_kmeans_assign's "
+    "exact-mean loop verbatim); assignment argmin and ADC sums are "
+    "sequential double folds, bit-identical cross-engine, ties broken by "
+    "code then vec_id.  Scale: encode is one broadcast join over the corpus "
+    "(codebook is KB-sized), search never touches raw vectors — the "
+    "distance TABLE broadcasts, candidates shuffle only for the final "
+    "per-query top-k",
+)
+def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb, codes, qd = _pq_frames(spark, sf_dir)
+    return _pq_topk(_pq_adc(codes, qd))
+
+
+@register(
+    "op_sim_ivfpq_topk",
+    f"""WITH {_PQ_CODES_CTE}, cd AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             {_pq_l2_sql('e.embedding', 'c.embedding')} AS dfull
+      FROM embeddings e JOIN embeddings c ON c.vec_id < {_IVF_C}
+    ), cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dfull, cid) AS rn
+        FROM cd) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dfull, cid) AS rn
+        FROM cd WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, ce.vec_id
+      FROM cells ce JOIN probes p USING (cell)
+      WHERE ce.vec_id <> p.query_id
+    ), candcodes AS (
+      SELECT cand.query_id, cand.vec_id, c0, c1, c2, c3
+      FROM cand JOIN codes USING (vec_id)
+    ), adc AS (
+      SELECT cc.query_id, cc.vec_id, q0.d + q1.d + q2.d + q3.d AS adc_dist
+      FROM candcodes cc
+      JOIN qd q0 ON q0.query_id = cc.query_id AND q0.s = 0 AND q0.code = cc.c0
+      JOIN qd q1 ON q1.query_id = cc.query_id AND q1.s = 1 AND q1.code = cc.c1
+      JOIN qd q2 ON q2.query_id = cc.query_id AND q2.s = 2 AND q2.code = cc.c2
+      JOIN qd q3 ON q3.query_id = cc.query_id AND q3.s = 3 AND q3.code = cc.c3
+    )
+    SELECT query_id, vec_id, adc_dist, rnk FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {_TOP_K}""",
+    doc="IVF-PQ, the composition real billion-vector indexes deploy (FAISS's "
+    f"default): corpus coarse-quantized into {_IVF_C} L2 cells, each query "
+    f"probes its {_IVF_NPROBE} nearest cells, and ONLY candidates in probed "
+    "cells are scored — by the 4-byte PQ codes via ADC table lookups, never "
+    "full-dim arithmetic.  Search cost = (nprobe/C of the corpus) x (4 "
+    "lookups + 3 adds); memory = codes + cell ids.  Excludes self like "
+    "op_sim_ivf_topk.  All distances are sequential L2 folds (bit-portable); "
+    "at 100 TB the cell id is the partition key so probing IS partition "
+    "pruning, and the distance tables broadcast",
+)
+def op_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.vectors import l2_fold
+
+    emb, codes, qd = _pq_frames(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cd = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", l2_fold(F.col("embedding"), F.col("ce")).alias("dfull")
+    )
+    cd = cd.localCheckpoint(eager=True)  # feeds cells + probes; fold runs once
+    w_cell = Window.partitionBy("vec_id").orderBy("dfull", "cid")
+    cells = (
+        cd.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    probes = (
+        cd.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    candcodes = cand.join(codes, "vec_id")
+    res = candcodes
+    for s in range(_PQ_M):
+        qs = qd.filter(F.col("s") == s).select(
+            "query_id", F.col("code").alias(f"c{s}"), F.col("d").alias(f"d{s}")
+        )
+        res = res.join(F.broadcast(qs), ["query_id", f"c{s}"])
+    scored = res.select(
+        "query_id",
+        "vec_id",
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("adc_dist"),
+    )
+    return _pq_topk(scored)

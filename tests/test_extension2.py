@@ -238,3 +238,42 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     assert len(recalls) == 8
     assert sum(recalls) / len(recalls) >= 0.15
     assert all(r >= 0.0 for r in recalls)
+
+
+def test_ivfpq_candidates_respect_probed_cells(spark, sf_dir):
+    """Every IVF-PQ result must come from one of its query's probed cells
+    (recomputed in numpy with the same L2 + tie-break rules), never be the
+    query itself, and rank monotonically by ADC distance."""
+    import numpy as np
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.plans.extension_ops2 import _IVF_C, _IVF_NPROBE
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    C = E[ids < _IVF_C]
+    d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cell = {int(v): int(np.argmin(d[i])) for i, v in enumerate(ids)}
+    probes = {
+        int(v): set(np.argsort(d[i], kind="stable")[:_IVF_NPROBE].tolist())
+        for i, v in enumerate(ids)
+        if v < 8
+    }
+    out = QUERIES["op_sim_ivfpq_topk"].spark(spark, sf_dir).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+        assert cell[r["vec_id"]] in probes[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["adc_dist"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        dists = [t[1] for t in lst]
+        assert dists == sorted(dists)
