@@ -1693,3 +1693,114 @@ def op_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lm_score"),
         )
     )
+
+
+# --- gap-fill interpolation (hypertable time_bucket_gapfill analog) ----------
+
+#: the interpolation grid: one full day, minute resolution.  Bounds are
+#: literals so both engines generate the identical series; samples OUTSIDE
+#: the day still serve as neighbors (the window spans full history).
+_INTERP_DAY_START = "2024-01-10 00:00:00"
+_INTERP_DAY_END = "2024-01-10 23:59:00"
+
+
+@register(
+    "op_timeseries_interpolate",
+    f"""WITH {dims_cte_sql()},
+    g AS (
+      SELECT c.channel_id,
+             unnest(generate_series(TIMESTAMP '{_INTERP_DAY_START}',
+                                    TIMESTAMP '{_INTERP_DAY_END}',
+                                    INTERVAL 1 MINUTE)) AS ts
+      FROM (SELECT DISTINCT channel_id FROM channel_data) c
+    ),
+    u AS (
+      SELECT channel_id, ts, value AS v, 1 AS tag FROM channel_data
+      UNION ALL SELECT channel_id, ts, NULL, 0 FROM g
+    ),
+    w AS (
+      SELECT channel_id, ts, tag,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY channel_id ORDER BY ts, tag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS) OVER
+               (PARTITION BY channel_id ORDER BY ts, tag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY channel_id ORDER BY ts, tag
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS) OVER
+               (PARTITION BY channel_id ORDER BY ts, tag
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u
+    )
+    SELECT channel_id, epoch_us(ts) AS minute_us,
+           pv + (nv - pv) * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+                             / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+             AS interp_value
+    FROM w WHERE tag = 0 AND pv IS NOT NULL AND nv IS NOT NULL""",
+    doc="gap-fill linear interpolation (the hypertable time_bucket_gapfill + "
+    "interpolate() analog a DAQ front-end charts from): a per-channel "
+    "minute grid over one day, each grid instant valued by linear "
+    "interpolation between its surrounding samples.  Neighbors come from "
+    "ONE union + two framed windows (last/first IGNORE NULLS) — no self-"
+    "join, no range join; the (ts, tag) tie-break makes a sample exactly on "
+    "a grid instant its NEXT neighbor, so the ratio hits 1 and the grid "
+    "point reproduces the sample value exactly.  All arithmetic is BIGINT "
+    "epoch differences and correctly-rounded double ops — bit-portable.  "
+    "One shuffle on channel_id; grid edges without both neighbors are "
+    "omitted, not extrapolated",
+)
+def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = channel_data_df(spark, sf_dir)
+    grid = (
+        cd.select("channel_id")
+        .distinct()
+        .select(
+            "channel_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_INTERP_DAY_START).cast("timestamp"),
+                    F.lit(_INTERP_DAY_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+        )
+    )
+    u = cd.select(
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(1).alias("tag")
+    ).unionByName(
+        grid.select(
+            "channel_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("tag"),
+        )
+    )
+    w = Window.partitionBy("channel_id").orderBy("ts", "tag")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sample_ts = F.when(F.col("tag") == 1, F.col("ts"))
+    ann = u.select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(sample_ts, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(sample_ts, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    ratio = (
+        (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
+        / (F.unix_micros("nt") - F.unix_micros("pt")).cast("double")
+    )
+    return (
+        ann.filter(
+            (F.col("tag") == 0) & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        )
+        .select(
+            "channel_id",
+            F.unix_micros("ts").alias("minute_us"),
+            (F.col("pv") + (F.col("nv") - F.col("pv")) * ratio).alias(
+                "interp_value"
+            ),
+        )
+    )

@@ -260,3 +260,44 @@ def op_sql_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(10)
     )
+
+
+# --- window-function breadth -------------------------------------------------
+
+
+@register(
+    "op_sql_window_suite",
+    """SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           percent_rank() OVER w AS pr,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    doc="the window-function breadth sweep in one deterministic query: "
+    "lag/lead, percent_rank (an exact small-integer ratio — portable), "
+    "ntile, first_value, and full-frame last_value per customer order "
+    "history, ordered by (date, orderkey) so every rank is total.  One "
+    "shuffle on o_custkey serves all six functions (Spark collapses "
+    "same-partitioning windows into one Window operator); partition sizes "
+    "are orders-per-customer — bounded at any corpus scale",
+)
+def op_sql_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+    )

@@ -49,3 +49,37 @@ def test_range_join_any_bucket_width(spark, frames, bucket_s):
         .collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_interpolate_midpoints_and_exact_hits(spark, sf_dir):
+    """Linear-interpolation semantics on the registry op's own output: for
+    every emitted grid instant, recompute the expected value from the raw
+    samples in python and compare exactly (same IEEE ops, same order)."""
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    out = QUERIES["op_timeseries_interpolate"].spark(spark, sf_dir).collect()
+    assert out
+    samples = {}
+    for r in channel_data_df(spark, sf_dir).collect():
+        samples.setdefault(r["channel_id"], []).append(
+            (int(r["ts"].timestamp() * 1_000_000), r["value"])
+        )
+    for ch in samples:
+        samples[ch].sort()
+    import bisect
+
+    checked_exact = 0
+    for r in out[:500]:
+        ts_us, ch = r["minute_us"], r["channel_id"]
+        pts = samples[ch]
+        i = bisect.bisect_left(pts, (ts_us, float("-inf")))
+        # prev = last sample strictly before; next = first at/after
+        assert 0 < i < len(pts) or (i < len(pts) and pts[i][0] == ts_us)
+        t1, v1 = pts[i - 1]
+        t2, v2 = pts[i]
+        want = v1 + (v2 - v1) * (float(ts_us - t1) / float(t2 - t1))
+        assert r["interp_value"] == want
+        if t2 == ts_us:
+            assert r["interp_value"] == v2
+            checked_exact += 1
