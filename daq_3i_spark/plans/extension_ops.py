@@ -1804,3 +1804,82 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "op_timeseries_locf",
+    f"""WITH {dims_cte_sql()},
+    g AS (
+      SELECT c.channel_id,
+             unnest(generate_series(TIMESTAMP '{_INTERP_DAY_START}',
+                                    TIMESTAMP '{_INTERP_DAY_END}',
+                                    INTERVAL 1 MINUTE)) AS ts
+      FROM (SELECT DISTINCT channel_id FROM channel_data) c
+    ),
+    u AS (
+      SELECT channel_id, ts, value AS v, 0 AS tag FROM channel_data
+      UNION ALL SELECT channel_id, ts, NULL, 1 FROM g
+    ),
+    w AS (
+      SELECT channel_id, ts, tag,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY channel_id ORDER BY ts, tag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER
+               (PARTITION BY channel_id ORDER BY ts, tag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM u
+    )
+    SELECT channel_id, epoch_us(ts) AS minute_us, pv AS locf_value,
+           epoch_us(ts) - epoch_us(pt) AS staleness_us
+    FROM w WHERE tag = 1 AND pv IS NOT NULL""",
+    doc="last-observation-carried-forward gap fill (the locf() twin of "
+    "op_timeseries_interpolate): each grid instant takes the most recent "
+    "sample AT or before it — samples sort before grid rows at equal ts "
+    "(opposite tie-break to the interpolation op, where a coincident sample "
+    "is the NEXT neighbor), so an exactly-coincident sample yields "
+    "staleness 0.  The emitted staleness_us column is the DAQ liveness "
+    "signal (how stale is this channel's chart point); one union + one "
+    "framed window, one shuffle on channel_id, no joins at all",
+)
+def op_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = channel_data_df(spark, sf_dir)
+    grid = (
+        cd.select("channel_id")
+        .distinct()
+        .select(
+            "channel_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_INTERP_DAY_START).cast("timestamp"),
+                    F.lit(_INTERP_DAY_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+        )
+    )
+    u = cd.select(
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(0).alias("tag")
+    ).unionByName(
+        grid.select(
+            "channel_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("tag"),
+        )
+    )
+    w = Window.partitionBy("channel_id").orderBy("ts", "tag")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ann = u.select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(back)
+        .alias("pt"),
+    )
+    return ann.filter((F.col("tag") == 1) & F.col("pv").isNotNull()).select(
+        "channel_id",
+        F.unix_micros("ts").alias("minute_us"),
+        F.col("pv").alias("locf_value"),
+        (F.unix_micros("ts") - F.unix_micros("pt")).alias("staleness_us"),
+    )

@@ -711,3 +711,86 @@ def op_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     )
+
+
+# --- portable count-min frequency sketch -------------------------------------
+
+#: count-min geometry: 4 hash rows x 64 buckets.  Small enough that the
+#: sketch is a 256-cell table (mergeable by addition), big enough that the
+#: top tokens' overestimates stay modest on the test corpus.
+_CM_D, _CM_W = 4, 64
+_CM_TOP = 20
+
+
+def _cm_bucket(dialect_spark: bool) -> str:
+    if dialect_spark:
+        md5 = "md5(encode(concat(CAST(j AS STRING), ':', token), 'utf-8'))"
+        return f"({_hex48(md5, 'instr')}) % {_CM_W}"
+    md5 = "md5(CAST(j AS VARCHAR) || ':' || token)"
+    return f"({_hex48(md5, 'strpos')}) % {_CM_W}"
+
+
+@register(
+    "op_sql_cm_sketch",
+    f"""WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+    ), bt AS (
+      SELECT c.token, c.n, r.j, {_cm_bucket(False)} AS bucket
+      FROM counts c
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1})) AS j) r
+    ), cm AS (
+      SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS bn FROM bt GROUP BY j, bucket
+    ), top AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {_CM_TOP}
+    )
+    SELECT t.token, t.n AS n_exact,
+           CAST(MIN(cm.bn) AS BIGINT) AS cm_estimate,
+           CAST(MIN(cm.bn) - t.n AS BIGINT) AS over_count
+    FROM top t
+    JOIN bt ON bt.token = t.token
+    JOIN cm ON cm.j = bt.j AND cm.bucket = bt.bucket
+    GROUP BY t.token, t.n""",
+    doc="portable count-min frequency sketch — the third classic mergeable "
+    "sketch next to op_sql_kmv_sketch (distinct count) and "
+    f"op_sql_histogram_quantile (quantiles): {_CM_D} md5-derived hash rows "
+    f"x {_CM_W} buckets of exact BIGINT counts, point estimate = min over "
+    "rows of the bucket counts, reported against the exact count for the "
+    f"top-{_CM_TOP} tokens (over_count >= 0 always — the CM guarantee, "
+    "tested).  The sketch itself is a 256-cell table whose merge is "
+    "addition — map-side combinable, so at 100 TB the token stream "
+    "aggregates into per-partition sketches that add, never a global "
+    "per-token shuffle; the estimate join is against the broadcast-sized "
+    "sketch table",
+)
+def op_sql_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    counts = counts.localCheckpoint(eager=True)  # feeds bt + top
+    bt = counts.crossJoin(
+        spark.range(_CM_D).select(F.col("id").cast("int").alias("j"))
+    ).withColumn("bucket", F.expr(_cm_bucket(True)))
+    cm = bt.groupBy("j", "bucket").agg(F.sum("n").cast("bigint").alias("bn"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_CM_TOP)
+    return (
+        top.join(bt, ["token", "n"])
+        .join(F.broadcast(cm), ["j", "bucket"])
+        .groupBy("token", "n")
+        .agg(
+            F.min("bn").cast("bigint").alias("cm_estimate"),
+            (F.min("bn") - F.first("n")).cast("bigint").alias("over_count"),
+        )
+        .select(
+            "token",
+            F.col("n").alias("n_exact"),
+            "cm_estimate",
+            "over_count",
+        )
+    )

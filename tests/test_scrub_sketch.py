@@ -434,3 +434,21 @@ def test_q20_analog_matches_bruteforce(spark, sf_dir):
         for r in QUERIES["op_sql_q20_dominant"].spark(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_cm_sketch_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: estimate >= exact for every reported token,
+    and the exact counts match a direct recount of the corpus."""
+    from collections import Counter
+
+    rows = QUERIES["op_sql_cm_sketch"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    exact = Counter()
+    for (text,) in spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "text"
+    ).collect():
+        exact.update(text.lower().split(" "))
+    for r in rows:
+        assert r["over_count"] >= 0
+        assert r["cm_estimate"] == r["n_exact"] + r["over_count"]
+        assert r["n_exact"] == exact[r["token"]]

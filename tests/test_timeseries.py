@@ -83,3 +83,30 @@ def test_interpolate_midpoints_and_exact_hits(spark, sf_dir):
         if t2 == ts_us:
             assert r["interp_value"] == v2
             checked_exact += 1
+
+
+def test_locf_carries_latest_at_or_before(spark, sf_dir):
+    """LOCF semantics recomputed in python: value = latest sample at/before
+    the instant (inclusive tie-break, opposite of interpolation's), and
+    staleness_us is the exact age of that sample."""
+    import bisect
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    out = QUERIES["op_timeseries_locf"].spark(spark, sf_dir).collect()
+    assert out
+    samples = {}
+    for r in channel_data_df(spark, sf_dir).collect():
+        samples.setdefault(r["channel_id"], []).append(
+            (int(r["ts"].timestamp() * 1_000_000), r["value"])
+        )
+    for ch in samples:
+        samples[ch].sort()
+    for r in out[:500]:
+        pts = samples[r["channel_id"]]
+        i = bisect.bisect_right(pts, (r["minute_us"], float("inf")))
+        assert i > 0
+        t1, v1 = pts[i - 1]
+        assert r["locf_value"] == v1
+        assert r["staleness_us"] == r["minute_us"] - t1 >= 0
