@@ -69,6 +69,15 @@ HEADLINE = [
     "op_text_lm_score",
     "op_stream_rollup_refresh",
     "op_sim_ivfpq_topk",
+    "op_sim_pq_topk",
+    "op_sql_q12_lateships",
+    "op_sql_q20_dominant",
+    "op_sql_window_suite",
+    "op_timeseries_interpolate",
+    "op_timeseries_locf",
+    "op_sql_cm_sketch",
+    "op_corpus_dedup_sample",
+    "op_anomaly_rank",
 ]
 
 

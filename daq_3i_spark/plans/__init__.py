@@ -33,7 +33,7 @@ _CHECK_PRIORITY = [
     "op_corpus_budget_sample", "op_rollup_incremental", "op_text_lm_score",
     "op_stream_rollup_refresh", "op_corpus_dedup_sample", "op_sim_pq_topk",
     "op_sim_ivfpq_topk", "op_sql_window_suite", "op_timeseries_interpolate",
-    "op_timeseries_locf", "op_sql_cm_sketch",
+    "op_timeseries_locf", "op_sql_cm_sketch", "op_anomaly_rank",
     # -- rewritten this round (star-contraction) -----------------------------
     "op_dedup_components",
     # -- fx_sum convention change (dcfa715) touched their output columns -----

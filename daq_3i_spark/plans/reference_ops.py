@@ -733,3 +733,32 @@ def hourly_rollup(cd: DataFrame) -> DataFrame:
             "max_value",
         )
     )
+
+
+@register(
+    "op_anomaly_rank",
+    f"""WITH {_D},
+    r AS (
+      SELECT id, channel_id, ts, value,
+             percent_rank() OVER (PARTITION BY channel_id
+                                  ORDER BY value, id) AS pr
+      FROM channel_data
+    )
+    SELECT id, channel_id, ts, value, pr FROM r WHERE pr >= 0.99""",
+    doc="rank-based anomaly detection: samples at or above their channel's "
+    "99th value percentile (percent_rank with the unique id tie-break, so "
+    "the flag set is deterministic and the rank ratio is exact small-"
+    "integer division — bit-portable, unlike mean/stddev z-scores whose "
+    "float sums are order-dependent).  One window shuffle on channel_id; "
+    "at 100 TB the exact rank swaps for the oracled histogram-quantile "
+    "sketch threshold (op_sql_histogram_quantile) with the same output "
+    "contract — flagged rows, not mutated state",
+)
+def op_anomaly_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = _cd(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("value", "id")
+    return (
+        cd.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.99)
+        .select("id", "channel_id", "ts", "value", "pr")
+    )
