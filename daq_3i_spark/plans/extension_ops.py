@@ -1777,7 +1777,16 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("channel_id").orderBy("ts", "tag")
     back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # the "next" neighbor as a BACKWARD frame over the reversed ordering:
+    # rows preceding the current one under (ts DESC, tag DESC) are exactly
+    # the rows following it under (ts ASC, tag ASC), and Spark evaluates
+    # [UNBOUNDED PRECEDING, CURRENT ROW] ignore-nulls frames incrementally
+    # while a [CURRENT ROW, UNBOUNDED FOLLOWING] frame rescans per row —
+    # measured 10.1 s -> sub-second at sf0.1 for the same results
+    w_rev = Window.partitionBy("channel_id").orderBy(
+        F.desc("ts"), F.desc("tag")
+    )
+    rback = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sample_ts = F.when(F.col("tag") == 1, F.col("ts"))
     ann = u.select(
         "channel_id",
@@ -1785,8 +1794,8 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag",
         F.last("v", ignorenulls=True).over(back).alias("pv"),
         F.last(sample_ts, ignorenulls=True).over(back).alias("pt"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(sample_ts, ignorenulls=True).over(fwd).alias("nt"),
+        F.last("v", ignorenulls=True).over(rback).alias("nv"),
+        F.last(sample_ts, ignorenulls=True).over(rback).alias("nt"),
     )
     ratio = (
         (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
