@@ -774,8 +774,13 @@ def op_sql_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     counts = counts.localCheckpoint(eager=True)  # feeds bt + top
-    bt = counts.crossJoin(
-        spark.range(_CM_D).select(F.col("id").cast("int").alias("j"))
+    # hash-row fan-out as an explode, not a cross join (a 4-row generator
+    # per token needs no join machinery, and the no-cartesian plan gate
+    # stays meaningful registry-wide)
+    bt = counts.select(
+        "token",
+        "n",
+        F.explode(F.array(*[F.lit(j) for j in range(_CM_D)])).alias("j"),
     ).withColumn("bucket", F.expr(_cm_bucket(True)))
     cm = bt.groupBy("j", "bucket").agg(F.sum("n").cast("bigint").alias("bn"))
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_CM_TOP)
