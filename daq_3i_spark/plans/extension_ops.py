@@ -1715,22 +1715,22 @@ _INTERP_DAY_END = "2024-01-10 23:59:00"
       FROM (SELECT DISTINCT channel_id FROM channel_data) c
     ),
     u AS (
-      SELECT channel_id, ts, value AS v, 1 AS tag FROM channel_data
-      UNION ALL SELECT channel_id, ts, NULL, 0 FROM g
+      SELECT channel_id, ts, value AS v, 1 AS tag, id FROM channel_data
+      UNION ALL SELECT channel_id, ts, NULL, 0, -1 FROM g
     ),
     w AS (
       SELECT channel_id, ts, tag,
              last_value(v IGNORE NULLS) OVER
-               (PARTITION BY channel_id ORDER BY ts, tag
+               (PARTITION BY channel_id ORDER BY ts, tag, id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
              last_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS) OVER
-               (PARTITION BY channel_id ORDER BY ts, tag
+               (PARTITION BY channel_id ORDER BY ts, tag, id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
              first_value(v IGNORE NULLS) OVER
-               (PARTITION BY channel_id ORDER BY ts, tag
+               (PARTITION BY channel_id ORDER BY ts, tag, id
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
              first_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS) OVER
-               (PARTITION BY channel_id ORDER BY ts, tag
+               (PARTITION BY channel_id ORDER BY ts, tag, id
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
       FROM u
     )
@@ -1746,7 +1746,10 @@ _INTERP_DAY_END = "2024-01-10 23:59:00"
     "ONE union + two framed windows (last/first IGNORE NULLS) — no self-"
     "join, no range join; the (ts, tag) tie-break makes a sample exactly on "
     "a grid instant its NEXT neighbor, so the ratio hits 1 and the grid "
-    "point reproduces the sample value exactly.  All arithmetic is BIGINT "
+    "point reproduces the sample value exactly; the unique sample id is the "
+    "final tie-break so duplicate-ts samples order deterministically in "
+    "both engines (grid rows use -1 — they can never tie with a sample, "
+    "tag differs).  All arithmetic is BIGINT "
     "epoch differences and correctly-rounded double ops — bit-portable.  "
     "One shuffle on channel_id; grid edges without both neighbors are "
     "omitted, not extrapolated",
@@ -1768,14 +1771,15 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u = cd.select(
-        "channel_id", "ts", F.col("value").alias("v"), F.lit(1).alias("tag")
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(1).alias("tag"),
+        F.col("id"),
     ).unionByName(
         grid.select(
             "channel_id", "ts", F.lit(None).cast("double").alias("v"),
-            F.lit(0).alias("tag"),
+            F.lit(0).alias("tag"), F.lit(-1).cast("long").alias("id"),
         )
     )
-    w = Window.partitionBy("channel_id").orderBy("ts", "tag")
+    w = Window.partitionBy("channel_id").orderBy("ts", "tag", "id")
     back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # the "next" neighbor as a BACKWARD frame over the reversed ordering:
     # rows preceding the current one under (ts DESC, tag DESC) are exactly
@@ -1784,7 +1788,7 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while a [CURRENT ROW, UNBOUNDED FOLLOWING] frame rescans per row —
     # measured 10.1 s -> sub-second at sf0.1 for the same results
     w_rev = Window.partitionBy("channel_id").orderBy(
-        F.desc("ts"), F.desc("tag")
+        F.desc("ts"), F.desc("tag"), F.desc("id")
     )
     rback = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sample_ts = F.when(F.col("tag") == 1, F.col("ts"))
@@ -1826,16 +1830,16 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT channel_id FROM channel_data) c
     ),
     u AS (
-      SELECT channel_id, ts, value AS v, 0 AS tag FROM channel_data
-      UNION ALL SELECT channel_id, ts, NULL, 1 FROM g
+      SELECT channel_id, ts, value AS v, 0 AS tag, id FROM channel_data
+      UNION ALL SELECT channel_id, ts, NULL, 1, -1 FROM g
     ),
     w AS (
       SELECT channel_id, ts, tag,
              last_value(v IGNORE NULLS) OVER
-               (PARTITION BY channel_id ORDER BY ts, tag
+               (PARTITION BY channel_id ORDER BY ts, tag, id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
              last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER
-               (PARTITION BY channel_id ORDER BY ts, tag
+               (PARTITION BY channel_id ORDER BY ts, tag, id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
       FROM u
     )
@@ -1868,14 +1872,15 @@ def op_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u = cd.select(
-        "channel_id", "ts", F.col("value").alias("v"), F.lit(0).alias("tag")
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(0).alias("tag"),
+        F.col("id"),
     ).unionByName(
         grid.select(
             "channel_id", "ts", F.lit(None).cast("double").alias("v"),
-            F.lit(1).alias("tag"),
+            F.lit(1).alias("tag"), F.lit(-1).cast("long").alias("id"),
         )
     )
-    w = Window.partitionBy("channel_id").orderBy("ts", "tag")
+    w = Window.partitionBy("channel_id").orderBy("ts", "tag", "id")
     back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ann = u.select(
         "channel_id",

@@ -439,25 +439,48 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sql_approx_sketches",
-    None,  # sketch results are engine-specific — rows-only driver check;
-    # tests/test_extension2.py bounds the error against the exact twins
-    doc="HyperLogLog++ distinct counts and t-digest quantiles next to their "
-    "exact twins, per group: the MERGEABLE-sketch aggregation path that "
-    "replaces exact distinct/percentile at 100 TB (partial sketches combine "
-    "map-side; exact distinct shuffles every distinct value, exact "
-    "percentile sorts per group).  Error is bounded by test, not oracle — "
-    "HLL/t-digest estimates are engine-specific by nature; the fully "
-    "ORACLED portable twins of this path are op_sql_kmv_sketch "
-    "(distinct-count) and op_sql_histogram_quantile (quantile)",
+    """SELECT l_returnflag,
+              count(DISTINCT l_suppkey) AS exact_nd_supp,
+              quantile_cont(l_quantity, 0.5) AS exact_p50_qty,
+              count(*) AS n,
+              TRUE AS nd_within_bound,
+              TRUE AS p50_within_bound
+       FROM lineitem
+       GROUP BY l_returnflag""",
+    doc="HyperLogLog++ distinct counts and t-digest quantiles vs their exact "
+    "twins, per group: the MERGEABLE-sketch aggregation path that replaces "
+    "exact distinct/percentile at 100 TB (partial sketches combine map-side; "
+    "exact distinct shuffles every distinct value, exact percentile sorts "
+    "per group).  The HLL/t-digest estimates themselves are engine-specific, "
+    "so the returned surface is deterministic: the exact twins plus "
+    "within-bound booleans (ND within max(1, 5%) of exact at the default "
+    "rsd=0.05; t-digest median within one quantity step at default "
+    "accuracy).  The oracle asserts both flags TRUE — an estimator-quality "
+    "regression becomes a hash mismatch, not an invisible drift.  The "
+    "bit-portable twins of this path are op_sql_kmv_sketch (distinct-count) "
+    "and op_sql_histogram_quantile (quantile)",
 )
 def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("exact_nd_supp"),
         F.expr("approx_count_distinct(l_suppkey)").alias("approx_nd_supp"),
         F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
         F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_p50_qty"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_nd_supp",
+        "exact_p50_qty",
+        "n",
+        (
+            F.abs(F.col("approx_nd_supp") - F.col("exact_nd_supp"))
+            <= F.greatest(F.lit(1.0), F.col("exact_nd_supp") * 0.05)
+        ).alias("nd_within_bound"),
+        (F.abs(F.col("approx_p50_qty") - F.col("exact_p50_qty")) <= F.lit(1.0)).alias(
+            "p50_within_bound"
+        ),
     )
 
 

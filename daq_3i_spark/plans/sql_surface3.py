@@ -161,7 +161,7 @@ def op_sql_q12_lateships(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey, s_name FROM supplier
     WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
       AND s_nationkey IN (SELECT n_nationkey FROM nation
-                          WHERE n_name LIKE 'NATION_1%')""",
+                          WHERE n_name LIKE 'NATION\\_1%' ESCAPE '\\')""",
     doc="TPC-H Q20 analog (availqty test := dominant supplier — shipped more "
     "than half a PROMO part's 1997 volume): the double-nested IN chain "
     "becomes two semi-joins (dominant-supplier set, nation set), the "
@@ -186,8 +186,10 @@ def op_sql_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .distinct()
     )
+    # startswith, not LIKE: the '_' in the fixture prefix is a literal
+    # underscore, and an unescaped LIKE '_' is a single-char wildcard
     nat = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").like("NATION_1%")
+        F.col("n_name").startswith("NATION_1")
     )
     s = load_table(spark, sf_dir, "supplier")
     return (

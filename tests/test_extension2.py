@@ -153,14 +153,15 @@ def test_bm25_orders_by_term_frequency(spark, sf_dir):
 
 def test_approx_sketches_bound_error(spark, sf_dir):
     """HLL++ distinct estimates within 5% of exact; t-digest median within
-    one quantity step of the exact median (integers, default accuracy)."""
+    one quantity step of the exact median (integers, default accuracy).
+    The op now returns the bound checks as boolean columns (the oracled
+    surface); all must hold."""
     rows = QUERIES["op_sql_approx_sketches"].spark(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r["approx_nd_supp"] - r["exact_nd_supp"]) <= max(
-            1, 0.05 * r["exact_nd_supp"]
-        ), r
-        assert abs(r["approx_p50_qty"] - r["exact_p50_qty"]) <= 1.0, r
+        assert r["nd_within_bound"] is True, r
+        assert r["p50_within_bound"] is True, r
+        assert r["exact_nd_supp"] > 0 and r["n"] > 0, r
 
 
 def test_trained_ivf_recall_not_worse(spark, sf_dir):
