@@ -649,3 +649,100 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# --- stale-channel liveness monitor (event-time state timeout) ---------------
+
+#: channels with channel_id % 5 == 0 stop producing at this instant — the
+#: feed drops their later samples so the monitor has something to detect.
+_STALE_CUT = "2024-01-13 00:00:00"
+#: staleness threshold, seconds.  6 days is chosen against the corpus shape
+#: (Jan 1-30, max intra-channel gap ~3.2 d at sf0.001) so that (a) no LIVE
+#: channel's event-time lag ever exceeds it at any micro-batch boundary and
+#: (b) every stopped channel's timeout fires strictly before the last data
+#: batch's watermark — each stopped channel fires EXACTLY ONCE with its true
+#: final timestamp, which is what makes a multi-batch state-timeout run
+#: hash-oracle-able at all.
+_STALE_AFTER_S = 6 * 86400
+#: event-time slice boundaries: one parquet file (= one micro-batch, via
+#: maxFilesPerTrigger=1 + mtime ordering) per slice, so the watermark
+#: trajectory is a deterministic function of the DATA, not of file layout.
+_STALE_SLICES = [
+    "2023-12-01 00:00:00",
+    "2024-01-08 12:00:00",
+    "2024-01-16 00:00:00",
+    "2024-01-23 12:00:00",
+    "2024-02-15 00:00:00",
+]
+
+
+@register(
+    "op_stream_stale_monitor",
+    f"""WITH {_D}
+    SELECT channel_id, epoch_us(max(ts)) AS last_ts_us,
+           CAST(-1 AS INTEGER) AS status
+    FROM channel_data
+    WHERE channel_id % 5 = 0 AND ts < TIMESTAMP '{_STALE_CUT}'
+    GROUP BY channel_id""",
+    doc="dead-channel liveness detection via keyed state + EVENT-TIME timeout "
+    "(applyInPandasWithState, streaming/stateful.py:stale_monitor_stream): "
+    "channels ending in 0 or 5 stop producing mid-feed, the replay runs in 4 "
+    "watermark-ordered micro-batches, and a stale marker (status=-1, the "
+    "reference's failure code, bus.py:94) fires when the watermark passes a "
+    "channel's last event + 6 days.  The threshold/slice geometry makes the "
+    "emitted set deterministic — every stopped channel fires exactly once "
+    "with its true last timestamp, no live channel ever fires — so the "
+    "oracle is the batch recomputation of stale channels at the final "
+    "watermark.  State per key is one timestamp; at 100 TB the state store "
+    "shards by channel_id and the timeout scan is O(#channels) per batch",
+)
+def op_stream_stale_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.streaming.stateful import stale_monitor_stream
+
+    work = _workdir("op_stream_stale_monitor")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    cd = channel_data_df(spark, sf_dir)
+    fed = cd.filter(
+        (F.col("channel_id") % 5 != 0)
+        | (F.col("ts") < F.lit(_STALE_CUT).cast("timestamp"))
+    )
+    # one file per event-time slice, mtimes strictly increasing: the file
+    # source orders by modification time, so micro-batch k == slice k and the
+    # watermark advances through the slice boundaries deterministically
+    for k, (lo, hi) in enumerate(zip(_STALE_SLICES[:-1], _STALE_SLICES[1:])):
+        tmp = os.path.join(work, f"tmp{k}")
+        fed.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"slice_{k}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = (
+        spark.readStream.schema(fed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .select("channel_id", "ts")
+    )
+    out = os.path.join(work, "markers")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    with pinned_shuffle(spark):
+        q = (
+            stale_monitor_stream(stream, stale_after_s=_STALE_AFTER_S)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    markers = spark.read.parquet(out)
+    return markers.select(
+        "channel_id", F.unix_micros("last_ts").alias("last_ts_us"), "status"
+    )
