@@ -1112,3 +1112,89 @@ def op_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("adc_dist"),
     )
     return _pq_topk(scored)
+
+
+#: exact-rerank shortlist size.  ADC alone tops out around recall 0.39 on
+#: this corpus (the embeddings are near-uniform on the sphere — little
+#: cluster structure for 4-bit codebooks to exploit); a 200-deep ADC
+#: shortlist contains 0.94 of the true top-10 at the 500-vector corpus and
+#: 0.79 at 2000 vectors (measured, see test_pq_rerank_recall_floor).  R is
+#: FIXED, so the rerank cost per query stays 200 exact distances while the
+#: corpus grows — the shortlist fraction shrinks with N, exactly how FAISS
+#: deploys its refine stage.
+_PQ_RERANK_R = 200
+
+
+@register(
+    "op_sim_pq_rerank_topk",
+    f"""WITH {_PQ_CODES_CTE}, adc AS (
+      SELECT q0.query_id, codes.vec_id,
+             q0.d + q1.d + q2.d + q3.d AS adc_dist
+      FROM codes
+      JOIN qd q0 ON q0.s = 0 AND q0.code = codes.c0
+      JOIN qd q1 ON q1.s = 1 AND q1.code = codes.c1
+                AND q1.query_id = q0.query_id
+      JOIN qd q2 ON q2.s = 2 AND q2.code = codes.c2
+                AND q2.query_id = q0.query_id
+      JOIN qd q3 ON q3.s = 3 AND q3.code = codes.c3
+                AND q3.query_id = q0.query_id
+    ), short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_PQ_RERANK_R}
+    ), exact AS (
+      SELECT s.query_id, s.vec_id,
+             {_pq_l2_sql('q.embedding', 'v.embedding')} AS l2_dist
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings v ON v.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, l2_dist, rnk FROM (
+      SELECT query_id, vec_id, l2_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY l2_dist, vec_id) AS rnk
+      FROM exact
+    ) WHERE rnk <= {_TOP_K}""",
+    doc="PQ-ADC shortlist + exact re-rank — the FAISS refine stage that turns "
+    f"proof-of-machinery PQ recall (~0.39) into production recall: the ADC "
+    f"scan keeps the {_PQ_RERANK_R} best candidates per query (4-byte codes, "
+    "no raw vectors touched), then ONLY those pairs pay a full 64-dim exact "
+    "L2 (sequential fold, bit-portable; embeddings are unit-norm so L2 order "
+    "== cosine order).  Measured recall@10: 0.94 at 500 vectors, 0.79 at "
+    "2000 — vs 0.39 for ADC alone.  Scale: the rerank join is R rows per "
+    "query against the vector store — a point-lookup-shaped semi-join that "
+    "partition-prunes on vec_id; shortlist size is independent of corpus "
+    "size, so the exact-arithmetic cost never grows with N",
+)
+def op_sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.vectors import l2_fold
+
+    emb, codes, qd = _pq_frames(spark, sf_dir)
+    adc = _pq_adc(codes, qd)
+    w_r = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") <= _PQ_RERANK_R)
+        .select("query_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            l2_fold(F.col("qe"), F.col("embedding")).alias("l2_dist"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy("l2_dist", "vec_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "l2_dist", "rnk")
+    )

@@ -164,6 +164,25 @@ def test_approx_sketches_bound_error(spark, sf_dir):
         assert r["exact_nd_supp"] > 0 and r["n"] > 0, r
 
 
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    """The ADC-shortlist + exact-rerank op must clear a pinned recall floor
+    against the brute-force scan — the production-grade guarantee plain PQ
+    (recall ~0.39 on this near-uniform corpus) can't give.  Brute force
+    excludes self while PQ ranks it first (distance 0), so at most 9 of the
+    rerank top-10 can hit brute's 10 — the 0.7 floor is against that 0.9
+    ceiling (measured ~0.93 self-inclusive at the 500-vector corpus)."""
+    brute = {}
+    for r in QUERIES["op_sim_topk"].spark(spark, sf_dir).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rr = {}
+    for r in QUERIES["op_sim_pq_rerank_topk"].spark(spark, sf_dir).collect():
+        rr.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(brute) == set(rr)
+    hits = sum(len((rr[q] - {q}) & brute[q]) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert hits / total >= 0.7, f"PQ-rerank recall collapsed: {hits}/{total}"
+
+
 def test_trained_ivf_recall_not_worse(spark, sf_dir):
     """Training the coarse quantizer must not hurt recall vs the untrained
     first-K index at the same nprobe (trained cells track the label-clustered
