@@ -200,6 +200,43 @@ def op_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: time-retention cutoff — deliberately MID-DAY so the policy exercises both
+#: paths: whole partitions strictly before the cutoff DATE drop at the
+#: directory level (no data read), and the single straddled partition is
+#: rewritten with a row filter.
+_RETENTION_CUTOFF = "2024-01-21 12:00:00"
+
+
+@register(
+    "op_sink_retention_time",
+    f"""WITH {_D}
+    SELECT id, channel_id, ts, value FROM channel_data
+    WHERE ts >= TIMESTAMP '{_RETENTION_CUTOFF}'""",
+    doc="time-based retention on the date-partitioned sink (DELETE WHERE "
+    "ts < cutoff with partition-drop semantics — the production complement "
+    "of the reference's count-based keep-newest-N, daq-3i.py:193-215): "
+    "channel_data lands date-partitioned (sources/sink.py), partitions "
+    "wholly before the cutoff date are DROPPED at the file-listing level "
+    "(zero rows read or rewritten — at 100 TB this is a metadata operation "
+    "per expired day), only the one partition the mid-day cutoff straddles "
+    "is rewritten with a row filter, and every surviving partition's files "
+    "are untouched (tests pin the mtimes).  Oracle = the plain WHERE over "
+    "the same rows, proving drop+rewrite == row-level delete",
+)
+def op_sink_retention_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import (
+        apply_time_retention,
+        write_channel_data_partitioned,
+    )
+
+    work = _workdir("op_sink_retention_time")
+    path = os.path.join(work, "channel_data_part")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    apply_time_retention(spark, path, _RETENTION_CUTOFF)
+    return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
+
+
 @register(
     "op_stream_due_filter",
     f"""WITH RECURSIVE {_D},

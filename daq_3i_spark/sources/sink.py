@@ -38,6 +38,36 @@ def read_channel_data_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
+    """DELETE WHERE ts < cutoff over the date-partitioned sink, with
+    partition-drop semantics: partitions wholly before the cutoff's DATE are
+    removed at the directory level (no rows read), the single partition a
+    mid-day cutoff straddles is rewritten with a row filter, and every later
+    partition's files are left byte-for-byte untouched.  At 100 TB the drop
+    is a metastore/manifest operation per expired day; only ~one day of data
+    is ever rewritten regardless of table size."""
+    import os
+    import shutil
+
+    cutoff_date = cutoff.split(" ")[0]
+    for d in os.listdir(path):
+        if d.startswith("p_date=") and d.split("=", 1)[1] < cutoff_date:
+            shutil.rmtree(os.path.join(path, d))
+
+    bdir = os.path.join(path, f"p_date={cutoff_date}")
+    if os.path.isdir(bdir):
+        # rewrite ONLY the straddled partition: filter into a fresh
+        # directory, then swap — later partitions are never opened
+        tmp = bdir + ".rewrite"
+        (
+            spark.read.parquet(bdir)
+            .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+            .write.parquet(tmp)
+        )
+        shutil.rmtree(bdir)
+        shutil.move(tmp, bdir)
+
+
 def write_channel_data_jdbc(
     df: DataFrame,
     url: str,

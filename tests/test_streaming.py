@@ -513,3 +513,56 @@ def test_stream_rollup_refresh_is_multibatch(spark, sf_dir):
     versions = [d for d in os.listdir(roll_root) if d.startswith("v=")]
     assert len(versions) >= 2, "drain must produce several merged snapshots"
     assert n > 0
+
+
+def test_time_retention_partition_drop_semantics(spark, sf_dir, tmp_path):
+    """apply_time_retention must (a) remove expired partitions at the
+    directory level, (b) rewrite ONLY the straddled partition, and (c) leave
+    every surviving partition's files byte-for-byte untouched (same names,
+    sizes, mtimes) — the proof that at scale retention is a metadata drop
+    plus a one-day rewrite, never a table scan."""
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import (
+        apply_time_retention,
+        write_channel_data_partitioned,
+    )
+    from daq_3i_spark.plans.streaming_ops import _RETENTION_CUTOFF
+
+    path = str(tmp_path / "cd_part")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    cutoff_date = _RETENTION_CUTOFF.split(" ")[0]
+
+    def inventory():
+        inv = {}
+        for d in os.listdir(path):
+            if d.startswith("p_date="):
+                pdir = os.path.join(path, d)
+                inv[d.split("=", 1)[1]] = {
+                    f: (st.st_size, st.st_mtime_ns)
+                    for f in os.listdir(pdir)
+                    for st in [os.stat(os.path.join(pdir, f))]
+                }
+        return inv
+
+    before = inventory()
+    assert any(p < cutoff_date for p in before), "fixture must have expired days"
+    assert cutoff_date in before, "fixture must straddle the cutoff"
+    assert any(p > cutoff_date for p in before), "fixture must have kept days"
+
+    apply_time_retention(spark, path, _RETENTION_CUTOFF)
+    after = inventory()
+
+    assert not any(p < cutoff_date for p in after), "expired partitions remain"
+    assert after[cutoff_date] != before[cutoff_date], "boundary not rewritten"
+    for p in before:
+        if p > cutoff_date:
+            assert after[p] == before[p], f"kept partition {p} was rewritten"
+
+    survivors = spark.read.parquet(path)
+    expect = channel_data_df(spark, sf_dir).filter(
+        F.col("ts") >= F.lit(_RETENTION_CUTOFF).cast("timestamp")
+    )
+    assert survivors.count() == expect.count()
+    assert survivors.filter(
+        F.col("ts") < F.lit(_RETENTION_CUTOFF).cast("timestamp")
+    ).count() == 0
