@@ -1704,9 +1704,11 @@ _INTERP_DAY_START = "2024-01-10 00:00:00"
 _INTERP_DAY_END = "2024-01-10 23:59:00"
 
 
-@register(
-    "op_timeseries_interpolate",
-    f"""WITH {dims_cte_sql()},
+#: the interpolation oracle — shared VERBATIM by op_timeseries_interpolate
+#: and its hot-key-safe bucketed twin: both must hash-match the same SQL,
+#: which is the proof that the two-pass carry-stitched plan computes exactly
+#: the global-window semantics.
+_INTERP_ORACLE = f"""WITH {dims_cte_sql()},
     g AS (
       SELECT c.channel_id,
              unnest(generate_series(TIMESTAMP '{_INTERP_DAY_START}',
@@ -1738,7 +1740,12 @@ _INTERP_DAY_END = "2024-01-10 23:59:00"
            pv + (nv - pv) * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
              AS interp_value
-    FROM w WHERE tag = 0 AND pv IS NOT NULL AND nv IS NOT NULL""",
+    FROM w WHERE tag = 0 AND pv IS NOT NULL AND nv IS NOT NULL"""
+
+
+@register(
+    "op_timeseries_interpolate",
+    _INTERP_ORACLE,
     doc="gap-fill linear interpolation (the hypertable time_bucket_gapfill + "
     "interpolate() analog a DAQ front-end charts from): a per-channel "
     "minute grid over one day, each grid instant valued by linear "
@@ -1819,9 +1826,8 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "op_timeseries_locf",
-    f"""WITH {dims_cte_sql()},
+#: the LOCF oracle — shared by op_timeseries_locf and its bucketed twin.
+_LOCF_ORACLE = f"""WITH {dims_cte_sql()},
     g AS (
       SELECT c.channel_id,
              unnest(generate_series(TIMESTAMP '{_INTERP_DAY_START}',
@@ -1845,7 +1851,12 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel_id, epoch_us(ts) AS minute_us, pv AS locf_value,
            epoch_us(ts) - epoch_us(pt) AS staleness_us
-    FROM w WHERE tag = 1 AND pv IS NOT NULL""",
+    FROM w WHERE tag = 1 AND pv IS NOT NULL"""
+
+
+@register(
+    "op_timeseries_locf",
+    _LOCF_ORACLE,
     doc="last-observation-carried-forward gap fill (the locf() twin of "
     "op_timeseries_interpolate): each grid instant takes the most recent "
     "sample AT or before it — samples sort before grid rows at equal ts "
@@ -1892,6 +1903,171 @@ def op_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pt"),
     )
     return ann.filter((F.col("tag") == 1) & F.col("pv").isNotNull()).select(
+        "channel_id",
+        F.unix_micros("ts").alias("minute_us"),
+        F.col("pv").alias("locf_value"),
+        (F.unix_micros("ts") - F.unix_micros("pt")).alias("staleness_us"),
+    )
+
+
+#: day bounds of the gap-fill grid (the date of _INTERP_DAY_START) — the
+#: bucket the two-pass variants stitch carries into.
+_GAPFILL_DAY_LO = "2024-01-10 00:00:00"
+_GAPFILL_DAY_HI = "2024-01-11 00:00:00"
+
+
+def _gapfill_day_frames(spark: SparkSession, sf_dir: str):
+    """(local, grid, before, after): the day-g sample slice, the minute grid,
+    and the out-of-day history halves the carry aggregates reduce."""
+    cd = channel_data_df(spark, sf_dir)
+    g_lo = F.lit(_GAPFILL_DAY_LO).cast("timestamp")
+    g_hi = F.lit(_GAPFILL_DAY_HI).cast("timestamp")
+    grid = (
+        cd.select("channel_id")
+        .distinct()
+        .select(
+            "channel_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_INTERP_DAY_START).cast("timestamp"),
+                    F.lit(_INTERP_DAY_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+        )
+    )
+    local = cd.filter((F.col("ts") >= g_lo) & (F.col("ts") < g_hi))
+    before = cd.filter(F.col("ts") < g_lo)
+    after = cd.filter(F.col("ts") >= g_hi)
+    return local, grid, before, after
+
+
+@register(
+    "op_timeseries_interpolate_bucketed",
+    _INTERP_ORACLE,  # IDENTICAL oracle to the global-window op — the proof
+    # that carry-stitched two-pass == one unbounded window, bit for bit
+    doc="hot-key-safe variant of op_timeseries_interpolate: instead of one "
+    "unbounded per-channel window over FULL history (a single task per "
+    "channel — fine at DAQ channel cardinality, a straggler if one key holds "
+    "years of data), the plan is two-pass: (1) out-of-day history collapses "
+    "map-side to one carry row per channel per side (max/min (ts,id,value) "
+    "struct aggregates — partial aggregation means no task ever holds a "
+    "channel's history), (2) the bounded day-g slice (1440 grid rows + that "
+    "day's samples per channel) gets the framed neighbor windows, and "
+    "boundary grid rows coalesce their missing neighbor from the broadcast "
+    "carries.  Same output, same oracle, task size bounded by ONE "
+    "channel-day regardless of total history — the shape that survives a "
+    "hyper-hot key at 100 TB.  Generalizing to a multi-day grid replaces "
+    "the two aggregates with a per-(channel, day) first/last rollup plus a "
+    "days-ordered cumulative window over that tiny rollup",
+)
+def op_timeseries_interpolate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    local, grid, before, after = _gapfill_day_frames(spark, sf_dir)
+    carry_in = before.groupBy("channel_id").agg(
+        F.max(F.struct("ts", "id", "value")).alias("ci")
+    )
+    carry_out = after.groupBy("channel_id").agg(
+        F.min(F.struct("ts", "id", "value")).alias("co")
+    )
+    u = local.select(
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(1).alias("tag"),
+        F.col("id"),
+    ).unionByName(
+        grid.select(
+            "channel_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("tag"), F.lit(-1).cast("long").alias("id"),
+        )
+    )
+    w = Window.partitionBy("channel_id").orderBy("ts", "tag", "id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rev = Window.partitionBy("channel_id").orderBy(
+        F.desc("ts"), F.desc("tag"), F.desc("id")
+    )
+    rback = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sample_ts = F.when(F.col("tag") == 1, F.col("ts"))
+    ann = u.select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.last("v", ignorenulls=True).over(back).alias("pv_l"),
+        F.last(sample_ts, ignorenulls=True).over(back).alias("pt_l"),
+        F.last("v", ignorenulls=True).over(rback).alias("nv_l"),
+        F.last(sample_ts, ignorenulls=True).over(rback).alias("nt_l"),
+    )
+    st = (
+        ann.join(F.broadcast(carry_in), "channel_id", "left")
+        .join(F.broadcast(carry_out), "channel_id", "left")
+        .select(
+            "channel_id",
+            "ts",
+            "tag",
+            F.coalesce("pv_l", F.col("ci.value")).alias("pv"),
+            F.coalesce("pt_l", F.col("ci.ts")).alias("pt"),
+            F.coalesce("nv_l", F.col("co.value")).alias("nv"),
+            F.coalesce("nt_l", F.col("co.ts")).alias("nt"),
+        )
+    )
+    ratio = (
+        (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
+        / (F.unix_micros("nt") - F.unix_micros("pt")).cast("double")
+    )
+    return (
+        st.filter(
+            (F.col("tag") == 0) & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        )
+        .select(
+            "channel_id",
+            F.unix_micros("ts").alias("minute_us"),
+            (F.col("pv") + (F.col("nv") - F.col("pv")) * ratio).alias(
+                "interp_value"
+            ),
+        )
+    )
+
+
+@register(
+    "op_timeseries_locf_bucketed",
+    _LOCF_ORACLE,  # identical oracle to the global-window LOCF op
+    doc="hot-key-safe variant of op_timeseries_locf (see "
+    "op_timeseries_interpolate_bucketed for the two-pass shape): pre-day "
+    "history collapses to one carry row per channel, the framed window runs "
+    "over the bounded day-g slice only, and start-of-day grid rows coalesce "
+    "the carried (ts, value).  Same output and oracle; task size bounded by "
+    "one channel-day",
+)
+def op_timeseries_locf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    local, grid, before, _after = _gapfill_day_frames(spark, sf_dir)
+    carry_in = before.groupBy("channel_id").agg(
+        F.max(F.struct("ts", "id", "value")).alias("ci")
+    )
+    u = local.select(
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(0).alias("tag"),
+        F.col("id"),
+    ).unionByName(
+        grid.select(
+            "channel_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("tag"), F.lit(-1).cast("long").alias("id"),
+        )
+    )
+    w = Window.partitionBy("channel_id").orderBy("ts", "tag", "id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ann = u.select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.last("v", ignorenulls=True).over(back).alias("pv_l"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(back)
+        .alias("pt_l"),
+    )
+    st = ann.join(F.broadcast(carry_in), "channel_id", "left").select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.coalesce("pv_l", F.col("ci.value")).alias("pv"),
+        F.coalesce("pt_l", F.col("ci.ts")).alias("pt"),
+    )
+    return st.filter((F.col("tag") == 1) & F.col("pv").isNotNull()).select(
         "channel_id",
         F.unix_micros("ts").alias("minute_us"),
         F.col("pv").alias("locf_value"),
