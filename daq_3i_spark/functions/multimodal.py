@@ -70,25 +70,69 @@ def _parse_pnm_header(payload: bytes) -> tuple[int, int, int, int, int]:
     return channels, width, height, maxval, pos
 
 
+#: plug-in codec registry: mime -> bytes-in/ndarray-out decoder.  Users with
+#: codec libraries installed register decoders here (or rely on the PIL
+#: auto-registration below) and every registry op that decodes media —
+#: op_multimodal_decode and anything built on decode_media — picks them up
+#: with no plan change, because the lookup happens inside the Arrow batch.
+_CODECS: dict[str, object] = {}
+
+
+def register_codec(mime: str, decoder) -> None:
+    """Register ``decoder(payload: bytes) -> np.ndarray (H, W, C) uint8``
+    for a mime type.  Later registrations win (so a user can override the
+    built-ins)."""
+    _CODECS[mime] = decoder
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    channels, width, height, maxval, off = _parse_pnm_header(payload)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    need = width * height * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return data.reshape(height, width, channels)
+
+
+register_codec("image/x-portable-pixmap", _decode_pnm)
+register_codec("image/x-portable-graymap", _decode_pnm)
+
+# PIL auto-registration: in an environment with Pillow installed (not this
+# sandbox), JPEG/PNG decode lights up through the same registry with no
+# code change anywhere else.
+try:  # pragma: no cover - codec libs absent in the test environment
+    from PIL import Image as _PILImage  # noqa: F401
+    import io as _io
+
+    def _decode_pil(payload: bytes) -> np.ndarray:
+        img = _PILImage.open(_io.BytesIO(payload))
+        arr = np.asarray(img.convert("RGB") if img.mode not in ("L", "RGB") else img)
+        return arr if arr.ndim == 3 else arr[:, :, None]
+
+    register_codec("image/jpeg", _decode_pil)
+    register_codec("image/png", _decode_pil)
+except ImportError:
+    pass
+
+
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
     """Decode an image payload to an (H, W, C) uint8 sample array.
 
-    Real decode for the binary netpbm formats (pure numpy, no codec deps):
+    Dispatches through the plug-in codec registry (:func:`register_codec`).
+    Built in with no codec deps: the binary netpbm formats
     ``image/x-portable-pixmap`` (PPM/P6, RGB) and
-    ``image/x-portable-graymap`` (PGM/P5, gray).  Every other mime raises —
-    compressed codecs (JPEG/PNG/audio/video) need libraries not present in
-    this environment; they would plug in here behind the same
-    bytes-in/ndarray-out contract, called only from within an Arrow batch.
+    ``image/x-portable-graymap`` (PGM/P5, gray), parsed in pure numpy.
+    JPEG/PNG register automatically when Pillow is importable.  Unregistered
+    mimes raise — compressed audio/video codecs would plug in behind the
+    same bytes-in/ndarray-out contract, called only from within an Arrow
+    batch.
     """
-    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
-        channels, width, height, maxval, off = _parse_pnm_header(payload)
-        if maxval > 255:
-            raise ValueError("16-bit PNM not supported")
-        need = width * height * channels
-        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
-        return data.reshape(height, width, channels)
+    dec = _CODECS.get(mime)
+    if dec is not None:
+        return dec(payload)
     raise NotImplementedError(
-        f"media decode for {mime!r} requires codec libraries not present here"
+        f"no codec registered for {mime!r} (see register_codec; JPEG/PNG "
+        "auto-register when Pillow is installed)"
     )
 
 

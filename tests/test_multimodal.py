@@ -79,3 +79,33 @@ def test_frame_sampling_fanout(spark, packed):
     assert all(r["count"] == 4 for r in counts)
     sizes = frames.select(F.octet_length("frame").alias("n")).distinct().collect()
     assert {r["n"] for r in sizes} == {16}
+
+
+def test_codec_registry_dispatch_and_override():
+    """decode_media dispatches through the plug-in registry: a custom codec
+    registered for a new mime is called from the same entry point the
+    registry ops use, an unregistered mime still raises, and the built-in
+    netpbm path keeps working (so a user codec cannot silently shadow it)."""
+    import numpy as np
+
+    from daq_3i_spark.functions.multimodal import (
+        _CODECS,
+        decode_media,
+        register_codec,
+    )
+
+    sentinel = np.zeros((2, 3, 1), dtype=np.uint8)
+    assert "image/x-test" not in _CODECS
+    try:
+        register_codec("image/x-test", lambda payload: sentinel)
+        out = decode_media(b"anything", "image/x-test")
+        assert out is sentinel
+    finally:
+        _CODECS.pop("image/x-test", None)
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"anything", "image/x-test")
+
+    pgm = b"P5 3 2 255\n" + bytes(range(6))
+    img = decode_media(pgm, "image/x-portable-graymap")
+    assert img.shape == (2, 3, 1) and img.flatten().tolist() == list(range(6))
