@@ -78,6 +78,11 @@ HEADLINE = [
     "op_sql_cm_sketch",
     "op_corpus_dedup_sample",
     "op_anomaly_rank",
+    "op_sql_approx_sketches",
+    "op_sim_pq_rerank_topk",
+    "op_sink_retention_time",
+    "op_timeseries_interpolate_bucketed",
+    "op_timeseries_locf_bucketed",
 ]
 
 

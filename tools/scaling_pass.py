@@ -1,0 +1,96 @@
+"""sf0.1 -> sf1 scaling pass (VERDICT r5 #6): run the scaled-table headline
+ops at both scales, print per-query ratios, flag super-linear ones.
+
+Data grows 10x; a healthy plan's runtime ratio is well under 10 (fixed
+job-startup overhead dominates small queries).  Anything ABOVE the data
+ratio means super-linear work (quadratic pair generation, per-row driver
+work, broadcast flipping to shuffle) and is flagged.
+
+    python tools/make_sf1.py && python tools/scaling_pass.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(ROOT, ".tmp", "sf1")
+
+# headline ops over the SCALED tables only (TPC-H + events/channel_data);
+# corpus-table ops are excluded — see tools/make_sf1.py docstring
+OPS = [
+    "flagship_pipeline",
+    "op_sink_append_channel_data",
+    "op_latest_per_channel",
+    "op_retention_topk",
+    "op_decode_registers",
+    "op_sql_q1",
+    "op_sql_q3_topk",
+    "op_sql_q5_region",
+    "op_sql_window_rank",
+    "op_window_agg_events",
+    "op_session_window_batch",
+    "op_stream_pipeline",
+    "op_sql_q9_profit",
+    "op_sql_quantiles",
+    "op_stream_session_window",
+    "op_sql_kmv_sketch",
+    "op_sql_histogram_quantile",
+    "op_rollup_incremental",
+    "op_sql_q2_mincost",
+    "op_sql_q21_waiting",
+    "op_stream_rollup_refresh",
+    "op_sql_q12_lateships",
+    "op_sql_q20_dominant",
+    "op_sql_window_suite",
+    "op_timeseries_interpolate",
+    "op_timeseries_interpolate_bucketed",
+    "op_timeseries_locf",
+    "op_timeseries_locf_bucketed",
+    "op_anomaly_rank",
+    "op_sink_retention_time",
+    "op_stream_stale_monitor",
+]
+
+
+def main() -> None:
+    from daq_3i_spark.session import get_spark
+    from daq_3i_spark.plans import QUERIES
+
+    spark = get_spark("scaling_pass", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    results = {}
+    for name in OPS:
+        if name not in QUERIES:
+            continue
+        row = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            run(name, sf_dir)  # warm
+            row[label] = round(min(run(name, sf_dir) for _ in range(2)), 3)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        results[name] = row
+        flag = "  <-- SUPER-LINEAR" if row["ratio"] > 10 else ""
+        print(f"{name:38s} {row['sf0.1']:7.3f}s {row['sf1']:8.3f}s  x{row['ratio']:<6}{flag}", flush=True)
+
+    out = os.path.join(ROOT, ".tmp", "scaling_pass.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({"n": len(results), "worst": max(r["ratio"] for r in results.values())}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
