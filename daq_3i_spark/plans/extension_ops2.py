@@ -1198,3 +1198,80 @@ def op_sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "l2_dist", "rnk")
     )
+
+
+#: SemDeDup cosine threshold — the family convention (op_dedup_embedding's
+#: 0.35) on this near-uniform corpus; real text embeddings use ~0.95+.
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "op_dedup_semantic",
+    f"""WITH en AS (
+      SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
+      FROM embeddings
+    ), cd AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             {_pq_l2_sql('e.embedding', 'c.embedding')} AS dfull
+      FROM embeddings e JOIN embeddings c ON c.vec_id < {_IVF_C}
+    ), cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dfull, cid) AS rn
+        FROM cd) WHERE rn = 1
+    ), p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ({duckdb_dot_fold('a.embedding', 'b.embedding')})
+               / sqrt(a.n2 * b.n2) AS cos_sim
+      FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN en a ON a.vec_id = ca.vec_id
+      JOIN en b ON b.vec_id = cb.vec_id
+    ), dup AS (
+      SELECT vb, min(va) AS dup_of FROM p
+      WHERE cos_sim >= {_SEMDEDUP_TAU} GROUP BY vb
+    )
+    SELECT cells.vec_id, CAST(cell AS INTEGER) AS cell, dup.dup_of,
+           dup.dup_of IS NULL AS is_kept
+    FROM cells LEFT JOIN dup ON cells.vec_id = dup.vb""",
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): corpus "
+    f"coarse-quantized into {_IVF_C} L2 cells (the op_sim_ivf* assignment), "
+    "then near-duplicate detection runs ONLY within each cell — a vector is "
+    "dropped iff a smaller-id cell-mate sits within cosine >= "
+    f"{_SEMDEDUP_TAU} (keep-min-id, the dedup family convention).  Differs "
+    "from op_dedup_embedding in the blocking key: label blocking needs "
+    "ground-truth classes, cell blocking derives the blocks from the "
+    "vectors themselves — the shape that works on unlabeled web-scale "
+    "corpora.  Pair work is sum over cells of |cell|^2 via the row-tiled "
+    "numpy kernel; at 100 TB cells come from a trained coarse quantizer and "
+    "a hot cell sub-splits exactly like the capped-LSH bucket mitigation",
+)
+def op_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.vectors import cos_block_pairs, l2_fold
+
+    emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cd = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", l2_fold(F.col("embedding"), F.col("ce")).alias("dfull")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dfull", "cid")
+    cells = (
+        cd.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").cast("int").alias("cell"))
+    )
+    blocked = emb.join(cells, "vec_id").select(
+        "vec_id", "embedding", F.col("cell").alias("label")
+    )
+    dup = (
+        cos_block_pairs(blocked, threshold=_SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return cells.join(dup, cells.vec_id == dup.vec_b, "left").select(
+        "vec_id",
+        "cell",
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_kept"),
+    )
