@@ -23,8 +23,9 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # (2) ops NEVER drawn by any driver window (the three r5 "local" rows plus
 # everything past position 50 of the r5 priority list); (3) oldest-checked
 # (r1) reference/extension ops to re-verify under five rounds of drift.
-# Every oracled entry (now 144/144) passes the exact-compare local gate
-# (tools/verify_contract.py) before this ordering.
+# Every registry entry is oracled (tools/check_counts.py pins the doc
+# counts) and passes the exact-compare local gate (tools/verify_contract.py)
+# before this ordering.
 _CHECK_PRIORITY = [
     # -- (1) new or touched this round ---------------------------------------
     "op_sql_approx_sketches", "op_stream_stale_monitor",

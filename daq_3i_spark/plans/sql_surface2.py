@@ -462,13 +462,22 @@ def op_sql_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_sql_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # TWO aggregates joined on the tiny group key, not one: combining
+    # countDistinct with the sketch/percentile aggregates makes Catalyst
+    # rewrite through a (l_returnflag, l_suppkey) pre-aggregation, so every
+    # t-digest/HLL partial merges once per DISTINCT PAIR (thousands of
+    # object-state merges) instead of once per input partition — measured
+    # 2.8 s vs 0.44 s at sf0.1 for identical results
+    nd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("exact_nd_supp"),
         F.expr("approx_count_distinct(l_suppkey)").alias("approx_nd_supp"),
+    )
+    pc = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("exact_p50_qty"),
         F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_p50_qty"),
         F.count("*").alias("n"),
     )
+    agg = nd.join(pc, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_nd_supp",
