@@ -38,6 +38,11 @@ _BNL_ALLOWED = {
     "op_sql_q11_topvalue",
     "op_sql_q22_idle_rich",
     "op_text_bm25",
+    # 16-row centroid table broadcast against the corpus for cell assignment
+    # (the op_sim_ivf* shape; those ops hide the same BNL behind an eager
+    # localCheckpoint of the distance frame, this op keeps it lazy because
+    # the distances feed exactly one consumer):
+    "op_dedup_semantic",
 }
 
 _PLANNABLE = sorted(set(QUERIES) - _EXECUTING)
