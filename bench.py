@@ -83,6 +83,8 @@ HEADLINE = [
     "op_sink_retention_time",
     "op_timeseries_interpolate_bucketed",
     "op_timeseries_locf_bucketed",
+    "op_dedup_semantic",
+    "op_stream_stale_monitor",
 ]
 
 
