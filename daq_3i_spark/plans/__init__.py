@@ -31,6 +31,7 @@ _CHECK_PRIORITY = [
     "op_sql_approx_sketches", "op_stream_stale_monitor",
     "op_sim_pq_rerank_topk", "op_dedup_semantic", "op_sink_retention_time",
     "op_timeseries_interpolate_bucketed", "op_timeseries_locf_bucketed",
+    "op_timeseries_interpolate_multiday",
     "op_timeseries_interpolate", "op_timeseries_locf",
     "op_sql_q20_dominant", "op_dedup_substring", "op_corpus_dedup_sample",
     # -- (2) never driver-checked --------------------------------------------
@@ -50,7 +51,7 @@ _CHECK_PRIORITY = [
     "op_join_channels_buses", "op_join_channels_conversions",
     "op_join_data_channels", "op_count_per_channel", "op_latest_per_channel",
     "op_oldest_n_per_channel", "op_retention_topk", "op_decode_registers",
-    "op_convert_expr", "op_dedup_simhash", "op_dedup_ngram_jaccard",
+    "op_convert_expr", "op_dedup_simhash",
 ]
 
 

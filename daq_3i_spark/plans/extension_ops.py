@@ -1704,15 +1704,17 @@ _INTERP_DAY_START = "2024-01-10 00:00:00"
 _INTERP_DAY_END = "2024-01-10 23:59:00"
 
 
-#: the interpolation oracle — shared VERBATIM by op_timeseries_interpolate
-#: and its hot-key-safe bucketed twin: both must hash-match the same SQL,
-#: which is the proof that the two-pass carry-stitched plan computes exactly
-#: the global-window semantics.
-_INTERP_ORACLE = f"""WITH {dims_cte_sql()},
+def _interp_oracle(grid_start: str, grid_end: str) -> str:
+    """The global-window interpolation oracle for a [grid_start, grid_end]
+    minute grid — shared VERBATIM by op_timeseries_interpolate, its
+    hot-key-safe bucketed twin, and the multi-day generalization: each
+    bucketed plan must hash-match the same SQL, which is the proof that
+    carry-stitched two-pass == one unbounded window."""
+    return f"""WITH {dims_cte_sql()},
     g AS (
       SELECT c.channel_id,
-             unnest(generate_series(TIMESTAMP '{_INTERP_DAY_START}',
-                                    TIMESTAMP '{_INTERP_DAY_END}',
+             unnest(generate_series(TIMESTAMP '{grid_start}',
+                                    TIMESTAMP '{grid_end}',
                                     INTERVAL 1 MINUTE)) AS ts
       FROM (SELECT DISTINCT channel_id FROM channel_data) c
     ),
@@ -1741,6 +1743,9 @@ _INTERP_ORACLE = f"""WITH {dims_cte_sql()},
                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
              AS interp_value
     FROM w WHERE tag = 0 AND pv IS NOT NULL AND nv IS NOT NULL"""
+
+
+_INTERP_ORACLE = _interp_oracle(_INTERP_DAY_START, _INTERP_DAY_END)
 
 
 @register(
@@ -2072,4 +2077,125 @@ def op_timeseries_locf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("minute_us"),
         F.col("pv").alias("locf_value"),
         (F.unix_micros("ts") - F.unix_micros("pt")).alias("staleness_us"),
+    )
+
+
+#: the multi-day grid (3 days, minute resolution) for the generalized
+#: bucketed gap fill — carries here come from a per-(channel, day) rollup
+#: plus cumulative windows over it, not single aggregates.
+_MULTIDAY_START = "2024-01-10 00:00:00"
+_MULTIDAY_END = "2024-01-12 23:59:00"
+_MULTIDAY_HI_EXCL = "2024-01-13 00:00:00"
+
+
+@register(
+    "op_timeseries_interpolate_multiday",
+    _interp_oracle(_MULTIDAY_START, _MULTIDAY_END),  # the same global-window
+    # oracle shape as the one-day ops, over a 3-day grid
+    doc="the GENERAL multi-day form of the hot-key-safe gap fill (the "
+    "mechanism op_timeseries_interpolate_bucketed's docstring promises): "
+    "buckets are (channel, DAY), and the cross-bucket carries come from a "
+    "per-(channel, day) first/last-sample rollup (tiny: channels x days "
+    "rows) with two cumulative windows over it — max(last_struct) over "
+    "preceding days, min(first_struct) over following days.  Each bucket's "
+    "framed neighbor windows run over one channel-day of rows; boundary "
+    "grid rows coalesce the carried neighbor.  Hash-matches the global-"
+    "window oracle over the full 3-day grid — two-pass carry-stitch == one "
+    "unbounded window, at any grid length.  At 100 TB the rollup is a "
+    "map-side partial aggregate and the carry windows run over a frame "
+    "thousands of times smaller than the data",
+)
+def op_timeseries_interpolate_multiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = channel_data_df(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    grid = (
+        cd.select("channel_id")
+        .distinct()
+        .select(
+            "channel_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_MULTIDAY_START).cast("timestamp"),
+                    F.lit(_MULTIDAY_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+        )
+    )
+    # per-(channel, day) sample rollup over FULL history — the only thing
+    # out-of-grid history ever feeds (map-side combinable, never windowed)
+    roll = cd.groupBy("channel_id", day.alias("day")).agg(
+        F.max(F.struct("ts", "id", "value")).alias("last_s"),
+        F.min(F.struct("ts", "id", "value")).alias("first_s"),
+    )
+    grid_days = grid.select(
+        "channel_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    frame = roll.join(grid_days, ["channel_id", "day"], "full_outer")
+    w_days = Window.partitionBy("channel_id").orderBy("day")
+    carries = frame.select(
+        "channel_id",
+        "day",
+        F.max("last_s")
+        .over(w_days.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("ci"),
+        F.min("first_s")
+        .over(w_days.rowsBetween(1, Window.unboundedFollowing))
+        .alias("co"),
+    )
+
+    local = cd.filter(
+        (F.col("ts") >= F.lit(_MULTIDAY_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(_MULTIDAY_HI_EXCL).cast("timestamp"))
+    )
+    u = local.select(
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(1).alias("tag"),
+        F.col("id"),
+    ).unionByName(
+        grid.select(
+            "channel_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("tag"), F.lit(-1).cast("long").alias("id"),
+        )
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    w = Window.partitionBy("channel_id", "day").orderBy("ts", "tag", "id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rev = Window.partitionBy("channel_id", "day").orderBy(
+        F.desc("ts"), F.desc("tag"), F.desc("id")
+    )
+    rback = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sample_ts = F.when(F.col("tag") == 1, F.col("ts"))
+    ann = u.select(
+        "channel_id",
+        "day",
+        "ts",
+        "tag",
+        F.last("v", ignorenulls=True).over(back).alias("pv_l"),
+        F.last(sample_ts, ignorenulls=True).over(back).alias("pt_l"),
+        F.last("v", ignorenulls=True).over(rback).alias("nv_l"),
+        F.last(sample_ts, ignorenulls=True).over(rback).alias("nt_l"),
+    )
+    st = ann.join(F.broadcast(carries), ["channel_id", "day"]).select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.coalesce("pv_l", F.col("ci.value")).alias("pv"),
+        F.coalesce("pt_l", F.col("ci.ts")).alias("pt"),
+        F.coalesce("nv_l", F.col("co.value")).alias("nv"),
+        F.coalesce("nt_l", F.col("co.ts")).alias("nt"),
+    )
+    ratio = (
+        (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
+        / (F.unix_micros("nt") - F.unix_micros("pt")).cast("double")
+    )
+    return (
+        st.filter(
+            (F.col("tag") == 0) & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        )
+        .select(
+            "channel_id",
+            F.unix_micros("ts").alias("minute_us"),
+            (F.col("pv") + (F.col("nv") - F.col("pv")) * ratio).alias(
+                "interp_value"
+            ),
+        )
     )
