@@ -110,3 +110,77 @@ def test_locf_carries_latest_at_or_before(spark, sf_dir):
         t1, v1 = pts[i - 1]
         assert r["locf_value"] == v1
         assert r["staleness_us"] == r["minute_us"] - t1 >= 0
+
+
+def test_gapfill_duplicate_ts_oracle_parity(spark, sf_dir, tmp_path):
+    """Adversarial duplicate-(channel, ts) fixtures: FIXTURES.md documents
+    channel_data as allowing duplicate-ts rows, but the shipped corpus has
+    none — so the id tie-break in the gap-fill windows (ADVICE r5: without
+    it pv/nv flap with partition order) was never exercised.  This builds an
+    events table with three-way ts collisions ON grid instants, at day
+    boundaries, and in carry history, then hash-compares every gap-fill
+    variant against its DuckDB oracle on that data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daq_3i_spark.plans import QUERIES
+    from oracle_check import compare, run_oracle
+    from daq_3i_spark.schemas import ALL_TABLES
+
+    d = str(tmp_path / "dup_sf")
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    def us(s: str) -> int:
+        import datetime as dt
+
+        return int(
+            dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+            * 1_000_000
+        )
+
+    rows = []  # (user_id, ts)
+    for ch_u in range(5):  # channels 1..5
+        # carry history before the grid (with a 2-way collision)
+        rows += [(ch_u, us("2024-01-08 06:00:00"))] * 2
+        rows += [(ch_u, us("2024-01-09 23:59:00"))]
+        # ON a grid instant: 3-way collision (tie-break decides pv AND nv)
+        rows += [(ch_u, us("2024-01-10 08:00:00"))] * 3
+        # off-grid seconds within the day
+        rows += [(ch_u, us("2024-01-10 14:30:37"))] * 2
+        # exactly at the day-1/day-2 boundary midnight (multiday bucket edge)
+        rows += [(ch_u, us("2024-01-11 00:00:00"))] * 2
+        # day-2 interior + day-3 collision
+        rows += [(ch_u, us("2024-01-11 12:00:00"))]
+        rows += [(ch_u, us("2024-01-12 18:45:00"))] * 3
+        # post-grid carry-out (collision too)
+        rows += [(ch_u, us("2024-01-14 03:00:00"))] * 2
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows)),
+            # distinct values per duplicate so a wrong tie-break changes output
+            "value": pa.array([float(i * 7 % 13) for i in range(len(rows))]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+    ops = [
+        "op_timeseries_interpolate",
+        "op_timeseries_interpolate_bucketed",
+        "op_timeseries_interpolate_multiday",
+        "op_timeseries_locf",
+        "op_timeseries_locf_bucketed",
+    ]
+    for name in ops:
+        q = QUERIES[name]
+        problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
+        assert not problems, f"{name} on duplicate-ts data: {problems}"
