@@ -7,12 +7,15 @@ structure exactly: per-customer order counts, per-order line counts,
 per-channel sample densities and key-group sizes all stay constant while
 row counts grow 10x — the clean way to see whether a plan scales linearly.
 
-documents/embeddings are copied UNSCALED: naive text/vector replication
-would make every document a 10-way exact duplicate, putting the dedup/ANN
-families into an artificial 100x viral-duplicate regime that measures the
-replication artifact, not the plan (the real viral mitigation is the capped
+documents are replicated 10x with doc_id shifts AND a per-copy token
+suffix, which preserves each copy's internal near-dup structure while
+making every cross-copy shingle distinct — candidate-pair work scales
+linearly, like a real 10x corpus with the same dup rate.  embeddings are
+copied UNSCALED: identical vector copies would land in the same LSH/IVF
+cells and inflate pair work quadratically — an artifact of replication,
+not of scale (the viral-duplicate regime's real mitigation is the capped
 variants, tested on a purpose-built 200-copy corpus).  The scaling pass
-therefore runs only the ops over the scaled tables.
+therefore runs the embeddings-driven ops at sf0.1 only.
 
     python tools/make_sf1.py            # writes /root/repo/.tmp/sf1/
 """
@@ -58,9 +61,33 @@ def main() -> None:
     # dims referenced by unshifted foreign keys: copy once
     for t in ("region", "nation"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
-    # corpus tables: copy once, UNSCALED (see module docstring)
-    for t in ("documents", "embeddings"):
-        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # embeddings: copy once, UNSCALED (see module docstring)
+    shutil.copy(f"{SRC}/embeddings.parquet", f"{DST}/embeddings.parquet")
+
+    # documents: 10x with doc_id shift AND every token suffixed by the copy
+    # index.  The suffix keeps each copy's INTERNAL near-dup structure intact
+    # (shingles/minhash/ngram relations are preserved within a copy) while
+    # making every cross-copy shingle distinct — so candidate-pair work
+    # should scale LINEARLY in copies, which is exactly what a real 10x
+    # corpus (more docs, same dup rate) does.  A naive text copy would
+    # instead make every document a 10-way exact duplicate (quadratic pair
+    # blowup that measures the replication artifact, not the plan).
+    b_doc = ceil_base(mx("documents", "doc_id"))
+    doc_cols = [
+        c[0] for c in con.sql(f"describe select * from '{SRC}/documents.parquet'").fetchall()
+    ]
+    rest = ", ".join(c for c in doc_cols if c not in ("doc_id", "text"))
+    con.sql(
+        f"""COPY (SELECT doc_id + k * {b_doc} AS doc_id,
+                        array_to_string(
+                          list_transform(string_split(text, ' '),
+                                         x -> x || 'x' || CAST(k AS VARCHAR)),
+                          ' ') AS text,
+                        {rest}
+                 FROM '{SRC}/documents.parquet',
+                      generate_series(0, {COPIES - 1}) g(k))
+            TO '{DST}/documents.parquet'"""
+    )
 
     shifted = {
         "customer": ("c_custkey + k * {b}".format(b=b_cust), "c_custkey"),
@@ -98,7 +125,7 @@ def main() -> None:
             TO '{DST}/events.parquet'"""
     )
 
-    for t in ("customer", "supplier", "part", "orders", "lineitem", "events"):
+    for t in ("customer", "supplier", "part", "orders", "lineitem", "events", "documents"):
         n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}")
 

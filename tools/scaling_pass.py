@@ -56,6 +56,28 @@ OPS = [
     "op_anomaly_rank",
     "op_sink_retention_time",
     "op_stream_stale_monitor",
+    # documents-driven families (documents scale 10x via the per-copy token
+    # suffix — linear candidate growth; see tools/make_sf1.py)
+    "op_dedup_exact",
+    "op_dedup_minhash",
+    "op_dedup_minhash_capped",
+    "op_dedup_simhash",
+    "op_dedup_ngram_jaccard",
+    "op_dedup_ngram_capped",
+    "op_dedup_substring",
+    "op_dedup_components",
+    "op_text_stats",
+    "op_text_quality",
+    "op_text_scrub",
+    "op_text_lm_score",
+    "op_text_bm25",
+    "op_text_repetition",
+    "op_pack_sequences",
+    "op_contamination_check",
+    "op_corpus_training_shards",
+    "op_corpus_budget_sample",
+    "op_corpus_dedup_sample",
+    "op_corpus_clean_pipeline",
 ]
 
 
@@ -72,9 +94,10 @@ def main() -> None:
         QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    only = set(sys.argv[1:])
     results = {}
     for name in OPS:
-        if name not in QUERIES:
+        if name not in QUERIES or (only and name not in only):
             continue
         row = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
