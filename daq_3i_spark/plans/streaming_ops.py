@@ -17,7 +17,7 @@ import os
 import shutil
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daq_3i_spark.functions.convert import convert_case_duckdb
@@ -686,6 +686,122 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# --- streaming anomaly threshold via the mergeable histogram sketch ----------
+
+_ANOM_W = 5.0  # value-bucket width (values span 0..~560 -> ~112 buckets)
+_ANOM_PCT = 99  # integer percentile: threshold = first bucket with cum% >= 99
+
+
+@register(
+    "op_stream_anomaly_sketch",
+    f"""WITH {_D},
+    b AS (
+      SELECT channel_id,
+             CAST(floor(value / {_ANOM_W}) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM channel_data GROUP BY 1, 2
+    ), c AS (
+      SELECT channel_id, bucket,
+             sum(cnt) OVER (PARTITION BY channel_id ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY channel_id) AS n
+      FROM b
+    ), q AS (
+      SELECT channel_id, min(bucket) AS qbucket
+      FROM c WHERE cum * 100 >= n * {_ANOM_PCT}
+      GROUP BY channel_id
+    )
+    SELECT cd.id, cd.channel_id, cd.value, q.qbucket
+    FROM channel_data cd JOIN q USING (channel_id)
+    WHERE CAST(floor(cd.value / {_ANOM_W}) AS BIGINT) >= q.qbucket""",
+    doc="anomaly detection with an INCREMENTALLY-MAINTAINED threshold (the "
+    "streaming complement of op_anomaly_rank's exact batch percentile): the "
+    "sample feed replays in 4 micro-batches and a foreachBatch sink merges "
+    "each batch's per-(channel, value-bucket) histogram counts into "
+    "versioned snapshots — merge is pure addition (the op_sql_histogram_"
+    "quantile sketch), so the p99 threshold is maintainable at 100 TB "
+    "ingest without ever re-scanning history.  The final threshold bucket "
+    "per channel is the first with cum*100 >= n*99 (integer cross-multiply, "
+    "bit-portable), and samples at or above it are flagged.  Oracle = the "
+    "same histogram arithmetic over all data in one batch, hash-proving "
+    "4-way incremental merge == from-scratch.  A production deployment "
+    "flags inside each batch against the running threshold; the replay "
+    "flags once at the end so the result is batch-deterministic",
+)
+def op_stream_anomaly_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    work = _workdir("op_stream_anomaly_sketch")
+    feed = os.path.join(work, "feed")
+    channel_data_df(spark, sf_dir).repartition(4).write.parquet(feed)
+    hist_root = os.path.join(work, "hist")
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(hist_root):
+            return []
+        return sorted(
+            int(p.split("=", 1)[1])
+            for p in os.listdir(hist_root)
+            if p.startswith("v=")
+        )
+
+    bucket = F.floor(F.col("value") / _ANOM_W).cast("bigint").alias("bucket")
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        merged = batch.select("channel_id", bucket).groupBy(
+            "channel_id", "bucket"
+        ).agg(F.count("*").alias("cnt"))
+        vs = [v for v in _versions() if v < batch_id]
+        if vs:
+            stored = spark.read.parquet(os.path.join(hist_root, f"v={vs[-1]}"))
+            merged = (
+                stored.unionByName(merged)
+                .groupBy("channel_id", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(hist_root, f"v={batch_id}")
+        )
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
+    )
+    with pinned_shuffle(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    hist = spark.read.parquet(os.path.join(hist_root, f"v={_versions()[-1]}"))
+    w_cum = Window.partitionBy("channel_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("channel_id")
+    qb = (
+        hist.select(
+            "channel_id",
+            "bucket",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        .filter(F.col("cum") * 100 >= F.col("n") * _ANOM_PCT)
+        .groupBy("channel_id")
+        .agg(F.min("bucket").alias("qbucket"))
+    )
+    flagged = (
+        spark.read.parquet(feed)
+        .join(F.broadcast(qb), "channel_id")
+        .filter(
+            F.floor(F.col("value") / _ANOM_W).cast("bigint") >= F.col("qbucket")
+        )
+    )
+    return flagged.select("id", "channel_id", "value", "qbucket")
 
 
 # --- stale-channel liveness monitor (event-time state timeout) ---------------
