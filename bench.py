@@ -85,6 +85,8 @@ HEADLINE = [
     "op_timeseries_locf_bucketed",
     "op_dedup_semantic",
     "op_stream_stale_monitor",
+    "op_timeseries_interpolate_multiday",
+    "op_stream_anomaly_sketch",
 ]
 
 

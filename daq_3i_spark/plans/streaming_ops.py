@@ -863,13 +863,28 @@ def op_stream_stale_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one file per event-time slice, mtimes strictly increasing: the file
     # source orders by modification time, so micro-batch k == slice k and the
-    # watermark advances through the slice boundaries deterministically
-    for k, (lo, hi) in enumerate(zip(_STALE_SLICES[:-1], _STALE_SLICES[1:])):
+    # watermark advances through the slice boundaries deterministically.
+    # The slice writes read a cached frame and run as CONCURRENT Spark jobs
+    # (4 sequential scan+coalesce jobs measured 2.2 s of the op's 5 s);
+    # mtimes are assigned sequentially afterwards, so ordering is unaffected
+    from concurrent.futures import ThreadPoolExecutor
+
+    fed = fed.persist()
+    fed.count()
+
+    def write_slice(k: int) -> str:
+        lo, hi = _STALE_SLICES[k], _STALE_SLICES[k + 1]
         tmp = os.path.join(work, f"tmp{k}")
         fed.filter(
             (F.col("ts") >= F.lit(lo).cast("timestamp"))
             & (F.col("ts") < F.lit(hi).cast("timestamp"))
         ).coalesce(1).write.parquet(tmp)
+        return tmp
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        tmps = list(pool.map(write_slice, range(len(_STALE_SLICES) - 1)))
+    fed.unpersist()
+    for k, tmp in enumerate(tmps):
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         dst = os.path.join(feed, f"slice_{k}.parquet")
         shutil.move(os.path.join(tmp, part), dst)
