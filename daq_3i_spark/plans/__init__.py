@@ -34,7 +34,7 @@ _CHECK_PRIORITY = [
     "op_timeseries_interpolate_multiday",
     "op_timeseries_interpolate", "op_timeseries_locf",
     "op_sql_q20_dominant", "op_dedup_substring", "op_corpus_dedup_sample",
-    "op_stream_anomaly_sketch",
+    "op_stream_anomaly_sketch", "op_sink_compaction",
     # -- (2) never driver-checked --------------------------------------------
     "op_dedup_minhash_capped", "op_sql_kmv_sketch",
     "op_sql_histogram_quantile", "op_sql_q17_smallqty",
@@ -52,7 +52,6 @@ _CHECK_PRIORITY = [
     "op_join_channels_buses", "op_join_channels_conversions",
     "op_join_data_channels", "op_count_per_channel", "op_latest_per_channel",
     "op_oldest_n_per_channel", "op_retention_topk", "op_decode_registers",
-    "op_convert_expr",
 ]
 
 

@@ -688,6 +688,61 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- small-file compaction of the date-partitioned sink ----------------------
+
+#: fragmentation split: dates before this stay compact (one pre-written
+#: file) so the threshold check has untouched partitions to preserve;
+#: dates at/after it receive 8 per-micro-batch appends each.
+_COMPACT_SPLIT = "2024-01-16"
+_COMPACT_MAX_FILES = 4
+
+
+@register(
+    "op_sink_compaction",
+    f"WITH {_D} SELECT id, channel_id, ts, value FROM channel_data",
+    doc="small-file compaction of the streaming sink (the OPTIMIZE table "
+    "service): half the date partitions are written compact, the other "
+    "half fragmented by 8 micro-batch-style appends (one file each), then "
+    f"compact_partitions rewrites every partition above {_COMPACT_MAX_FILES} "
+    "files as ONE (channel_id, id)-sorted file and leaves the rest "
+    "byte-for-byte untouched (tests pin file inventories).  The oracle is "
+    "the full table — compaction must be content-neutral, so any lost or "
+    "duplicated row is a hash mismatch.  At 100 TB this is the idempotent "
+    "background service that keeps scan cost from degrading into per-file "
+    "open overhead as micro-batches accumulate",
+)
+def op_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import compact_partitions
+
+    work = _workdir("op_sink_compaction")
+    path = os.path.join(work, "sink")
+    cd = channel_data_df(spark, sf_dir).withColumn("p_date", F.to_date("ts"))
+    split = F.lit(_COMPACT_SPLIT).cast("date")
+    # compact history: one sorted file per old partition
+    (
+        cd.filter(F.col("p_date") < split)
+        .repartition(F.col("p_date"))
+        .sortWithinPartitions("channel_id", "id")
+        .write.partitionBy("p_date")
+        .parquet(path)
+    )
+    # fragmented recent partitions: 8 append jobs, one file per partition each
+    recent = cd.filter(F.col("p_date") >= split).persist()
+    recent.count()
+    for k in range(8):
+        (
+            recent.filter(F.col("id") % 8 == k)
+            .repartition(F.col("p_date"))
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(path)
+        )
+    recent.unpersist()
+    compact_partitions(spark, path, max_files=_COMPACT_MAX_FILES)
+    return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
+
+
 # --- streaming anomaly threshold via the mergeable histogram sketch ----------
 
 _ANOM_W = 5.0  # value-bucket width (values span 0..~560 -> ~112 buckets)

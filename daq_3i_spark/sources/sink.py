@@ -68,6 +68,52 @@ def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
         shutil.move(tmp, bdir)
 
 
+def compact_partitions(spark: SparkSession, path: str, max_files: int = 4) -> list[str]:
+    """Small-file compaction over the date-partitioned sink (the OPTIMIZE
+    analog): every partition holding more than ``max_files`` parquet files
+    is rewritten as ONE file sorted by (channel_id, id); partitions at or
+    under the threshold are left byte-for-byte untouched.  Returns the list
+    of compacted partition values.
+
+    Streaming appends fragment the sink (one file per micro-batch per
+    partition); scan cost then pays per-file open/footer overhead and loses
+    row-group channel locality.  At 100 TB this runs as a background table
+    service per recent partition; old partitions compact once and never
+    again — which is why the threshold check matters (idempotent, touches
+    only fragmented partitions)."""
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("p_date="):
+            continue
+        pdir = os.path.join(path, d)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) > max_files:
+            todo.append((d, pdir))
+
+    # each rewrite stages into its own directory, so the per-partition jobs
+    # are independent — run them as concurrent Spark jobs (a sequential loop
+    # pays one job-submission latency per partition)
+    def rewrite(item: tuple[str, str]) -> str:
+        d, pdir = item
+        tmp = pdir + ".compact"
+        (
+            spark.read.parquet(pdir)
+            .sort("channel_id", "id")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        shutil.rmtree(pdir)
+        shutil.move(tmp, pdir)
+        return d.split("=", 1)[1]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return list(pool.map(rewrite, todo))
+
+
 def write_channel_data_jdbc(
     df: DataFrame,
     url: str,

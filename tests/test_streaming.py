@@ -566,3 +566,58 @@ def test_time_retention_partition_drop_semantics(spark, sf_dir, tmp_path):
     assert survivors.filter(
         F.col("ts") < F.lit(_RETENTION_CUTOFF).cast("timestamp")
     ).count() == 0
+
+
+def test_compaction_threshold_semantics(spark, sf_dir, tmp_path):
+    """compact_partitions must rewrite ONLY partitions above the file-count
+    threshold (fragmented ones become a single sorted file) and leave
+    compact partitions byte-for-byte untouched — the idempotence that makes
+    it a safe background service."""
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import compact_partitions
+
+    path = str(tmp_path / "sink")
+    cd = channel_data_df(spark, sf_dir).withColumn("p_date", F.to_date("ts"))
+    split = F.lit("2024-01-16").cast("date")
+    (
+        cd.filter(F.col("p_date") < split)
+        .repartition(F.col("p_date"))
+        .write.partitionBy("p_date")
+        .parquet(path)
+    )
+    for k in range(6):
+        (
+            cd.filter((F.col("p_date") >= split) & (F.col("id") % 6 == k))
+            .repartition(F.col("p_date"))
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(path)
+        )
+
+    def inventory():
+        inv = {}
+        for d in os.listdir(path):
+            if d.startswith("p_date="):
+                pdir = os.path.join(path, d)
+                inv[d.split("=", 1)[1]] = {
+                    f: (st.st_size, st.st_mtime_ns)
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                    for st in [os.stat(os.path.join(pdir, f))]
+                }
+        return inv
+
+    before = inventory()
+    n_before = spark.read.parquet(path).count()
+    done = compact_partitions(spark, path, max_files=4)
+    after = inventory()
+
+    frag = {p for p, files in before.items() if len(files) > 4}
+    assert set(done) == frag and frag, "exactly the fragmented partitions compact"
+    for p in before:
+        if p in frag:
+            assert len(after[p]) == 1, f"{p} not compacted to one file"
+        else:
+            assert after[p] == before[p], f"compact partition {p} was rewritten"
+    # content-neutral
+    assert spark.read.parquet(path).count() == n_before
