@@ -56,7 +56,12 @@ _CHECK_PRIORITY = [
 
 
 def _rotate_check_window() -> None:
-    ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY if n in QUERIES}
+    unknown = [n for n in _CHECK_PRIORITY if n not in QUERIES]
+    assert not unknown, (
+        f"_CHECK_PRIORITY names not in the registry: {unknown} — a typo here "
+        "silently shrinks the driver-checked window"
+    )
+    ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY}
     for name, q in QUERIES.items():
         if name not in ordered:
             ordered[name] = q

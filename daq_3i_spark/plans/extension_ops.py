@@ -1915,10 +1915,14 @@ def op_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: day bounds of the gap-fill grid (the date of _INTERP_DAY_START) — the
-#: bucket the two-pass variants stitch carries into.
-_GAPFILL_DAY_LO = "2024-01-10 00:00:00"
-_GAPFILL_DAY_HI = "2024-01-11 00:00:00"
+#: day bounds of the gap-fill grid, DERIVED from _INTERP_DAY_START so the
+#: bucketed plans can never stitch carries for a different day than the
+#: (shared, verbatim) oracle queries over.
+import datetime as _dt
+
+_GAPFILL_DAY = _dt.datetime.fromisoformat(_INTERP_DAY_START).date()
+_GAPFILL_DAY_LO = f"{_GAPFILL_DAY} 00:00:00"
+_GAPFILL_DAY_HI = f"{_GAPFILL_DAY + _dt.timedelta(days=1)} 00:00:00"
 
 
 def _gapfill_day_frames(spark: SparkSession, sf_dir: str):
@@ -1968,11 +1972,19 @@ def _gapfill_day_frames(spark: SparkSession, sf_dir: str):
 )
 def op_timeseries_interpolate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     local, grid, before, after = _gapfill_day_frames(spark, sf_dir)
+    # value and timestamp carries are SEPARATE aggregates, mirroring the
+    # oracle's independent IGNORE-NULLS windows: pv skips NULL-valued
+    # samples while pt advances on ANY sample, so a NULL-valued sample in
+    # carry history must contribute its ts but not its value (a single
+    # max(struct(ts,id,value)) would pick the NULL value and diverge)
+    nn = F.when(F.col("value").isNotNull(), F.struct("ts", "id", "value"))
     carry_in = before.groupBy("channel_id").agg(
-        F.max(F.struct("ts", "id", "value")).alias("ci")
+        F.max(nn).alias("ci_v"),
+        F.max(F.struct("ts", "id")).alias("ci_t"),
     )
     carry_out = after.groupBy("channel_id").agg(
-        F.min(F.struct("ts", "id", "value")).alias("co")
+        F.min(nn).alias("co_v"),
+        F.min(F.struct("ts", "id")).alias("co_t"),
     )
     u = local.select(
         "channel_id", "ts", F.col("value").alias("v"), F.lit(1).alias("tag"),
@@ -2006,10 +2018,10 @@ def op_timeseries_interpolate_bucketed(spark: SparkSession, sf_dir: str) -> Data
             "channel_id",
             "ts",
             "tag",
-            F.coalesce("pv_l", F.col("ci.value")).alias("pv"),
-            F.coalesce("pt_l", F.col("ci.ts")).alias("pt"),
-            F.coalesce("nv_l", F.col("co.value")).alias("nv"),
-            F.coalesce("nt_l", F.col("co.ts")).alias("nt"),
+            F.coalesce("pv_l", F.col("ci_v.value")).alias("pv"),
+            F.coalesce("pt_l", F.col("ci_t.ts")).alias("pt"),
+            F.coalesce("nv_l", F.col("co_v.value")).alias("nv"),
+            F.coalesce("nt_l", F.col("co_t.ts")).alias("nt"),
         )
     )
     ratio = (
@@ -2042,8 +2054,11 @@ def op_timeseries_interpolate_bucketed(spark: SparkSession, sf_dir: str) -> Data
 )
 def op_timeseries_locf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     local, grid, before, _after = _gapfill_day_frames(spark, sf_dir)
+    # separate value/ts carries — see op_timeseries_interpolate_bucketed
+    nn = F.when(F.col("value").isNotNull(), F.struct("ts", "id", "value"))
     carry_in = before.groupBy("channel_id").agg(
-        F.max(F.struct("ts", "id", "value")).alias("ci")
+        F.max(nn).alias("ci_v"),
+        F.max(F.struct("ts", "id")).alias("ci_t"),
     )
     u = local.select(
         "channel_id", "ts", F.col("value").alias("v"), F.lit(0).alias("tag"),
@@ -2069,8 +2084,8 @@ def op_timeseries_locf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel_id",
         "ts",
         "tag",
-        F.coalesce("pv_l", F.col("ci.value")).alias("pv"),
-        F.coalesce("pt_l", F.col("ci.ts")).alias("pt"),
+        F.coalesce("pv_l", F.col("ci_v.value")).alias("pv"),
+        F.coalesce("pt_l", F.col("ci_t.ts")).alias("pt"),
     )
     return st.filter((F.col("tag") == 1) & F.col("pv").isNotNull()).select(
         "channel_id",
@@ -2083,9 +2098,10 @@ def op_timeseries_locf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the multi-day grid (3 days, minute resolution) for the generalized
 #: bucketed gap fill — carries here come from a per-(channel, day) rollup
 #: plus cumulative windows over it, not single aggregates.
-_MULTIDAY_START = "2024-01-10 00:00:00"
-_MULTIDAY_END = "2024-01-12 23:59:00"
-_MULTIDAY_HI_EXCL = "2024-01-13 00:00:00"
+_MULTIDAY_DAYS = 3
+_MULTIDAY_START = _GAPFILL_DAY_LO  # same first day as the one-day ops
+_MULTIDAY_END = f"{_GAPFILL_DAY + _dt.timedelta(days=_MULTIDAY_DAYS - 1)} 23:59:00"
+_MULTIDAY_HI_EXCL = f"{_GAPFILL_DAY + _dt.timedelta(days=_MULTIDAY_DAYS)} 00:00:00"
 
 
 @register(
@@ -2123,25 +2139,32 @@ def op_timeseries_interpolate_multiday(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     # per-(channel, day) sample rollup over FULL history — the only thing
-    # out-of-grid history ever feeds (map-side combinable, never windowed)
+    # out-of-grid history ever feeds (map-side combinable, never windowed).
+    # Value and timestamp roll up SEPARATELY, mirroring the oracle's
+    # independent IGNORE-NULLS windows (see op_timeseries_interpolate_
+    # bucketed): a NULL-valued sample advances the neighbor ts but never
+    # supplies a value.
+    nn = F.when(F.col("value").isNotNull(), F.struct("ts", "id", "value"))
     roll = cd.groupBy("channel_id", day.alias("day")).agg(
-        F.max(F.struct("ts", "id", "value")).alias("last_s"),
-        F.min(F.struct("ts", "id", "value")).alias("first_s"),
+        F.max(nn).alias("last_v"),
+        F.max(F.struct("ts", "id")).alias("last_t"),
+        F.min(nn).alias("first_v"),
+        F.min(F.struct("ts", "id")).alias("first_t"),
     )
     grid_days = grid.select(
         "channel_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
     frame = roll.join(grid_days, ["channel_id", "day"], "full_outer")
     w_days = Window.partitionBy("channel_id").orderBy("day")
+    prev = w_days.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = w_days.rowsBetween(1, Window.unboundedFollowing)
     carries = frame.select(
         "channel_id",
         "day",
-        F.max("last_s")
-        .over(w_days.rowsBetween(Window.unboundedPreceding, -1))
-        .alias("ci"),
-        F.min("first_s")
-        .over(w_days.rowsBetween(1, Window.unboundedFollowing))
-        .alias("co"),
+        F.max("last_v").over(prev).alias("ci_v"),
+        F.max("last_t").over(prev).alias("ci_t"),
+        F.min("first_v").over(nxt).alias("co_v"),
+        F.min("first_t").over(nxt).alias("co_t"),
     )
 
     local = cd.filter(
@@ -2178,10 +2201,10 @@ def op_timeseries_interpolate_multiday(spark: SparkSession, sf_dir: str) -> Data
         "channel_id",
         "ts",
         "tag",
-        F.coalesce("pv_l", F.col("ci.value")).alias("pv"),
-        F.coalesce("pt_l", F.col("ci.ts")).alias("pt"),
-        F.coalesce("nv_l", F.col("co.value")).alias("nv"),
-        F.coalesce("nt_l", F.col("co.ts")).alias("nt"),
+        F.coalesce("pv_l", F.col("ci_v.value")).alias("pv"),
+        F.coalesce("pt_l", F.col("ci_t.ts")).alias("pt"),
+        F.coalesce("nv_l", F.col("co_v.value")).alias("nv"),
+        F.coalesce("nt_l", F.col("co_t.ts")).alias("nt"),
     )
     ratio = (
         (F.unix_micros("ts") - F.unix_micros("pt")).cast("double")

@@ -599,6 +599,59 @@ def op_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _versioned_snapshot_replay(
+    spark: SparkSession,
+    work: str,
+    feed_df: DataFrame,
+    root_name: str,
+    partial_fn,
+    merge_fn,
+    n_state: int = 32,
+) -> DataFrame:
+    """The mergeable-partial snapshot protocol shared by every incremental
+    maintenance op: replay ``feed_df`` as 4 micro-batches
+    (maxFilesPerTrigger=1), apply ``partial_fn`` per batch, merge into the
+    latest prior snapshot with ``merge_fn(stored, partial)``, and overwrite
+    snapshot v=batch_id (idempotent — a crashed/replayed batch rewrites ITS
+    version from the same prior version, so the chain converges).  Returns
+    the final snapshot.  Keeping the protocol in one place means a fix to
+    the retry-convergence rule cannot silently diverge between ops."""
+    feed = os.path.join(work, "feed")
+    feed_df.repartition(4).write.parquet(feed)
+    root = os.path.join(work, root_name)
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("v=")
+        )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        merged = partial_fn(batch)
+        vs = [v for v in _versions() if v < batch_id]
+        if vs:
+            stored = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
+            merged = merge_fn(stored, merged)
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
+    )
+    with pinned_shuffle(spark, n_state):
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(root, f"v={_versions()[-1]}"))
+
+
+
+
 @register(
     "op_stream_rollup_refresh",
     ROLLUP_HOURLY_SQL,  # oracle: from-scratch recompute over all batches
@@ -621,20 +674,8 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.daq_dims import channel_data_df
 
     work = _workdir("op_stream_rollup_refresh")
-    feed = os.path.join(work, "feed")
-    channel_data_df(spark, sf_dir).repartition(4).write.parquet(feed)
-    roll_root = os.path.join(work, "rollup")
 
-    def _versions() -> list[int]:
-        if not os.path.isdir(roll_root):
-            return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(roll_root)
-            if d.startswith("v=")
-        )
-
-    def _partial(df: DataFrame) -> DataFrame:
+    def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(
             "channel_id",
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
@@ -645,39 +686,21 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
 
-    def refresh(batch: DataFrame, batch_id: int) -> None:
-        merged = _partial(batch)
-        vs = [v for v in _versions() if v < batch_id]
-        if vs:
-            stored = spark.read.parquet(os.path.join(roll_root, f"v={vs[-1]}"))
-            merged = (
-                stored.unionByName(merged)
-                .groupBy("channel_id", "bucket_us")
-                .agg(
-                    F.sum("n_samples").alias("n_samples"),
-                    F.sum("sum_fx").alias("sum_fx"),
-                    F.min("min_value").alias("min_value"),
-                    F.max("max_value").alias("max_value"),
-                )
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(part)
+            .groupBy("channel_id", "bucket_us")
+            .agg(
+                F.sum("n_samples").alias("n_samples"),
+                F.sum("sum_fx").alias("sum_fx"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
             )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(roll_root, f"v={batch_id}")
         )
 
-    schema = spark.read.parquet(feed).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
+    final = _versioned_snapshot_replay(
+        spark, work, channel_data_df(spark, sf_dir), "rollup", partial, merge
     )
-    with pinned_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(refresh)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    final = spark.read.parquet(os.path.join(roll_root, f"v={_versions()[-1]}"))
     return final.select(
         "channel_id",
         "bucket_us",
@@ -790,50 +813,26 @@ def op_stream_anomaly_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _workdir("op_stream_anomaly_sketch")
     feed = os.path.join(work, "feed")
-    channel_data_df(spark, sf_dir).repartition(4).write.parquet(feed)
-    hist_root = os.path.join(work, "hist")
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(hist_root):
-            return []
-        return sorted(
-            int(p.split("=", 1)[1])
-            for p in os.listdir(hist_root)
-            if p.startswith("v=")
-        )
-
     bucket = F.floor(F.col("value") / _ANOM_W).cast("bigint").alias("bucket")
 
-    def refresh(batch: DataFrame, batch_id: int) -> None:
-        merged = batch.select("channel_id", bucket).groupBy(
-            "channel_id", "bucket"
-        ).agg(F.count("*").alias("cnt"))
-        vs = [v for v in _versions() if v < batch_id]
-        if vs:
-            stored = spark.read.parquet(os.path.join(hist_root, f"v={vs[-1]}"))
-            merged = (
-                stored.unionByName(merged)
-                .groupBy("channel_id", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(hist_root, f"v={batch_id}")
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select("channel_id", bucket)
+            .groupBy("channel_id", "bucket")
+            .agg(F.count("*").alias("cnt"))
         )
 
-    schema = spark.read.parquet(feed).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(part)
+            .groupBy("channel_id", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    hist = _versioned_snapshot_replay(
+        spark, work, channel_data_df(spark, sf_dir), "hist", partial, merge,
+        n_state=8,
     )
-    with pinned_shuffle(spark, 8):
-        q = (
-            stream.writeStream.foreachBatch(refresh)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    hist = spark.read.parquet(os.path.join(hist_root, f"v={_versions()[-1]}"))
     w_cum = Window.partitionBy("channel_id").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

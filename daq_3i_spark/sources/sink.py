@@ -38,6 +38,24 @@ def read_channel_data_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _staging_dir(path: str) -> str:
+    """Per-table staging area for partition rewrites, OUTSIDE the table root:
+    a crash mid-rewrite must never leave a half-written directory where
+    partition discovery can see it (a stray 'p_date=...rewrite' dir inside
+    the root would double-count rows or degrade p_date to a string column).
+    Stale staging from a previous crashed run is removed on entry — the
+    rewrite sources are only deleted AFTER their replacement is complete, so
+    re-running the service converges."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    return staging
+
+
 def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
     """DELETE WHERE ts < cutoff over the date-partitioned sink, with
     partition-drop semantics: partitions wholly before the cutoff's DATE are
@@ -45,10 +63,14 @@ def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
     mid-day cutoff straddles is rewritten with a row filter, and every later
     partition's files are left byte-for-byte untouched.  At 100 TB the drop
     is a metastore/manifest operation per expired day; only ~one day of data
-    is ever rewritten regardless of table size."""
+    is ever rewritten regardless of table size.  Rewrites stage outside the
+    table root (see _staging_dir); the one non-atomic window left is the
+    rmtree+move swap itself, which a transactional table format (Delta/
+    Iceberg manifest swap) closes in production."""
     import os
     import shutil
 
+    staging = _staging_dir(path)
     cutoff_date = cutoff.split(" ")[0]
     for d in os.listdir(path):
         if d.startswith("p_date=") and d.split("=", 1)[1] < cutoff_date:
@@ -58,7 +80,7 @@ def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
     if os.path.isdir(bdir):
         # rewrite ONLY the straddled partition: filter into a fresh
         # directory, then swap — later partitions are never opened
-        tmp = bdir + ".rewrite"
+        tmp = os.path.join(staging, "boundary")
         (
             spark.read.parquet(bdir)
             .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
@@ -66,6 +88,7 @@ def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
         )
         shutil.rmtree(bdir)
         shutil.move(tmp, bdir)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def compact_partitions(spark: SparkSession, path: str, max_files: int = 4) -> list[str]:
@@ -80,11 +103,15 @@ def compact_partitions(spark: SparkSession, path: str, max_files: int = 4) -> li
     row-group channel locality.  At 100 TB this runs as a background table
     service per recent partition; old partitions compact once and never
     again — which is why the threshold check matters (idempotent, touches
-    only fragmented partitions)."""
+    only fragmented partitions).  Rewrites stage outside the table root
+    (see _staging_dir); a crash before a partition's swap leaves its source
+    intact and still-fragmented, so the next run redoes exactly that
+    partition."""
     import os
     import shutil
     from concurrent.futures import ThreadPoolExecutor
 
+    staging = _staging_dir(path)
     todo = []
     for d in sorted(os.listdir(path)):
         if not d.startswith("p_date="):
@@ -99,7 +126,7 @@ def compact_partitions(spark: SparkSession, path: str, max_files: int = 4) -> li
     # pays one job-submission latency per partition)
     def rewrite(item: tuple[str, str]) -> str:
         d, pdir = item
-        tmp = pdir + ".compact"
+        tmp = os.path.join(staging, d)
         (
             spark.read.parquet(pdir)
             .sort("channel_id", "id")
@@ -111,7 +138,9 @@ def compact_partitions(spark: SparkSession, path: str, max_files: int = 4) -> li
         return d.split("=", 1)[1]
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        return list(pool.map(rewrite, todo))
+        done = list(pool.map(rewrite, todo))
+    shutil.rmtree(staging, ignore_errors=True)
+    return done
 
 
 def write_channel_data_jdbc(

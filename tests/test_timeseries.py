@@ -160,14 +160,24 @@ def test_gapfill_duplicate_ts_oracle_parity(spark, sf_dir, tmp_path):
         # post-grid carry-out (collision too)
         rows += [(ch_u, us("2024-01-14 03:00:00"))] * 2
 
+    # distinct values per duplicate so a wrong tie-break changes output; NULL
+    # values planted exactly where the IGNORE-NULLS/carry split bites — per
+    # 16-row channel block: idx 2 is the LAST pre-grid sample (a single-
+    # struct carry would pick its NULL value and drop the first grid rows
+    # where the oracle interpolates from the older non-null), idx 4 is one
+    # of the 3-way mid-grid collision, idx 14 is the first post-grid carry
+    # row.  pv/nv must skip these while pt/nt still advance on them.
+    values = [float(i * 7 % 13) for i in range(len(rows))]
+    for i in range(len(rows)):
+        if i % 16 in (2, 4, 14):
+            values[i] = None
     tbl = pa.table(
         {
             "event_id": pa.array(range(len(rows)), pa.int64()),
             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
             "user_id": pa.array([r[0] for r in rows], pa.int64()),
             "event_type": pa.array(["e"] * len(rows)),
-            # distinct values per duplicate so a wrong tie-break changes output
-            "value": pa.array([float(i * 7 % 13) for i in range(len(rows))]),
+            "value": pa.array(values, pa.float64()),
             "props": pa.array(["{}"] * len(rows)),
         }
     )

@@ -111,7 +111,10 @@ def main() -> None:
     out = os.path.join(ROOT, ".tmp", "scaling_pass.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
-    print(json.dumps({"n": len(results), "worst": max(r["ratio"] for r in results.values())}))
+    if results:
+        print(json.dumps({"n": len(results), "worst": max(r["ratio"] for r in results.values())}))
+    else:
+        print(json.dumps({"n": 0, "error": "no ops matched the filter"}))
     spark.stop()
 
 
