@@ -87,6 +87,7 @@ HEADLINE = [
     "op_stream_stale_monitor",
     "op_timeseries_interpolate_multiday",
     "op_stream_anomaly_sketch",
+    "op_sink_compaction",
 ]
 
 
