@@ -1,0 +1,72 @@
+"""Adversarial documents-corpus parity: shapes the shipped corpus doesn't
+contain but a testdata regeneration legally could — an over-long document
+(2000 tokens, past the 1600-token ceiling the old hard-coded oracle chunk
+cap silently imposed), empty text, a single token, a viral one-token
+repeat, and exact duplicates.  Every documents-driven op below must stay
+hash-identical to its DuckDB oracle on this corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from daq_3i_spark.plans import QUERIES
+from daq_3i_spark.schemas import ALL_TABLES
+from oracle_check import compare, run_oracle
+
+OPS = [
+    "op_dedup_exact",
+    "op_dedup_substring",
+    "op_corpus_budget_sample",
+    "op_corpus_dedup_sample",
+    "op_text_stats",
+    "op_text_tokens",
+    "op_text_chunk",
+    "op_text_fingerprint",
+    "op_dedup_minhash",
+    "op_dedup_ngram_jaccard",
+    "op_pack_sequences",
+    "op_text_repetition",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adversarial") / "sf")
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    long_doc = " ".join(f"tok{i % 37}" for i in range(2000))  # > 1600 tokens
+    docs = [
+        (0, long_doc, "en", "srcA"),
+        (1, "", "en", "srcA"),  # empty text
+        (2, "solo", "en", "srcA"),  # single token
+        (3, " ".join(["viral"] * 64), "en", "srcB"),  # one-token repeat
+        (4, "alpha beta gamma delta epsilon zeta", "en", "srcB"),
+        (5, "alpha beta gamma delta epsilon zeta", "en", "srcB"),  # exact dup
+        (6, "alpha beta gamma delta epsilon eta", "en", "srcB"),  # near dup
+        (7, "the quick brown fox jumps over the lazy dog", "de", "srcC"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs]),
+            "lang": pa.array([r[2] for r in docs]),
+            "source": pa.array([r[3] for r in docs]),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", OPS)
+def test_adversarial_corpus_oracle_parity(spark, adversarial_dir, name):
+    q = QUERIES[name]
+    problems = compare(q.spark(spark, adversarial_dir), run_oracle(q.oracle, adversarial_dir))
+    assert not problems, f"{name} on adversarial corpus: {problems}"
