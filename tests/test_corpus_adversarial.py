@@ -70,3 +70,29 @@ def test_adversarial_corpus_oracle_parity(spark, adversarial_dir, name):
     q = QUERIES[name]
     problems = compare(q.spark(spark, adversarial_dir), run_oracle(q.oracle, adversarial_dir))
     assert not problems, f"{name} on adversarial corpus: {problems}"
+
+
+def test_embeddings_norm_invariants(spark, sf_dir):
+    """Pin the two embedding-corpus invariants the cosine/ANN families
+    depend on, so a testdata regeneration that breaks them fails HERE with
+    an explanation instead of as a mystery hash flap: (1) no zero-norm
+    vectors — Spark computes 0/0 cosine as IEEE NaN while the DuckDB oracle
+    yields NULL, which order differently under DESC ranking; (2) near-unit
+    norms — op_sim_pq_rerank_topk's exact-L2 rerank reproduces cosine order
+    only for unit vectors."""
+    import math
+
+    from daq_3i_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert 0.99 <= n <= 1.01, (
+            f"vec {r['vec_id']} has norm {n}: zero/non-unit norms break the "
+            "NaN-vs-NULL cosine convention and the L2==cosine rerank ordering"
+        )
