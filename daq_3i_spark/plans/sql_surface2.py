@@ -558,7 +558,17 @@ _KMV_EST = (
 def op_sql_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     u = _hex48("md5(encode(CAST(l_suppkey AS STRING), 'utf-8'))", "instr")
-    h = li.select("l_returnflag", F.expr(u).alias("u")).distinct()
+    # distinct the raw (flag, suppkey) pairs FIRST, then hash only the
+    # survivors: the md5 + 12-term positional arithmetic runs ~20x fewer
+    # times (pairs vs rows).  The trailing distinct keeps the (flag, u) set
+    # identical to the oracle's DISTINCT-over-computed-u even in the
+    # astronomically unlikely event of a 48-bit hash collision.
+    h = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .select("l_returnflag", F.expr(u).alias("u"))
+        .distinct()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_returnflag")
