@@ -31,7 +31,7 @@ _CHECK_PRIORITY = [
     "op_sql_approx_sketches", "op_stream_stale_monitor",
     "op_sim_pq_rerank_topk", "op_dedup_semantic", "op_sink_retention_time",
     "op_timeseries_interpolate_bucketed", "op_timeseries_locf_bucketed",
-    "op_timeseries_interpolate_multiday",
+    "op_timeseries_interpolate_multiday", "op_timeseries_locf_multiday",
     "op_timeseries_interpolate", "op_timeseries_locf",
     "op_sql_q20_dominant", "op_dedup_substring", "op_corpus_dedup_sample",
     "op_stream_anomaly_sketch", "op_sink_compaction",
@@ -51,7 +51,7 @@ _CHECK_PRIORITY = [
     "op_sink_delete_retention", "op_filter_enabled", "op_filter_due",
     "op_join_channels_buses", "op_join_channels_conversions",
     "op_join_data_channels", "op_count_per_channel", "op_latest_per_channel",
-    "op_oldest_n_per_channel", "op_retention_topk", "op_decode_registers",
+    "op_oldest_n_per_channel", "op_retention_topk",
 ]
 
 

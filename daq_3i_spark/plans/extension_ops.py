@@ -1831,12 +1831,15 @@ def op_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the LOCF oracle — shared by op_timeseries_locf and its bucketed twin.
-_LOCF_ORACLE = f"""WITH {dims_cte_sql()},
+def _locf_oracle(grid_start: str, grid_end: str) -> str:
+    """The global-window LOCF oracle for a [grid_start, grid_end] minute
+    grid — shared verbatim by op_timeseries_locf, its bucketed twin, and
+    the multiday generalization."""
+    return f"""WITH {dims_cte_sql()},
     g AS (
       SELECT c.channel_id,
-             unnest(generate_series(TIMESTAMP '{_INTERP_DAY_START}',
-                                    TIMESTAMP '{_INTERP_DAY_END}',
+             unnest(generate_series(TIMESTAMP '{grid_start}',
+                                    TIMESTAMP '{grid_end}',
                                     INTERVAL 1 MINUTE)) AS ts
       FROM (SELECT DISTINCT channel_id FROM channel_data) c
     ),
@@ -1857,6 +1860,9 @@ _LOCF_ORACLE = f"""WITH {dims_cte_sql()},
     SELECT channel_id, epoch_us(ts) AS minute_us, pv AS locf_value,
            epoch_us(ts) - epoch_us(pt) AS staleness_us
     FROM w WHERE tag = 1 AND pv IS NOT NULL"""
+
+
+_LOCF_ORACLE = _locf_oracle(_INTERP_DAY_START, _INTERP_DAY_END)
 
 
 @register(
@@ -2221,4 +2227,89 @@ def op_timeseries_interpolate_multiday(spark: SparkSession, sf_dir: str) -> Data
                 "interp_value"
             ),
         )
+    )
+
+
+@register(
+    "op_timeseries_locf_multiday",
+    _locf_oracle(_MULTIDAY_START, _MULTIDAY_END),
+    doc="the multi-day form of the hot-key-safe LOCF (completing the "
+    "gap-fill matrix: plain/bucketed/multiday x interpolate/LOCF): "
+    "(channel, day) buckets, carry-in from the per-(channel, day) "
+    "last-sample rollup via one cumulative preceding-days window — value "
+    "and timestamp rolled up separately per the IGNORE-NULLS convention.  "
+    "Hash-matches the global-window LOCF oracle over the 3-day grid",
+)
+def op_timeseries_locf_multiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd = channel_data_df(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    grid = (
+        cd.select("channel_id")
+        .distinct()
+        .select(
+            "channel_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_MULTIDAY_START).cast("timestamp"),
+                    F.lit(_MULTIDAY_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+        )
+    )
+    nn = F.when(F.col("value").isNotNull(), F.struct("ts", "id", "value"))
+    roll = cd.groupBy("channel_id", day.alias("day")).agg(
+        F.max(nn).alias("last_v"),
+        F.max(F.struct("ts", "id")).alias("last_t"),
+    )
+    grid_days = grid.select(
+        "channel_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    frame = roll.join(grid_days, ["channel_id", "day"], "full_outer")
+    w_days = Window.partitionBy("channel_id").orderBy("day")
+    prev = w_days.rowsBetween(Window.unboundedPreceding, -1)
+    carries = frame.select(
+        "channel_id",
+        "day",
+        F.max("last_v").over(prev).alias("ci_v"),
+        F.max("last_t").over(prev).alias("ci_t"),
+    )
+
+    local = cd.filter(
+        (F.col("ts") >= F.lit(_MULTIDAY_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(_MULTIDAY_HI_EXCL).cast("timestamp"))
+    )
+    u = local.select(
+        "channel_id", "ts", F.col("value").alias("v"), F.lit(0).alias("tag"),
+        F.col("id"),
+    ).unionByName(
+        grid.select(
+            "channel_id", "ts", F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("tag"), F.lit(-1).cast("long").alias("id"),
+        )
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    w = Window.partitionBy("channel_id", "day").orderBy("ts", "tag", "id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ann = u.select(
+        "channel_id",
+        "day",
+        "ts",
+        "tag",
+        F.last("v", ignorenulls=True).over(back).alias("pv_l"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(back)
+        .alias("pt_l"),
+    )
+    st = ann.join(F.broadcast(carries), ["channel_id", "day"]).select(
+        "channel_id",
+        "ts",
+        "tag",
+        F.coalesce("pv_l", F.col("ci_v.value")).alias("pv"),
+        F.coalesce("pt_l", F.col("ci_t.ts")).alias("pt"),
+    )
+    return st.filter((F.col("tag") == 1) & F.col("pv").isNotNull()).select(
+        "channel_id",
+        F.unix_micros("ts").alias("minute_us"),
+        F.col("pv").alias("locf_value"),
+        (F.unix_micros("ts") - F.unix_micros("pt")).alias("staleness_us"),
     )

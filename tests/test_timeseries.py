@@ -189,6 +189,7 @@ def test_gapfill_duplicate_ts_oracle_parity(spark, sf_dir, tmp_path):
         "op_timeseries_interpolate_multiday",
         "op_timeseries_locf",
         "op_timeseries_locf_bucketed",
+        "op_timeseries_locf_multiday",
     ]
     for name in ops:
         q = QUERIES[name]
