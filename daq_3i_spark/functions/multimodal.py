@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -71,8 +73,8 @@ def _parse_pnm_header(payload: bytes) -> tuple[int, int, int, int, int]:
 
 
 #: plug-in codec registry: mime -> bytes-in/ndarray-out decoder.  Users with
-#: codec libraries installed register decoders here (or rely on the PIL
-#: auto-registration below) and every registry op that decodes media —
+#: codec libraries installed register decoders here (or opt in to Pillow via
+#: enable_pil_codecs below) and every registry op that decodes media —
 #: op_multimodal_decode and anything built on decode_media — picks them up
 #: with no plan change, because the lookup happens inside the Arrow batch.
 _CODECS: dict[str, object] = {}
@@ -97,22 +99,35 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
 register_codec("image/x-portable-pixmap", _decode_pnm)
 register_codec("image/x-portable-graymap", _decode_pnm)
 
-# PIL auto-registration: in an environment with Pillow installed (not this
-# sandbox), JPEG/PNG decode lights up through the same registry with no
-# code change anywhere else.
-try:  # pragma: no cover - codec libs absent in the test environment
-    from PIL import Image as _PILImage  # noqa: F401
-    import io as _io
 
-    def _decode_pil(payload: bytes) -> np.ndarray:
+def enable_pil_codecs() -> bool:
+    """Opt-in JPEG/PNG decode via Pillow: registers ``_decode_pil`` for
+    ``image/jpeg``/``image/png`` and returns True iff Pillow imported.
+
+    Deliberately NOT automatic on import: oracled registry ops promise
+    bit-portable output (the DuckDB oracle recomputes every value), and a
+    PIL decode has no oracle counterpart — auto-registration would make an
+    oracled op's output depend on whether Pillow happens to be installed.
+    Call this (or set ``DAQ3I_PIL_CODECS=1`` before import) only for
+    non-oracled user pipelines that accept engine-specific decodes."""
+    try:
+        from PIL import Image as _PILImage
+        import io as _io
+    except ImportError:  # pragma: no cover - exercised via the stub test
+        return False
+
+    def _decode_pil(payload: bytes) -> np.ndarray:  # pragma: no cover
         img = _PILImage.open(_io.BytesIO(payload))
         arr = np.asarray(img.convert("RGB") if img.mode not in ("L", "RGB") else img)
         return arr if arr.ndim == 3 else arr[:, :, None]
 
     register_codec("image/jpeg", _decode_pil)
     register_codec("image/png", _decode_pil)
-except ImportError:
-    pass
+    return True
+
+
+if os.environ.get("DAQ3I_PIL_CODECS") == "1":  # pragma: no cover - env opt-in
+    enable_pil_codecs()
 
 
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
@@ -122,8 +137,9 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     Built in with no codec deps: the binary netpbm formats
     ``image/x-portable-pixmap`` (PPM/P6, RGB) and
     ``image/x-portable-graymap`` (PGM/P5, gray), parsed in pure numpy.
-    JPEG/PNG register automatically when Pillow is importable.  Unregistered
-    mimes raise — compressed audio/video codecs would plug in behind the
+    JPEG/PNG are opt-in via :func:`enable_pil_codecs` (or the
+    ``DAQ3I_PIL_CODECS=1`` env var) so oracled ops stay bit-portable by
+    default.  Unregistered mimes raise — compressed codecs plug in behind the
     same bytes-in/ndarray-out contract, called only from within an Arrow
     batch.
     """
@@ -132,7 +148,7 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
         return dec(payload)
     raise NotImplementedError(
         f"no codec registered for {mime!r} (see register_codec; JPEG/PNG "
-        "auto-register when Pillow is installed)"
+        "need enable_pil_codecs() / DAQ3I_PIL_CODECS=1)"
     )
 
 

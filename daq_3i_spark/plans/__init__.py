@@ -57,10 +57,14 @@ _CHECK_PRIORITY = [
 
 def _rotate_check_window() -> None:
     unknown = [n for n in _CHECK_PRIORITY if n not in QUERIES]
-    assert not unknown, (
-        f"_CHECK_PRIORITY names not in the registry: {unknown} — a typo here "
-        "silently shrinks the driver-checked window"
-    )
+    if unknown:
+        # a real raise, not an assert: `python -O` strips asserts, which
+        # would silently restore the typo-shrinks-the-window failure mode
+        # this guard exists to prevent
+        raise RuntimeError(
+            f"_CHECK_PRIORITY names not in the registry: {unknown} — a typo "
+            "here silently shrinks the driver-checked window"
+        )
     ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY}
     for name, q in QUERIES.items():
         if name not in ordered:

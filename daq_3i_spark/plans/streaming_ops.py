@@ -755,7 +755,7 @@ def op_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent.count()
     for k in range(8):
         (
-            recent.filter(F.col("id") % 8 == k)
+            recent.filter(F.pmod(F.col("id"), F.lit(8)) == k)
             .repartition(F.col("p_date"))
             .write.mode("append")
             .partitionBy("p_date")

@@ -109,3 +109,44 @@ def test_codec_registry_dispatch_and_override():
     pgm = b"P5 3 2 255\n" + bytes(range(6))
     img = decode_media(pgm, "image/x-portable-graymap")
     assert img.shape == (2, 3, 1) and img.flatten().tolist() == list(range(6))
+
+
+def test_pil_codecs_are_opt_in_and_import_gated():
+    """JPEG/PNG decode must never light up implicitly (oracled ops promise
+    bit-portable output): without Pillow, enable_pil_codecs() returns False
+    and registers nothing; with a stub Pillow in sys.modules, the SAME call
+    registers both mimes and decode_media dispatches into it — proving the
+    import-gated branch works without shipping codec libraries."""
+    import sys
+
+    import numpy as np
+
+    from daq_3i_spark.functions import multimodal as mm
+
+    # this sandbox has no Pillow: the gate must refuse and stay side-effect-free
+    assert "PIL" not in sys.modules
+    assert mm.enable_pil_codecs() is False
+    assert "image/jpeg" not in mm._CODECS and "image/png" not in mm._CODECS
+
+    class _FakeImg:
+        mode = "RGB"
+
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(3, dtype=np.uint8).reshape(1, 1, 3)
+
+    fake_pil = type(sys)("PIL")
+    fake_image_mod = type(sys)("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        assert mm.enable_pil_codecs() is True
+        assert "image/jpeg" in mm._CODECS and "image/png" in mm._CODECS
+        out = mm.decode_media(b"\xff\xd8fakejpeg", "image/jpeg")
+        assert out.shape == (1, 1, 3) and out.tolist() == [[[0, 1, 2]]]
+    finally:
+        for mime in ("image/jpeg", "image/png"):
+            mm._CODECS.pop(mime, None)
+        sys.modules.pop("PIL", None)
+        sys.modules.pop("PIL.Image", None)
