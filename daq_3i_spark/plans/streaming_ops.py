@@ -727,12 +727,14 @@ _COMPACT_MAX_FILES = 4
     "service): half the date partitions are written compact, the other "
     "half fragmented by 8 micro-batch-style appends (one file each), then "
     f"compact_partitions rewrites every partition above {_COMPACT_MAX_FILES} "
-    "files as ONE (channel_id, id)-sorted file and leaves the rest "
-    "byte-for-byte untouched (tests pin file inventories).  The oracle is "
-    "the full table — compaction must be content-neutral, so any lost or "
-    "duplicated row is a hash mismatch.  At 100 TB this is the idempotent "
-    "background service that keeps scan cost from degrading into per-file "
-    "open overhead as micro-batches accumulate",
+    "files into ceil(bytes/128MB) range-sorted files (one at this scale) "
+    "and leaves the rest byte-for-byte untouched (tests pin file "
+    "inventories).  The oracle is the full table — compaction must be "
+    "content-neutral, so any lost or duplicated row is a hash mismatch.  "
+    "At 100 TB this is the idempotent background service that keeps scan "
+    "cost from degrading into per-file open overhead as micro-batches "
+    "accumulate; the pass is crash-safe via the versioned-manifest commit "
+    "protocol (sources/sink.py, kill-tested in tests/test_sink_services.py)",
 )
 def op_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.daq_dims import channel_data_df

@@ -2,23 +2,67 @@
 
 The reference appends every sample to one unpartitioned MySQL table
 (/root/reference/db_model.py:49-54).  At 100 TB the sink must be a
-date-partitioned parquet/Delta table so that
+date-partitioned parquet table so that
 
 * time-range scans prune partitions at file-listing time (no data touched
   outside the range),
-* retention (keep newest N per channel) rewrites only recent partitions,
+* retention (drop old days) is a metadata operation, never a table scan,
 * the per-channel access path stays narrow via row-group sorting on
   channel_id within each date partition (min/max stats prune row groups).
 
 ``p_date`` is a derived partition column; the natural key columns stay in the
 data so readers are unaffected.  Writing sorted-within-partitions puts each
 channel's rows in contiguous row groups.
+
+Table services (time retention, small-file compaction) follow a
+**versioned-manifest commit protocol** (the Delta/Iceberg snapshot idea,
+reduced to its core):
+
+* ``<root>/_manifests/vNNNNN.json`` lists the relative data-file paths that
+  constitute that version of the table.  The leading underscore hides the
+  directory from Spark's file index, so plain ``spark.read.parquet(root)``
+  still works between service passes.
+* A service pass never deletes a referenced file before the next manifest is
+  committed: replacement files are staged OUTSIDE the table root, renamed
+  into the live partition directories under their unique names, and only
+  then does one atomic manifest rename publish the new version.  Old files
+  are garbage-collected AFTER the commit.
+* A crash at ANY point leaves the previous manifest's files intact —
+  :func:`read_channel_data_versioned` (the manifest-pinned reader) sees
+  either the old layout or the new one, never a mix, and never loses rows.
+  Orphan files from a crashed pass are swept by the next pass's recovery
+  step (:func:`gc_unreferenced`), which makes every service idempotent.
+
+All file-system access goes through the Hadoop FileSystem API (py4j), not
+``os``: the same code paths work against ``file://``, HDFS, and S3A.  On
+HDFS the two renames (file publish, manifest commit) are atomic; on S3A the
+manifest rename is the only non-atomic step and would swap for a
+conditional PUT in production.
 """
 
 from __future__ import annotations
 
+import json
+import posixpath
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: compaction rewrite target: partitions are rewritten into
+#: ceil(partition_bytes / TARGET_FILE_BYTES) range-sorted files, so a hot
+#: multi-TB day becomes many parallel-scannable files instead of the single
+#: giant file a coalesce(1) would produce.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+_MANIFEST_DIR = "_manifests"
+
+#: test-only failpoint hook: called with a stage name between protocol
+#: stages ("recovered", "staged", "published", "committed") so crash-safety
+#: tests can kill a service pass at an exact point.  Production callers
+#: leave it as the no-op default.
+Failpoint = Callable[[str], None]
+_NOOP: Failpoint = lambda stage: None  # noqa: E731
 
 
 def write_channel_data_partitioned(df: DataFrame, path: str) -> None:
@@ -38,109 +82,325 @@ def read_channel_data_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _staging_dir(path: str) -> str:
+# --- Hadoop FileSystem plumbing (works on file://, HDFS, S3A) ---------------
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path`` — the scheme's filesystem, from the
+    session's Hadoop configuration (credentials, endpoints) rather than the
+    local OS, so listings and renames behave on object stores too."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _jpath(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
+
+
+def _ls(fs, jvm, *parts: str) -> list:
+    jp = _jpath(jvm, *parts)
+    if not fs.exists(jp):
+        return []
+    return list(fs.listStatus(jp))
+
+
+def list_partitions(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
+    """{partition value -> {parquet file name -> bytes}} for a
+    ``p_date``-partitioned table root, via the Hadoop FS API."""
+    fs, jvm = _fs(spark, path)
+    out: dict[str, dict[str, int]] = {}
+    for st in _ls(fs, jvm, path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("p_date="):
+            out[name.split("=", 1)[1]] = {
+                f.getPath().getName(): f.getLen()
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            }
+    return out
+
+
+# --- versioned manifests -----------------------------------------------------
+
+
+def latest_manifest(spark: SparkSession, path: str) -> tuple[int, list[str]] | None:
+    """(version, sorted relative data-file paths) of the newest committed
+    manifest, or None for a table no service has touched yet."""
+    fs, jvm = _fs(spark, path)
+    best = None
+    for st in _ls(fs, jvm, path, _MANIFEST_DIR):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            if best is None or v > best[0]:
+                best = (v, st.getPath())
+    if best is None:
+        return None
+    stream = fs.open(best[1])
+    try:
+        doc = json.loads(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+    return best[0], doc["files"]
+
+
+def commit_manifest(spark: SparkSession, path: str, version: int, files: list[str]) -> None:
+    """Atomically publish manifest ``version``: write the JSON to a hidden
+    temp name, then one rename — readers either see the complete new
+    manifest or keep resolving the previous one."""
+    fs, jvm = _fs(spark, path)
+    fs.mkdirs(_jpath(jvm, path, _MANIFEST_DIR))
+    fname = f"v{version:05d}.json"
+    tmp = _jpath(jvm, path, _MANIFEST_DIR, f".tmp-{fname}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps({"version": version, "files": sorted(files)}).encode()))
+    finally:
+        out.close()
+    if not fs.rename(tmp, _jpath(jvm, path, _MANIFEST_DIR, fname)):
+        raise IOError(f"manifest commit rename failed for {fname}")
+
+
+def snapshot_manifest(spark: SparkSession, path: str) -> tuple[int, list[str]]:
+    """Latest manifest, bootstrapping v1 from the current directory layout
+    for tables written before any service pass (write_channel_data_partitioned
+    leaves a clean overwrite, so the snapshot is authoritative)."""
+    m = latest_manifest(spark, path)
+    if m is not None:
+        return m
+    files = sorted(
+        f"p_date={p}/{f}"
+        for p, fl in list_partitions(spark, path).items()
+        for f in fl
+    )
+    commit_manifest(spark, path, 1, files)
+    return 1, files
+
+
+def read_channel_data_versioned(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-pinned read: loads EXACTLY the latest committed version's
+    files (basePath keeps the p_date partition column).  This is the reader
+    that never observes a half-applied service pass."""
+    m = latest_manifest(spark, path)
+    if m is None:
+        return read_channel_data_partitioned(spark, path)
+    _, files = m
+    if not files:
+        raise ValueError(f"manifest for {path} references no files")
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*[posixpath.join(path, f) for f in files])
+    )
+
+
+def gc_unreferenced(spark: SparkSession, path: str) -> list[str]:
+    """Delete data files not referenced by the latest manifest (plus any
+    partition directory left with no data files).  Run at the START of a
+    service pass (recovering a crashed predecessor's orphans so directory
+    reads match the manifest again) and at the END (dropping the files the
+    new version replaced).  No manifest -> no-op.  Returns removed paths."""
+    m = latest_manifest(spark, path)
+    if m is None:
+        return []
+    keep = set(m[1])
+    fs, jvm = _fs(spark, path)
+    removed: list[str] = []
+    for p, fl in list_partitions(spark, path).items():
+        pdir = f"p_date={p}"
+        for fname in fl:
+            rel = f"{pdir}/{fname}"
+            if rel not in keep:
+                fs.delete(_jpath(jvm, path, rel), False)
+                removed.append(rel)
+        # drop the directory once no visible data files remain (checksum
+        # droppings and other hidden files don't keep a partition alive)
+        left = [
+            s.getPath().getName()
+            for s in _ls(fs, jvm, path, pdir)
+            if not s.getPath().getName().startswith((".", "_"))
+        ]
+        if not left:
+            fs.delete(_jpath(jvm, path, pdir), True)
+    return removed
+
+
+# --- the shared service commit protocol --------------------------------------
+
+
+def _staging_dir(spark: SparkSession, path: str) -> str:
     """Per-table staging area for partition rewrites, OUTSIDE the table root:
     a crash mid-rewrite must never leave a half-written directory where
-    partition discovery can see it (a stray 'p_date=...rewrite' dir inside
-    the root would double-count rows or degrade p_date to a string column).
-    Stale staging from a previous crashed run is removed on entry — the
-    rewrite sources are only deleted AFTER their replacement is complete, so
-    re-running the service converges."""
-    import os
-    import shutil
-
+    partition discovery can see it.  Staged files are always redoable (the
+    manifest still references every live file until the commit), so stale
+    staging from a crashed run is simply removed."""
     staging = path.rstrip("/") + ".staging"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
-    os.makedirs(staging)
+    fs, jvm = _fs(spark, staging)
+    jp = _jpath(jvm, staging)
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    fs.mkdirs(jp)
     return staging
 
 
-def apply_time_retention(spark: SparkSession, path: str, cutoff: str) -> None:
+def _commit_service_pass(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    staged: dict[str, str],
+    drop: set[str],
+    failpoint: Failpoint,
+) -> None:
+    """Publish a service pass: rename each staged partition's new files into
+    the live table, commit manifest ``version+1`` (old files minus replaced/
+    dropped partitions plus the new files), then garbage-collect.  Until the
+    manifest rename lands, every file of version N remains on disk and
+    referenced — a kill anywhere in here loses nothing."""
+    fs, jvm = _fs(spark, path)
+    new_files: list[str] = []
+    for p, sdir in staged.items():
+        pdir = f"p_date={p}"
+        fs.mkdirs(_jpath(jvm, path, pdir))
+        for st in _ls(fs, jvm, sdir):
+            fname = st.getPath().getName()
+            if not fname.endswith(".parquet"):
+                continue
+            dest = _jpath(jvm, path, pdir, fname)
+            if fs.exists(dest) or not fs.rename(st.getPath(), dest):
+                raise IOError(f"publish rename failed: {pdir}/{fname}")
+            new_files.append(f"{pdir}/{fname}")
+    failpoint("published")
+
+    replaced = set(staged) | drop
+    survivors = [
+        f for f in files if f.split("/", 1)[0].split("=", 1)[1] not in replaced
+    ]
+    commit_manifest(spark, path, version + 1, survivors + new_files)
+    failpoint("committed")
+
+    gc_unreferenced(spark, path)
+    sp = _jpath(jvm, path.rstrip("/") + ".staging")
+    if fs.exists(sp):
+        fs.delete(sp, True)
+
+
+def _partition_files(path: str, files: list[str], p: str) -> list[str]:
+    """Absolute paths of version-``files`` belonging to partition ``p`` —
+    services read exactly the committed file set, so orphans left by a
+    crashed pass can never double-count into a rewrite."""
+    return [posixpath.join(path, f) for f in files if f.startswith(f"p_date={p}/")]
+
+
+# --- the services ------------------------------------------------------------
+
+
+def apply_time_retention(
+    spark: SparkSession,
+    path: str,
+    cutoff: str,
+    _failpoint: Failpoint = _NOOP,
+) -> None:
     """DELETE WHERE ts < cutoff over the date-partitioned sink, with
-    partition-drop semantics: partitions wholly before the cutoff's DATE are
-    removed at the directory level (no rows read), the single partition a
-    mid-day cutoff straddles is rewritten with a row filter, and every later
-    partition's files are left byte-for-byte untouched.  At 100 TB the drop
-    is a metastore/manifest operation per expired day; only ~one day of data
-    is ever rewritten regardless of table size.  Rewrites stage outside the
-    table root (see _staging_dir); the one non-atomic window left is the
-    rmtree+move swap itself, which a transactional table format (Delta/
-    Iceberg manifest swap) closes in production."""
-    import os
-    import shutil
+    partition-drop semantics: partitions wholly before the cutoff's DATE
+    leave the manifest without a single row being read (their directories go
+    at GC time), the one partition a mid-day cutoff straddles is rewritten
+    with a row filter, and every later partition's files are byte-for-byte
+    untouched.  At 100 TB the drop is one manifest line per expired day;
+    only ~one day of data is ever rewritten regardless of table size.
+    Crash-safe per the module protocol: sources outlive their replacements
+    until the manifest commit."""
+    version, files = snapshot_manifest(spark, path)
+    gc_unreferenced(spark, path)
+    _failpoint("recovered")
 
-    staging = _staging_dir(path)
     cutoff_date = cutoff.split(" ")[0]
-    for d in os.listdir(path):
-        if d.startswith("p_date=") and d.split("=", 1)[1] < cutoff_date:
-            shutil.rmtree(os.path.join(path, d))
+    parts = sorted({f.split("/", 1)[0].split("=", 1)[1] for f in files})
+    drop = {p for p in parts if p < cutoff_date}
 
-    bdir = os.path.join(path, f"p_date={cutoff_date}")
-    if os.path.isdir(bdir):
-        # rewrite ONLY the straddled partition: filter into a fresh
-        # directory, then swap — later partitions are never opened
-        tmp = os.path.join(staging, "boundary")
+    staging = _staging_dir(spark, path)
+    staged: dict[str, str] = {}
+    if cutoff_date in parts:
+        # rewrite ONLY the straddled partition: filter into staging — later
+        # partitions are never opened
+        sdir = posixpath.join(staging, f"p_date={cutoff_date}")
         (
-            spark.read.parquet(bdir)
+            spark.read.parquet(*_partition_files(path, files, cutoff_date))
             .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
-            .write.parquet(tmp)
+            .write.parquet(sdir)
         )
-        shutil.rmtree(bdir)
-        shutil.move(tmp, bdir)
-    shutil.rmtree(staging, ignore_errors=True)
+        staged[cutoff_date] = sdir
+    _failpoint("staged")
+
+    _commit_service_pass(spark, path, version, files, staged, drop, _failpoint)
 
 
-def compact_partitions(spark: SparkSession, path: str, max_files: int = 4) -> list[str]:
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 4,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    _failpoint: Failpoint = _NOOP,
+) -> list[str]:
     """Small-file compaction over the date-partitioned sink (the OPTIMIZE
     analog): every partition holding more than ``max_files`` parquet files
-    is rewritten as ONE file sorted by (channel_id, id); partitions at or
-    under the threshold are left byte-for-byte untouched.  Returns the list
-    of compacted partition values.
+    is rewritten as ceil(partition_bytes / target_file_bytes) files
+    range-partitioned and sorted on (channel_id, id); partitions at or under
+    the threshold are left byte-for-byte untouched.  Returns the compacted
+    partition values.
 
     Streaming appends fragment the sink (one file per micro-batch per
     partition); scan cost then pays per-file open/footer overhead and loses
-    row-group channel locality.  At 100 TB this runs as a background table
-    service per recent partition; old partitions compact once and never
-    again — which is why the threshold check matters (idempotent, touches
-    only fragmented partitions).  Rewrites stage outside the table root
-    (see _staging_dir); a crash before a partition's swap leaves its source
-    intact and still-fragmented, so the next run redoes exactly that
-    partition."""
-    import os
-    import shutil
+    row-group channel locality.  The size target matters at 100 TB: a hot
+    day-partition is multi-TB, and a coalesce(1) rewrite would serialize it
+    into one writer task and one unsplittable-in-practice giant file —
+    range-splitting by (channel_id, id) keeps rewrite parallelism AND gives
+    each output file a disjoint channel range (file-level min/max stats
+    prune whole files for per-channel reads).  Partition discovery and the
+    swap go through the Hadoop FS API, so the service runs unchanged against
+    HDFS/S3A.  Idempotent and crash-safe per the module protocol."""
     from concurrent.futures import ThreadPoolExecutor
 
-    staging = _staging_dir(path)
-    todo = []
-    for d in sorted(os.listdir(path)):
-        if not d.startswith("p_date="):
-            continue
-        pdir = os.path.join(path, d)
-        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-        if len(files) > max_files:
-            todo.append((d, pdir))
+    version, files = snapshot_manifest(spark, path)
+    gc_unreferenced(spark, path)
+    _failpoint("recovered")
+
+    sizes = list_partitions(spark, path)
+    todo = sorted(p for p, fl in sizes.items() if len(fl) > max_files)
+
+    staging = _staging_dir(spark, path)
 
     # each rewrite stages into its own directory, so the per-partition jobs
     # are independent — run them as concurrent Spark jobs (a sequential loop
     # pays one job-submission latency per partition)
-    def rewrite(item: tuple[str, str]) -> str:
-        d, pdir = item
-        tmp = os.path.join(staging, d)
+    def rewrite(p: str) -> tuple[str, str]:
+        sdir = posixpath.join(staging, f"p_date={p}")
+        nbytes = sum(sizes[p].values())
+        nfiles = max(1, -(-nbytes // target_file_bytes))
         (
-            spark.read.parquet(pdir)
-            .sort("channel_id", "id")
-            .coalesce(1)
-            .write.parquet(tmp)
+            spark.read.parquet(*_partition_files(path, files, p))
+            .repartitionByRange(nfiles, "channel_id", "id")
+            .sortWithinPartitions("channel_id", "id")
+            .write.parquet(sdir)
         )
-        shutil.rmtree(pdir)
-        shutil.move(tmp, pdir)
-        return d.split("=", 1)[1]
+        return p, sdir
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        done = list(pool.map(rewrite, todo))
-    shutil.rmtree(staging, ignore_errors=True)
-    return done
+        staged = dict(pool.map(rewrite, todo))
+    _failpoint("staged")
+
+    _commit_service_pass(spark, path, version, files, staged, set(), _failpoint)
+    return todo
+
+
+def decimal_cast_projection(df: DataFrame) -> DataFrame:
+    """The JDBC-boundary projection: ``value`` double -> decimal(25,6), the
+    reference's column type (/root/reference/db_model.py:54).  Factored out
+    of write_channel_data_jdbc so the cast semantics (round-half-even at 6
+    fractional digits, 19 integer digits of headroom) are testable without a
+    database — inside the engine values stay double (see DIVERGENCES.md);
+    this cast happens only at the external-sink boundary."""
+    return df.withColumn("value", F.col("value").cast("decimal(25,6)"))
 
 
 def write_channel_data_jdbc(
@@ -153,15 +413,16 @@ def write_channel_data_jdbc(
     """The reference's actual sink: a SQL database over JDBC
     (/root/reference/db_model.py:65-67 builds a MySQL URL; one INSERT+COMMIT
     per row, daq-3i.py:274-281).  Here: executor-parallel batched writes,
-    and the decimal(25,6) cast (db_model.py:54) happens at THIS boundary —
-    inside the engine values stay double (see DIVERGENCES.md).
+    with the decimal(25,6) cast applied at this boundary via
+    :func:`decimal_cast_projection`.
 
     No database runs in the test environment, so this is exercised only by
     callers with a live JDBC URL (e.g. ``jdbc:mysql://host/db``); the parquet
-    sink (streaming/pipeline.py) is the tested path.
+    sink (streaming/pipeline.py) is the tested path, and the cast projection
+    is oracled separately (tests/test_streaming.py).
     """
     (
-        df.withColumn("value", F.col("value").cast("decimal(25,6)"))
+        decimal_cast_projection(df)
         .write.mode(mode)
         .option("batchsize", str(batchsize))
         .jdbc(url, table)

@@ -1,0 +1,210 @@
+"""Crash-safety of the sink table services (retention, compaction).
+
+The services follow the versioned-manifest protocol in sources/sink.py: a
+kill at ANY protocol stage must leave the manifest-pinned reader seeing
+either the old table version or the new one in full — never a mix, never a
+lost row.  These tests inject a failpoint at each stage boundary, "crash"
+the pass there, and assert the reader invariant plus convergence of the
+re-run (the recovery that a real service daemon gets by just running again).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import pytest
+from pyspark.sql import functions as F
+
+from daq_3i_spark.sources.daq_dims import channel_data_df
+from daq_3i_spark.sources.sink import (
+    apply_time_retention,
+    compact_partitions,
+    decimal_cast_projection,
+    gc_unreferenced,
+    latest_manifest,
+    list_partitions,
+    read_channel_data_versioned,
+    snapshot_manifest,
+    write_channel_data_partitioned,
+)
+
+CUTOFF = "2024-01-21 12:00:00"
+STAGES = ["recovered", "staged", "published", "committed"]
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _kill_at(stage: str):
+    def fp(s: str) -> None:
+        if s == stage:
+            raise _Boom(stage)
+
+    return fp
+
+
+def _rows(df):
+    return sorted(
+        (r["id"], r["channel_id"], r["ts"], r["value"])
+        for r in df.select("id", "channel_id", "ts", "value").collect()
+    )
+
+
+def _build_fragmented(spark, sf_dir, path: str) -> None:
+    cd = channel_data_df(spark, sf_dir).withColumn("p_date", F.to_date("ts"))
+    split = F.lit("2024-01-16").cast("date")
+    (
+        cd.filter(F.col("p_date") < split)
+        .repartition(F.col("p_date"))
+        .write.partitionBy("p_date")
+        .parquet(path)
+    )
+    for k in range(6):
+        (
+            cd.filter((F.col("p_date") >= split) & (F.pmod(F.col("id"), F.lit(6)) == k))
+            .repartition(F.col("p_date"))
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(path)
+        )
+
+
+@pytest.mark.parametrize("stage", STAGES)
+def test_kill_mid_compaction_reader_sees_old_or_new_never_mix(
+    spark, sf_dir, tmp_path, stage
+):
+    path = str(tmp_path / "sink")
+    _build_fragmented(spark, sf_dir, path)
+    expect = _rows(spark.read.parquet(path))
+
+    with pytest.raises(_Boom):
+        compact_partitions(spark, path, max_files=4, _failpoint=_kill_at(stage))
+
+    # the manifest-pinned reader: exact content regardless of kill point —
+    # compaction is content-neutral, so ANY duplicate (mixed old+new files)
+    # or loss would break multiset equality
+    assert _rows(read_channel_data_versioned(spark, path)) == expect
+    version, files = latest_manifest(spark, path)
+    assert version == (2 if stage == "committed" else 1)
+
+    # re-running the service converges: fragmented partitions compact,
+    # content still exact, and the directory holds exactly the manifest's
+    # files (recovery swept every orphan)
+    done = compact_partitions(spark, path, max_files=4)
+    assert _rows(read_channel_data_versioned(spark, path)) == expect
+    assert _rows(spark.read.parquet(path)) == expect
+    _, files = latest_manifest(spark, path)
+    on_disk = {
+        f"p_date={p}/{f}" for p, fl in list_partitions(spark, path).items() for f in fl
+    }
+    assert on_disk == set(files)
+    assert all(len(fl) <= 4 for fl in list_partitions(spark, path).values())
+
+
+@pytest.mark.parametrize("stage", STAGES)
+def test_kill_mid_retention_never_loses_surviving_rows(spark, sf_dir, tmp_path, stage):
+    """The round-6 advisor scenario: a crash between deleting the straddled
+    partition and moving its replacement in used to lose the partition's
+    surviving rows permanently.  Under the manifest protocol no source file
+    is deleted before the commit, so every kill point keeps either the full
+    old table (pre-commit) or the exact retention result (post-commit)."""
+    path = str(tmp_path / "sink")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    full = _rows(spark.read.parquet(path))
+    kept = [r for r in full if str(r[2]) >= CUTOFF]
+    assert 0 < len(kept) < len(full)
+
+    with pytest.raises(_Boom):
+        apply_time_retention(spark, path, CUTOFF, _failpoint=_kill_at(stage))
+
+    got = _rows(read_channel_data_versioned(spark, path))
+    assert got == (kept if stage == "committed" else full)
+
+    apply_time_retention(spark, path, CUTOFF)
+    assert _rows(read_channel_data_versioned(spark, path)) == kept
+    assert _rows(spark.read.parquet(path)) == kept
+
+
+def test_recovery_sweeps_orphans_so_directory_matches_manifest(
+    spark, sf_dir, tmp_path
+):
+    """After a kill at 'published' the table directory holds BOTH the old
+    files and the new ones (a plain directory read would double-count); the
+    next pass's recovery step must sweep the unreferenced orphans before
+    doing anything else."""
+    path = str(tmp_path / "sink")
+    _build_fragmented(spark, sf_dir, path)
+    n_manifest_files = len(snapshot_manifest(spark, path)[1])
+
+    with pytest.raises(_Boom):
+        compact_partitions(spark, path, max_files=4, _failpoint=_kill_at("published"))
+
+    on_disk = {
+        f"p_date={p}/{f}" for p, fl in list_partitions(spark, path).items() for f in fl
+    }
+    _, files = latest_manifest(spark, path)
+    assert len(on_disk) > len(files), "kill at publish must leave orphans"
+
+    removed = gc_unreferenced(spark, path)
+    assert removed and len(removed) == len(on_disk) - len(files)
+    on_disk = {
+        f"p_date={p}/{f}" for p, fl in list_partitions(spark, path).items() for f in fl
+    }
+    assert on_disk == set(files) and len(files) == n_manifest_files
+
+
+def test_compaction_size_target_splits_hot_partitions(spark, sf_dir, tmp_path):
+    """With a byte-size target instead of coalesce(1), a 'hot' partition
+    rewrites into ceil(bytes/target) range-sorted files — parallel rewrite,
+    and each output file covers a disjoint (channel_id, id) range so
+    file-level min/max stats prune per-channel scans."""
+    path = str(tmp_path / "sink")
+    _build_fragmented(spark, sf_dir, path)
+    before = list_partitions(spark, path)
+    frag = {p for p, fl in before.items() if len(fl) > 4}
+    expect = _rows(spark.read.parquet(path))
+
+    done = compact_partitions(spark, path, max_files=4, target_file_bytes=8 * 1024)
+    assert set(done) == frag and frag
+    after = list_partitions(spark, path)
+    assert any(len(after[p]) > 1 for p in frag), "size target must split output"
+    for p in frag:
+        nbytes = sum(before[p].values())
+        assert len(after[p]) <= max(1, -(-nbytes // (8 * 1024)))
+    assert _rows(spark.read.parquet(path)) == expect
+
+    # disjoint channel ranges across a split partition's files
+    p = max(frag, key=lambda p: len(after[p]))
+    if len(after[p]) > 1:
+        spans = []
+        for f in sorted(after[p]):
+            stats = spark.read.parquet(posixpath.join(path, f"p_date={p}", f)).agg(
+                F.min("channel_id"), F.max("channel_id"), F.count("*")
+            ).collect()[0]
+            spans.append((stats[0], stats[1], f))
+        spans.sort()
+        for (lo1, hi1, f1), (lo2, hi2, f2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping channel ranges: {f1} vs {f2}"
+
+
+def test_decimal_cast_projection_boundary(spark):
+    """The JDBC boundary cast (decimal(25,6), reference db_model.py:54),
+    oracled against DuckDB: same rounding (half-even at 6 fractional
+    digits), same stringified values — covering the cast semantics that the
+    JDBC writer applies, without needing a database."""
+    import duckdb
+
+    vals = [0.1234565, 0.1234575, -1.9999995, 123456789.000001, 0.0, -0.5e-6]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, value double")
+    got = {
+        r["id"]: str(r["value"])
+        for r in decimal_cast_projection(df).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: str(con.execute("SELECT CAST(? AS DECIMAL(25,6))", [v]).fetchone()[0])
+        for i, v in enumerate(vals)
+    }
+    con.close()
+    assert got == {i: want[i] for i in got}
