@@ -208,11 +208,15 @@ def gc_unreferenced(spark: SparkSession, path: str) -> list[str]:
     removed: list[str] = []
     for p, fl in list_partitions(spark, path).items():
         pdir = f"p_date={p}"
+        touched = False
         for fname in fl:
             rel = f"{pdir}/{fname}"
             if rel not in keep:
                 fs.delete(_jpath(jvm, path, rel), False)
                 removed.append(rel)
+                touched = True
+        if not touched:
+            continue
         # drop the directory once no visible data files remain (checksum
         # droppings and other hidden files don't keep a partition alive)
         left = [
@@ -377,12 +381,14 @@ def compact_partitions(
         sdir = posixpath.join(staging, f"p_date={p}")
         nbytes = sum(sizes[p].values())
         nfiles = max(1, -(-nbytes // target_file_bytes))
-        (
-            spark.read.parquet(*_partition_files(path, files, p))
-            .repartitionByRange(nfiles, "channel_id", "id")
-            .sortWithinPartitions("channel_id", "id")
-            .write.parquet(sdir)
-        )
+        src = spark.read.parquet(*_partition_files(path, files, p))
+        if nfiles == 1:
+            # shuffle-free path for the common case: range-partitioning into
+            # one file would still pay the RangePartitioner sampling job
+            out = src.coalesce(1)
+        else:
+            out = src.repartitionByRange(nfiles, "channel_id", "id")
+        out.sortWithinPartitions("channel_id", "id").write.parquet(sdir)
         return p, sdir
 
     with ThreadPoolExecutor(max_workers=8) as pool:
