@@ -762,3 +762,80 @@ def op_anomaly_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.99)
         .select("id", "channel_id", "ts", "value", "pr")
     )
+
+
+#: value-bucket width for the bucketed anomaly twin (values span 0..~560,
+#: so ~112 buckets/channel — the histogram stays parameter-sized)
+_ANOMB_W = 5.0
+
+
+@register(
+    "op_anomaly_rank_bucketed",
+    f"""WITH {_D},
+    r AS (
+      SELECT id, channel_id, ts, value,
+             percent_rank() OVER (PARTITION BY channel_id
+                                  ORDER BY value, id) AS pr
+      FROM channel_data
+    )
+    SELECT id, channel_id, ts, value, pr FROM r WHERE pr >= 0.99""",
+    doc="hot-key-safe twin of op_anomaly_rank, SAME oracle (the global "
+    "percent_rank window) — the proof that histogram-pruned two-pass rank "
+    "== one unbounded per-channel window, bit for bit.  op_anomaly_rank's "
+    "window is one task per channel (a straggler if one channel holds half "
+    "the table); here pass 1 is a map-side-combinable per-(channel, value-"
+    "bucket) histogram (tiny: channels x ~112 buckets), pass 2 broadcasts "
+    "the qualifying buckets (integer cum-count prefilter at a safety margin "
+    "below the 0.99 threshold, pruning ~99% of rows BEFORE any window), and "
+    "the exact rank is reconstructed as bucket-cumulative-base + row_number "
+    "over the (channel, bucket) partition — task size bounded by one value "
+    "bucket of one channel regardless of how hot the channel is.  pr is the "
+    "same (rank-1)/(n-1) double division percent_rank computes, so the "
+    "final >= 0.99 comparison is bit-identical to the oracle's",
+)
+def op_anomaly_rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_rank_bucketed(_cd(spark, sf_dir))
+
+
+def anomaly_rank_bucketed(cd: DataFrame) -> DataFrame:
+    """The histogram-pruned exact-rank kernel (see the op doc); factored so
+    the hot-channel skew test can drive it on an adversarial fixture."""
+    b = F.floor(F.col("value") / F.lit(_ANOMB_W)).cast("long")
+    hist = cd.groupBy("channel_id", b.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("channel_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.select(
+        "channel_id",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum_end"),
+        F.sum("cnt").over(Window.partitionBy("channel_id")).alias("n"),
+    ).withColumn("cum_before", F.col("cum_end") - F.col("cnt"))
+    # conservative integer prefilter: a bucket whose LAST rank stays below
+    # the 0.989 line cannot contain a pr >= 0.99 row (0.99 as a double is
+    # fractionally below 99/100, so the margin absorbs the float rounding);
+    # exact small-integer arithmetic, no float compare here
+    kept = hist.filter(
+        F.lit(1000) * F.col("cum_end") >= F.lit(989) * (F.col("n") - F.lit(1))
+    )
+    sliced = cd.withColumn("bucket", b).join(
+        F.broadcast(kept.select("channel_id", "bucket", "cum_before", "n")),
+        ["channel_id", "bucket"],
+    )
+    wb = Window.partitionBy("channel_id", "bucket").orderBy("value", "id")
+    pr = F.when(
+        F.col("n") > 1,
+        (F.col("rk") - F.lit(1)).cast("double")
+        / (F.col("n") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        sliced.withColumn("rk", F.col("cum_before") + F.row_number().over(wb))
+        .withColumn("pr", pr)
+        .filter(F.col("pr") >= 0.99)
+        .select("id", "channel_id", "ts", "value", "pr")
+    )

@@ -297,3 +297,57 @@ def test_ivfpq_candidates_respect_probed_cells(spark, sf_dir):
         lst.sort()
         dists = [t[1] for t in lst]
         assert dists == sorted(dists)
+
+
+def test_anomaly_rank_bucketed_hot_channel_skew(spark):
+    """The 100 TB skew proof for op_anomaly_rank_bucketed: on a fixture where
+    ONE channel holds ~50% of all rows, the bucketed twin must (a) match the
+    global percent_rank window row-for-row including the pr doubles, and
+    (b) keep every window-partition (channel, value-bucket) bounded far
+    below the hot channel's row count — the structural property that turns
+    the one-task-per-channel straggler into uniform bucket-sized tasks."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from daq_3i_spark.plans.reference_ops import _ANOMB_W, anomaly_rank_bucketed
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    rid = 0
+    for ch, n in [(1, 20000)] + [(c, 500) for c in range(2, 10)]:
+        for i in range(n):
+            rows.append(
+                (rid, ch, base + datetime.timedelta(seconds=rid), (rid * 37 % 5600) / 10.0)
+            )
+            rid += 1
+    cd = spark.createDataFrame(
+        rows, "id long, channel_id int, ts timestamp, value double"
+    ).repartition(8)
+    total = len(rows)
+    hot = 20000
+
+    got = sorted(
+        (r["id"], r["pr"]) for r in anomaly_rank_bucketed(cd).collect()
+    )
+    w = Window.partitionBy("channel_id").orderBy("value", "id")
+    want = sorted(
+        (r["id"], r["pr"])
+        for r in cd.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.99)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # structural boundedness: the largest (channel, bucket) window partition
+    # is a tiny fraction of the hot channel
+    bucket = F.floor(F.col("value") / F.lit(_ANOMB_W)).cast("long")
+    max_bucket = (
+        cd.groupBy("channel_id", bucket.alias("b")).count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket * 20 < hot, f"bucket partitions not bounded: {max_bucket}"
+
+    # the integer prefilter actually prunes: ~1% of rows reach the window
+    flagged_superset_frac = len(got) / total
+    assert flagged_superset_frac < 0.05
