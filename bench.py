@@ -88,6 +88,7 @@ HEADLINE = [
     "op_timeseries_interpolate_multiday",
     "op_stream_anomaly_sketch",
     "op_sink_compaction",
+    "op_anomaly_rank_bucketed",
 ]
 
 

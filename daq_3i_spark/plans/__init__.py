@@ -14,44 +14,43 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get
 # every registry entry oracle-verified across rounds, the checked window is
-# rotated each round.  Round 6 window: (1) ops new or semantically touched
-# this round — the newly-oracled approx-sketch op (within-bound boolean
-# surface), the stale monitor, PQ rerank, time retention, the bucketed
-# gap-fill twins, the gap-fill pair whose window ordering gained the id
-# tie-break, the Q20 analog whose LIKE underscore got escaped, and the two
-# substring-dedup ops whose oracle series bound became corpus-derived;
-# (2) ops NEVER drawn by any driver window (the three r5 "local" rows plus
-# everything past position 50 of the r5 priority list); (3) oldest-checked
-# (r1) reference/extension ops to re-verify under five rounds of drift.
+# rotated each round.  Round 7 window (VERDICT r6 "Next round" #1 — the
+# canonical record lags the code for ops last checked in r1/r3/r4):
+# (1) ops new or semantically touched this round — the bucketed anomaly
+# twin, and the two sink services rewritten onto the versioned-manifest
+# protocol; (2) the three leads the verdict names: op_text_repetition
+# (rewritten r6, last checked r4) and decode/convert (r4); (3) all 24 ops
+# whose latest check is round 1; (4) all 17 ops whose latest check is
+# round 3; (5) three more r4-checked ops.  Still r4-checked after this
+# round (rotate in r8): op_sink_partitioned_scan, op_multimodal_frames,
+# op_text_langid_ngram, op_sim_kmeans_assign, op_sim_ivf_trained_topk,
+# op_sql_q4_priority, op_sql_unpivot.
 # Every registry entry is oracled (tools/check_counts.py pins the doc
 # counts) and passes the exact-compare local gate (tools/verify_contract.py)
 # before this ordering.
 _CHECK_PRIORITY = [
     # -- (1) new or touched this round ---------------------------------------
-    "op_sql_approx_sketches", "op_stream_stale_monitor",
-    "op_sim_pq_rerank_topk", "op_dedup_semantic", "op_sink_retention_time",
-    "op_timeseries_interpolate_bucketed", "op_timeseries_locf_bucketed",
-    "op_timeseries_interpolate_multiday", "op_timeseries_locf_multiday",
-    "op_timeseries_interpolate", "op_timeseries_locf",
-    "op_sql_q20_dominant", "op_dedup_substring", "op_corpus_dedup_sample",
-    "op_stream_anomaly_sketch", "op_sink_compaction",
-    # -- (2) never driver-checked --------------------------------------------
-    "op_dedup_minhash_capped", "op_sql_kmv_sketch",
-    "op_sql_histogram_quantile", "op_sql_q17_smallqty",
-    "op_session_window_batch", "op_dedup_exact", "op_corpus_clean_pipeline",
-    "op_pack_sequences", "op_corpus_training_shards",
-    "op_stream_corpus_ingest", "op_contamination_check",
-    "op_stream_pipeline", "flagship_pipeline", "op_graceful_stop",
-    "op_stream_latest_per_channel", "op_text_scrub", "op_dedup_minhash",
-    "op_multimodal_resize",
-    # -- (3) oldest-checked (r1), re-verify under current code ---------------
-    "op_scan_config_buses", "op_scan_config_channels",
-    "op_source_modbus_poll", "op_scan_channel_data",
-    "op_sink_append_channel_data", "op_sink_upsert_status",
-    "op_sink_delete_retention", "op_filter_enabled", "op_filter_due",
-    "op_join_channels_buses", "op_join_channels_conversions",
-    "op_join_data_channels", "op_count_per_channel", "op_latest_per_channel",
-    "op_oldest_n_per_channel", "op_retention_topk",
+    "op_anomaly_rank_bucketed", "op_sink_compaction", "op_sink_retention_time",
+    # -- (2) verdict leads: code moved after their last driver check ---------
+    "op_text_repetition", "op_decode_registers", "op_convert_expr",
+    # -- (3) latest check is round 1 -----------------------------------------
+    "op_sink_truncate_status", "op_filter_dirty", "op_project_columns",
+    "op_filter_status_key", "op_join_enrich_stream", "op_sign_extend",
+    "op_sched_tick", "op_heartbeat", "op_status_per_channel",
+    "op_error_handling", "op_join_salted", "op_dedup_simhash",
+    "op_dedup_ngram_jaccard", "op_dedup_embedding", "op_sim_topk",
+    "op_sim_lsh_topk", "op_text_stats", "op_text_tokens", "op_text_langid",
+    "op_text_quality", "op_multimodal_pack", "op_asof_join", "op_range_join",
+    "op_text_chunk",
+    # -- (4) latest check is round 3 -----------------------------------------
+    "op_text_fingerprint", "op_sql_semi_anti", "op_sql_setops",
+    "op_sql_window_rank", "op_sql_pivot", "op_sql_distinct_agg",
+    "op_sql_q13_distribution", "op_sql_exists", "op_sql_notin_countdistinct",
+    "op_text_vocab", "op_sample_stratified", "op_embed_quantize",
+    "op_text_bigrams", "op_sim_ivf_topk", "op_sql_quantiles",
+    "op_source_csv_roundtrip", "op_source_json_roundtrip",
+    # -- (5) round-4 cohort (continued in r8) --------------------------------
+    "op_sim_range_search", "op_stream_stream_join", "op_stream_dedup_keys",
 ]
 
 

@@ -12,3 +12,45 @@ def test_doc_counts_match_registry():
 
     errors = check_counts.check()
     assert not errors, "\n".join(errors)
+
+
+def test_scaling_guard_fails_on_super_linear_regression():
+    """The sf1 scaling gate must actually gate: a synthetic super-linear
+    ratio (x12 on 10x data) and a vs-baseline regression both fail, a clean
+    run passes, and a measurement silently dropped from the run fails."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_guard",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "scaling_guard.py"),
+    )
+    sg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sg)
+
+    baseline = {
+        "op_a": {"sf0.1": 1.0, "sf1": 2.0, "ratio": 2.0},
+        "op_b": {"sf0.1": 1.0, "sf1": 4.0, "ratio": 4.0},
+    }
+    clean = {
+        "op_a": {"sf0.1": 1.0, "sf1": 2.2, "ratio": 2.2},
+        "op_b": {"sf0.1": 1.0, "sf1": 3.5, "ratio": 3.5},
+    }
+    fails, notes = sg.check(baseline, clean)
+    assert fails == [] and notes == []
+
+    super_linear = dict(clean, op_b={"sf0.1": 1.0, "sf1": 12.0, "ratio": 12.0})
+    fails, _ = sg.check(baseline, super_linear)
+    assert len(fails) == 1 and "super-linear" in fails[0]
+
+    regressed = dict(clean, op_a={"sf0.1": 1.0, "sf1": 9.0, "ratio": 9.0})
+    fails, _ = sg.check(baseline, regressed)
+    assert len(fails) == 1 and "regressed" in fails[0]
+
+    dropped = {"op_a": clean["op_a"]}
+    fails, _ = sg.check(baseline, dropped)
+    assert len(fails) == 1 and "missing" in fails[0]
+
+    new_op = dict(clean, op_c={"sf0.1": 1.0, "sf1": 3.0, "ratio": 3.0})
+    fails, notes = sg.check(baseline, new_op)
+    assert fails == [] and len(notes) == 1 and "no pinned baseline" in notes[0]

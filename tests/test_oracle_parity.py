@@ -22,9 +22,11 @@ def test_oracle_parity(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    q = QUERIES[name]
-    df = q.spark(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
+def test_every_registry_entry_is_oracled():
+    """Since round 6 the registry carries ZERO rows-only entries — every op
+    has a DuckDB oracle and goes through the hash gate above.  This pin
+    replaces the old parametrized rows-only runner, which auto-skipped with
+    an empty parameter set once the list emptied (the unexplained '1
+    skipped' in the r6 suite); if an un-oracled op ever reappears, this
+    fails loudly instead."""
+    assert ROWS_ONLY == [], f"un-oracled registry entries: {ROWS_ONLY}"
