@@ -124,18 +124,27 @@ def list_partitions(spark: SparkSession, path: str) -> dict[str, dict[str, int]]
 # --- versioned manifests -----------------------------------------------------
 
 
-def latest_manifest(spark: SparkSession, path: str) -> tuple[int, list[str]] | None:
+def latest_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[int, list[str]] | None:
     """(version, sorted relative data-file paths) of the newest committed
-    manifest, or None for a table no service has touched yet."""
+    manifest — or of exactly ``version`` when given (time travel; raises if
+    that version was never committed).  None for a table no service has
+    touched yet."""
     fs, jvm = _fs(spark, path)
     best = None
     for st in _ls(fs, jvm, path, _MANIFEST_DIR):
         name = st.getPath().getName()
         if name.startswith("v") and name.endswith(".json"):
             v = int(name[1:-5])
-            if best is None or v > best[0]:
+            if version is not None:
+                if v == version:
+                    best = (v, st.getPath())
+            elif best is None or v > best[0]:
                 best = (v, st.getPath())
     if best is None:
+        if version is not None:
+            raise ValueError(f"no committed manifest v{version} under {path}")
         return None
     stream = fs.open(best[1])
     try:
@@ -178,11 +187,16 @@ def snapshot_manifest(spark: SparkSession, path: str) -> tuple[int, list[str]]:
     return 1, files
 
 
-def read_channel_data_versioned(spark: SparkSession, path: str) -> DataFrame:
-    """Manifest-pinned read: loads EXACTLY the latest committed version's
-    files (basePath keeps the p_date partition column).  This is the reader
-    that never observes a half-applied service pass."""
-    m = latest_manifest(spark, path)
+def read_channel_data_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Manifest-pinned read: loads EXACTLY the requested committed version's
+    files — latest by default, any still-retained older version for time
+    travel (service passes only GC files the NEWEST manifest dropped, so
+    the previous version stays readable until the next pass).  basePath
+    keeps the p_date partition column.  This is the reader that never
+    observes a half-applied service pass."""
+    m = latest_manifest(spark, path, version)
     if m is None:
         return read_channel_data_partitioned(spark, path)
     _, files = m
@@ -194,16 +208,33 @@ def read_channel_data_versioned(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def gc_unreferenced(spark: SparkSession, path: str) -> list[str]:
-    """Delete data files not referenced by the latest manifest (plus any
-    partition directory left with no data files).  Run at the START of a
-    service pass (recovering a crashed predecessor's orphans so directory
-    reads match the manifest again) and at the END (dropping the files the
-    new version replaced).  No manifest -> no-op.  Returns removed paths."""
-    m = latest_manifest(spark, path)
-    if m is None:
+def gc_unreferenced(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> list[str]:
+    """Delete data files not referenced by any of the newest
+    ``keep_versions`` manifests (plus any partition directory left with no
+    data files).  Run at the START of a service pass (recovering a crashed
+    predecessor's orphans) and at the END (dropping the files the new
+    version replaced).  With keep_versions > 1 the previous versions stay
+    fully readable through read_channel_data_versioned(version=...) — time
+    travel at the cost of retained storage; note plain directory reads
+    then see multiple versions' files and must go through the manifest
+    reader.  No manifest -> no-op.  Returns removed paths."""
+    fs0, jvm0 = _fs(spark, path)
+    versions = sorted(
+        (
+            int(st.getPath().getName()[1:-5])
+            for st in _ls(fs0, jvm0, path, _MANIFEST_DIR)
+            if st.getPath().getName().startswith("v")
+            and st.getPath().getName().endswith(".json")
+        ),
+        reverse=True,
+    )
+    if not versions:
         return []
-    keep = set(m[1])
+    keep: set[str] = set()
+    for v in versions[: max(1, keep_versions)]:
+        keep.update(latest_manifest(spark, path, v)[1])
     fs, jvm = _fs(spark, path)
     removed: list[str] = []
     for p, fl in list_partitions(spark, path).items():
@@ -255,6 +286,7 @@ def _commit_service_pass(
     staged: dict[str, str],
     drop: set[str],
     failpoint: Failpoint,
+    keep_versions: int = 1,
 ) -> None:
     """Publish a service pass: rename each staged partition's new files into
     the live table, commit manifest ``version+1`` (old files minus replaced/
@@ -283,7 +315,7 @@ def _commit_service_pass(
     commit_manifest(spark, path, version + 1, survivors + new_files)
     failpoint("committed")
 
-    gc_unreferenced(spark, path)
+    gc_unreferenced(spark, path, keep_versions)
     sp = _jpath(jvm, path.rstrip("/") + ".staging")
     if fs.exists(sp):
         fs.delete(sp, True)
@@ -303,6 +335,7 @@ def apply_time_retention(
     spark: SparkSession,
     path: str,
     cutoff: str,
+    keep_versions: int = 1,
     _failpoint: Failpoint = _NOOP,
 ) -> None:
     """DELETE WHERE ts < cutoff over the date-partitioned sink, with
@@ -315,7 +348,7 @@ def apply_time_retention(
     Crash-safe per the module protocol: sources outlive their replacements
     until the manifest commit."""
     version, files = snapshot_manifest(spark, path)
-    gc_unreferenced(spark, path)
+    gc_unreferenced(spark, path, keep_versions)
     _failpoint("recovered")
 
     cutoff_date = cutoff.split(" ")[0]
@@ -336,7 +369,9 @@ def apply_time_retention(
         staged[cutoff_date] = sdir
     _failpoint("staged")
 
-    _commit_service_pass(spark, path, version, files, staged, drop, _failpoint)
+    _commit_service_pass(
+        spark, path, version, files, staged, drop, _failpoint, keep_versions
+    )
 
 
 def compact_partitions(
@@ -344,6 +379,7 @@ def compact_partitions(
     path: str,
     max_files: int = 4,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    keep_versions: int = 1,
     _failpoint: Failpoint = _NOOP,
 ) -> list[str]:
     """Small-file compaction over the date-partitioned sink (the OPTIMIZE
@@ -366,7 +402,7 @@ def compact_partitions(
     from concurrent.futures import ThreadPoolExecutor
 
     version, files = snapshot_manifest(spark, path)
-    gc_unreferenced(spark, path)
+    gc_unreferenced(spark, path, keep_versions)
     _failpoint("recovered")
 
     sizes = list_partitions(spark, path)
@@ -395,7 +431,9 @@ def compact_partitions(
         staged = dict(pool.map(rewrite, todo))
     _failpoint("staged")
 
-    _commit_service_pass(spark, path, version, files, staged, set(), _failpoint)
+    _commit_service_pass(
+        spark, path, version, files, staged, set(), _failpoint, keep_versions
+    )
     return todo
 
 

@@ -208,3 +208,27 @@ def test_decimal_cast_projection_boundary(spark):
     }
     con.close()
     assert got == {i: want[i] for i in got}
+
+
+def test_time_travel_with_retained_versions(spark, sf_dir, tmp_path):
+    """With keep_versions=2 a service pass retains the previous version's
+    files: read_channel_data_versioned(version=1) still returns the FULL
+    pre-retention table while the latest version returns the filtered one —
+    and a later default pass (keep_versions=1) garbage-collects v1's
+    exclusive files, after which the latest version is still exact."""
+    path = str(tmp_path / "sink")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    full = _rows(spark.read.parquet(path))
+    kept = [r for r in full if str(r[2]) >= CUTOFF]
+
+    apply_time_retention(spark, path, CUTOFF, keep_versions=2)
+    assert _rows(read_channel_data_versioned(spark, path, version=1)) == full
+    assert _rows(read_channel_data_versioned(spark, path)) == kept
+    with pytest.raises(ValueError):
+        read_channel_data_versioned(spark, path, version=7)
+
+    # a later default pass sweeps v1's exclusive files (nothing fragmented,
+    # so no rewrites — just the GC of the no-longer-retained version)
+    compact_partitions(spark, path, max_files=999)
+    assert _rows(read_channel_data_versioned(spark, path)) == kept
+    assert _rows(spark.read.parquet(path)) == kept

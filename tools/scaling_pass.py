@@ -54,6 +54,7 @@ OPS = [
     "op_timeseries_locf",
     "op_timeseries_locf_bucketed",
     "op_anomaly_rank",
+    "op_anomaly_rank_bucketed",
     "op_sink_retention_time",
     "op_stream_stale_monitor",
     # documents-driven families (documents scale 10x via the per-copy token
