@@ -89,6 +89,7 @@ HEADLINE = [
     "op_stream_anomaly_sketch",
     "op_sink_compaction",
     "op_anomaly_rank_bucketed",
+    "op_sink_time_travel",
 ]
 
 

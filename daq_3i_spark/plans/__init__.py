@@ -24,13 +24,14 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # round 3; (5) three more r4-checked ops.  Still r4-checked after this
 # round (rotate in r8): op_sink_partitioned_scan, op_multimodal_frames,
 # op_text_langid_ngram, op_sim_kmeans_assign, op_sim_ivf_trained_topk,
-# op_sql_q4_priority, op_sql_unpivot.
+# op_sql_q4_priority, op_sql_unpivot, op_stream_dedup_keys.
 # Every registry entry is oracled (tools/check_counts.py pins the doc
 # counts) and passes the exact-compare local gate (tools/verify_contract.py)
 # before this ordering.
 _CHECK_PRIORITY = [
     # -- (1) new or touched this round ---------------------------------------
     "op_anomaly_rank_bucketed", "op_sink_compaction", "op_sink_retention_time",
+    "op_sink_time_travel",
     # -- (2) verdict leads: code moved after their last driver check ---------
     "op_text_repetition", "op_decode_registers", "op_convert_expr",
     # -- (3) latest check is round 1 -----------------------------------------
@@ -50,7 +51,7 @@ _CHECK_PRIORITY = [
     "op_text_bigrams", "op_sim_ivf_topk", "op_sql_quantiles",
     "op_source_csv_roundtrip", "op_source_json_roundtrip",
     # -- (5) round-4 cohort (continued in r8) --------------------------------
-    "op_sim_range_search", "op_stream_stream_join", "op_stream_dedup_keys",
+    "op_sim_range_search", "op_stream_stream_join",
 ]
 
 

@@ -238,6 +238,38 @@ def op_sink_retention_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_sink_time_travel",
+    f"""WITH {_D}
+    SELECT id, channel_id, ts, value FROM channel_data""",
+    doc="snapshot isolation on the versioned sink, hash-proven: channel_data "
+    "lands date-partitioned, a retention pass (DELETE WHERE ts < cutoff) "
+    "runs with keep_versions=2, and the op returns the PRE-retention "
+    "version via read_channel_data_versioned(version=1) — the oracle is "
+    "the FULL table, so any row the service touched in v1's retained "
+    "files is a hash mismatch.  This is the Delta/Iceberg time-travel "
+    "contract reduced to its core (sources/sink.py manifest protocol): "
+    "old versions stay byte-readable until their retention lapses, which "
+    "is what makes reproducible training-data snapshots possible on a "
+    "table that services keep rewriting",
+)
+def op_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import (
+        apply_time_retention,
+        read_channel_data_versioned,
+        write_channel_data_partitioned,
+    )
+
+    work = _workdir("op_sink_time_travel")
+    path = os.path.join(work, "channel_data_part")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    apply_time_retention(spark, path, _RETENTION_CUTOFF, keep_versions=2)
+    return read_channel_data_versioned(spark, path, version=1).select(
+        "id", "channel_id", "ts", "value"
+    )
+
+
+@register(
     "op_stream_due_filter",
     f"""WITH RECURSIVE {_D},
     t AS (
