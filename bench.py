@@ -90,6 +90,8 @@ HEADLINE = [
     "op_sink_compaction",
     "op_anomaly_rank_bucketed",
     "op_sink_time_travel",
+    "op_dedup_incremental",
+    "op_dedup_minhash_incremental",
 ]
 
 

@@ -641,3 +641,126 @@ def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIX_BUDGET)
     )
+
+
+# --- incremental dedup: new batch vs accumulated corpus ----------------------
+#
+# The shape a 100 TB ingest pipeline actually runs: the corpus is already
+# deduped and FINGERPRINTED (a narrow hash / band-signature index table,
+# maintained incrementally); each arriving batch dedups (a) within itself
+# and (b) against the index — history is never re-paired against itself.
+# Here "history" is the even-doc_id half of documents and the "batch" the
+# odd half (a deterministic split both engines compute identically); at
+# scale the history side is the materialized index, so per-batch work is
+# O(batch + matched buckets), independent of corpus size.
+
+
+@register(
+    "op_dedup_incremental",
+    """WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM n WHERE doc_id % 2 = 1),
+    k AS (
+      SELECT min(doc_id) AS doc_id FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+      GROUP BY fp
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN k USING (doc_id)""",
+    doc="incremental EXACT dedup of an arriving batch against the corpus "
+    "fingerprint index: fp = md5(whitespace-normalized lowercased text); "
+    "batch docs drop when their fp exists in history, and within the batch "
+    "only the min doc_id per fp survives (same keep rule as op_dedup_exact)."
+    "  Plan: one map-side fp projection of the batch, a group-by-min for "
+    "in-batch dedup, and an anti-join against the history fp set — all "
+    "shuffles carry 32-byte hashes and longs, never text.  At 100 TB the "
+    "history side is the maintained index table (hash-bucketed so the "
+    "anti-join co-locates); per-batch cost does not grow with corpus size",
+)
+def op_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"[ \t\n\x0b\f\r]+", " "))
+    n = docs.select("doc_id", fp.alias("fp"))
+    hist_fp = n.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select("fp").distinct()
+    batch = n.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    keep = (
+        batch.join(hist_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "op_dedup_minhash_incremental",
+    None,  # oracle assigned below to reuse extension_ops._duck_sig_cte
+    doc="incremental NEAR-dup detection of an arriving batch against the "
+    "corpus band index: the batch's MinHash band hashes join history's "
+    "banded signatures on (band_idx, band_val) — candidate pairs are "
+    "(history doc, batch doc) only, never history x history, and each "
+    "survives the signature-estimated Jaccard >= 0.5 verify exactly as in "
+    "op_dedup_minhash.  At 100 TB the history bands are the maintained "
+    "index (partitioned by band key, so the batch probe co-locates) and "
+    "the per-bucket cap of op_dedup_minhash_capped applies unchanged when "
+    "a batch lands on a viral bucket; per-batch pair work is bounded by "
+    "batch bands x matched-bucket occupancy, independent of corpus size",
+)
+def op_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.plans.extension_ops import _spark_sigs_of
+
+    sigs = _spark_sigs_of(load_spread(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
+    ).localCheckpoint(eager=True)  # one signature-chain run feeds both sides
+    hist = bands.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("h")
+    batch = bands.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).alias("b")
+    return (
+        hist.join(
+            batch,
+            (F.col("h.band_idx") == F.col("b.band_idx"))
+            & (F.col("h.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("h.doc_id").alias("doc_hist"),
+            F.col("b.doc_id").alias("doc_new"),
+            F.col("h.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["doc_hist", "doc_new"])
+        .withColumn("est_sim", F.expr(SPARK.sig_match_frac("sa", "sb")))
+        .filter(F.col("est_sim") >= 0.5)
+        .select("doc_hist", "doc_new", "est_sim")
+    )
+
+
+def _attach_minhash_incremental_oracle() -> None:
+    from daq_3i_spark.plans.extension_ops import _duck_sig_cte
+    from daq_3i_spark.plans.registry import QUERIES
+
+    import dataclasses
+
+    QUERIES["op_dedup_minhash_incremental"] = dataclasses.replace(
+        QUERIES["op_dedup_minhash_incremental"],
+        oracle=f"""WITH {_duck_sig_cte()},
+    pairs AS (
+      SELECT DISTINCT h.doc_id AS doc_hist, b.doc_id AS doc_new,
+             h.sig AS sa, b.sig AS sb
+      FROM bands h JOIN bands b
+        ON h.band_idx = b.band_idx AND h.band_val = b.band_val
+       AND h.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    )
+    SELECT doc_hist, doc_new, {DUCK.sig_match_frac('sa', 'sb')} AS est_sim
+    FROM pairs
+    WHERE {DUCK.sig_match_frac('sa', 'sb')} >= 0.5"""
+    )
+
+
+_attach_minhash_incremental_oracle()

@@ -63,6 +63,8 @@ OPS = [
     "op_dedup_exact",
     "op_dedup_minhash",
     "op_dedup_minhash_capped",
+    "op_dedup_incremental",
+    "op_dedup_minhash_incremental",
     "op_dedup_simhash",
     "op_dedup_ngram_jaccard",
     "op_dedup_ngram_capped",
