@@ -263,6 +263,21 @@ def gc_unreferenced(
 # --- the shared service commit protocol --------------------------------------
 
 
+def _open_service(
+    spark: SparkSession, path: str, keep_versions: int
+) -> tuple[int, list[str], bool]:
+    """Service-pass preamble: latest manifest (bootstrapping v1 for a table
+    no service has touched) plus the orphan-recovery GC.  A just-bootstrapped
+    manifest IS the directory layout, so the recovery listing is skipped —
+    one less metadata pass on the common fresh-table path."""
+    m = latest_manifest(spark, path)
+    if m is None:
+        version, files = snapshot_manifest(spark, path)
+        return version, files, True
+    gc_unreferenced(spark, path, keep_versions)
+    return m[0], m[1], False
+
+
 def _staging_dir(spark: SparkSession, path: str) -> str:
     """Per-table staging area for partition rewrites, OUTSIDE the table root:
     a crash mid-rewrite must never leave a half-written directory where
@@ -347,8 +362,7 @@ def apply_time_retention(
     only ~one day of data is ever rewritten regardless of table size.
     Crash-safe per the module protocol: sources outlive their replacements
     until the manifest commit."""
-    version, files = snapshot_manifest(spark, path)
-    gc_unreferenced(spark, path, keep_versions)
+    version, files, fresh = _open_service(spark, path, keep_versions)
     _failpoint("recovered")
 
     cutoff_date = cutoff.split(" ")[0]
@@ -401,8 +415,7 @@ def compact_partitions(
     HDFS/S3A.  Idempotent and crash-safe per the module protocol."""
     from concurrent.futures import ThreadPoolExecutor
 
-    version, files = snapshot_manifest(spark, path)
-    gc_unreferenced(spark, path, keep_versions)
+    version, files, fresh = _open_service(spark, path, keep_versions)
     _failpoint("recovered")
 
     sizes = list_partitions(spark, path)
