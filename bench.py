@@ -92,6 +92,7 @@ HEADLINE = [
     "op_sink_time_travel",
     "op_dedup_incremental",
     "op_dedup_minhash_incremental",
+    "op_stream_dedup_ingest",
 ]
 
 

@@ -764,3 +764,150 @@ def _attach_minhash_incremental_oracle() -> None:
 
 
 _attach_minhash_incremental_oracle()
+
+
+@register(
+    "op_stream_dedup_ingest",
+    None,  # oracle assigned below (reuses extension_ops._duck_sig_cte)
+    doc="streaming NEAR-dup ingest — the production run-shape of "
+    "op_dedup_minhash_incremental: documents arrive in 4 deterministic "
+    "micro-batches (doc_id mod 4, mtime-ordered feed files) and a "
+    "foreachBatch sink probes each batch's MinHash bands against the "
+    "accumulated band INDEX of every previously-seen doc, plus "
+    "earlier-in-batch docs; a doc is admitted iff no signature-verified "
+    "Jaccard >= 0.5 collision with anything before it in arrival order.  "
+    "The index grows by appending the batch's bands (merge = append, no "
+    "rebuild); the oracle replays the same admission rule as one SQL "
+    "window over arrival order (doc_id mod 4, doc_id) — hash-proving the "
+    "incremental index probe equals the batch computation.  At 100 TB the "
+    "index is a band-key-partitioned table and each ingest batch's probe "
+    "cost is batch-bands x matched-bucket occupancy, independent of "
+    "corpus size",
+)
+def op_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from daq_3i_spark.plans.extension_ops import _spark_sigs_of
+    from daq_3i_spark.plans.streaming_ops import _workdir, pinned_shuffle
+    from daq_3i_spark.sources.tables import pin_utc
+
+    pin_utc(spark)
+    work = _workdir("op_stream_dedup_ingest")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    docs = load_spread(spark, sf_dir, "documents").persist()
+    docs.count()
+
+    def write_slice(k: int) -> str:
+        tmp = os.path.join(work, f"tmp{k}")
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == k).coalesce(1).write.parquet(tmp)
+        return tmp
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        tmps = list(pool.map(write_slice, range(4)))
+    docs.unpersist()
+    for k, tmp in enumerate(tmps):
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"slice_{k}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    index_dir = os.path.join(work, "band_index")
+    admitted_dir = os.path.join(work, "admitted")
+    band_match_sim = F.expr(SPARK.sig_match_frac("sa", "sb")) >= 0.5
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        bands_b = (
+            _spark_sigs_of(batch)
+            .select(
+                "doc_id", "sig",
+                F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
+                    "band_idx", "band_val"
+                ),
+            )
+            .localCheckpoint(eager=True)  # one sig-chain run, four consumers
+        )
+        dup_sets = []
+        if os.path.isdir(index_dir):
+            prior = spark.read.parquet(index_dir)
+            dup_sets.append(
+                prior.alias("a")
+                .join(
+                    bands_b.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_val") == F.col("b.band_val")),
+                )
+                .select(
+                    F.col("a.sig").alias("sa"),
+                    F.col("b.sig").alias("sb"),
+                    F.col("b.doc_id").alias("doc_id"),
+                )
+                .filter(band_match_sim)
+                .select("doc_id")
+            )
+        dup_sets.append(
+            bands_b.alias("a")
+            .join(
+                bands_b.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.sig").alias("sa"),
+                F.col("b.sig").alias("sb"),
+                F.col("b.doc_id").alias("doc_id"),
+            )
+            .filter(band_match_sim)
+            .select("doc_id")
+        )
+        dups = dup_sets[0]
+        for d in dup_sets[1:]:
+            dups = dups.unionByName(d)
+        admitted = batch.join(dups.distinct(), "doc_id", "left_anti").select(
+            "doc_id", "lang", "n_chars"
+        )
+        admitted.write.mode("append").parquet(admitted_dir)
+        bands_b.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with pinned_shuffle(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(admitted_dir)
+
+
+def _attach_stream_dedup_ingest_oracle() -> None:
+    import dataclasses
+
+    from daq_3i_spark.plans.extension_ops import _duck_sig_cte
+    from daq_3i_spark.plans.registry import QUERIES
+
+    QUERIES["op_stream_dedup_ingest"] = dataclasses.replace(
+        QUERIES["op_stream_dedup_ingest"],
+        oracle=f"""WITH {_duck_sig_cte()},
+    dup AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND (a.doc_id % 4 < b.doc_id % 4
+            OR (a.doc_id % 4 = b.doc_id % 4 AND a.doc_id < b.doc_id))
+      WHERE {DUCK.sig_match_frac('a.sig', 'b.sig')} >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""",
+    )
+
+
+_attach_stream_dedup_ingest_oracle()

@@ -65,6 +65,7 @@ OPS = [
     "op_dedup_minhash_capped",
     "op_dedup_incremental",
     "op_dedup_minhash_incremental",
+    "op_stream_dedup_ingest",
     "op_dedup_simhash",
     "op_dedup_ngram_jaccard",
     "op_dedup_ngram_capped",
