@@ -93,6 +93,7 @@ HEADLINE = [
     "op_dedup_incremental",
     "op_dedup_minhash_incremental",
     "op_stream_dedup_ingest",
+    "op_sink_zorder",
 ]
 
 

@@ -200,6 +200,31 @@ def op_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_sink_zorder",
+    f"""WITH {_D}
+    SELECT id, channel_id, ts, value FROM channel_data""",
+    doc="Z-order (Morton) clustered sink layout — the OPTIMIZE ZORDER BY "
+    "analog: channel_data is range-partitioned and sorted on the bit-"
+    "interleave of (channel_id, hour-of-month), so every output file owns "
+    "a compact box in (channel, time) space and parquet min/max stats "
+    "prune files for CHANNEL predicates and TIME predicates alike (a "
+    "single-column sort prunes only its own column; tests measure the "
+    "file-hit counts for both predicate shapes).  The interleave is pure "
+    "Catalyst bit arithmetic (sources/sink.py:morton_code) — whole-stage "
+    "codegen, one range shuffle.  Oracle = the full table: clustering "
+    "must be content-neutral",
+)
+def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import write_channel_data_zordered
+
+    work = _workdir("op_sink_zorder")
+    path = os.path.join(work, "channel_data_z")
+    write_channel_data_zordered(channel_data_df(spark, sf_dir), path)
+    return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
+
+
 #: time-retention cutoff — deliberately MID-DAY so the policy exercises both
 #: paths: whole partitions strictly before the cutoff DATE drop at the
 #: directory level (no data read), and the single straddled partition is

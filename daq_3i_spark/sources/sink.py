@@ -484,3 +484,54 @@ def write_channel_data_jdbc(
         .option("batchsize", str(batchsize))
         .jdbc(url, table)
     )
+
+
+# --- Z-order (Morton) clustering — multi-dimensional pruning layout ----------
+
+
+def morton_code(a, b, bits: int = 10):
+    """Morton (Z-order) interleave of two non-negative integer columns into
+    one sort key: bit i of ``a`` lands at position 2i+1, bit i of ``b`` at
+    2i.  Sorting by the interleaved code clusters rows so that EVERY file's
+    (min, max) box is tight in BOTH dimensions — a single-column sort gives
+    perfect pruning on that column and none on the other; Z-order gives
+    useful pruning on both (the OPTIMIZE ZORDER BY idea).  Pure Catalyst
+    bit arithmetic (2*bits shift/and/or terms), whole-stage codegen, no
+    UDF."""
+    code = None
+    for i in range(bits):
+        abit = F.shiftleft(
+            F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        bbit = F.shiftleft(
+            F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        term = abit.bitwiseOR(bbit)
+        code = term if code is None else code.bitwiseOR(term)
+    return code
+
+
+def write_channel_data_zordered(df: DataFrame, path: str, nfiles: int = 8) -> None:
+    """channel_data laid out for BOTH per-channel and per-time-range reads:
+    rows range-partitioned and sorted by the Morton interleave of
+    (channel_id, hour-of-month), so each of the ``nfiles`` output files owns
+    a compact box in (channel, time) space and parquet min/max stats prune
+    files for either predicate.  A channel-only sort would leave every file
+    spanning the full time range (time scans read everything); a time-only
+    sort the reverse.  At 100 TB this runs per date partition as the
+    clustering step of the compaction service."""
+    hour = (F.dayofmonth("ts") - 1) * 24 + F.hour("ts")
+    # LEFT-ALIGN the narrower dimension to the shared bit width: channel_id
+    # uses ~6 bits vs the hour's 10, and interleaving unaligned values puts
+    # the hour's high bits above every channel bit — degenerating into a
+    # plain time sort with zero channel pruning (measured before this
+    # shift: a channel predicate admitted all 8 files)
+    z = morton_code(F.shiftleft(F.col("channel_id").cast("long"), 4), hour, bits=10)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(nfiles, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -232,3 +232,59 @@ def test_time_travel_with_retained_versions(spark, sf_dir, tmp_path):
     compact_partitions(spark, path, max_files=999)
     assert _rows(read_channel_data_versioned(spark, path)) == kept
     assert _rows(spark.read.parquet(path)) == kept
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The Z-order clustering claim, measured: with a channel-only sort a
+    time predicate admits EVERY file (each file spans the full month);
+    Z-order keeps the file count admitted by a channel predicate AND a time
+    predicate both strictly below the total — the two-dimensional pruning
+    no single-column sort can give."""
+    from daq_3i_spark.sources.sink import write_channel_data_zordered
+
+    nfiles = 8
+    cd = channel_data_df(spark, sf_dir)
+    zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
+    write_channel_data_zordered(cd, zpath, nfiles=nfiles)
+    (
+        cd.repartitionByRange(nfiles, "channel_id", "id")
+        .sortWithinPartitions("channel_id", "id")
+        .write.parquet(cpath)
+    )
+
+    import glob
+
+    def hits(path, pred):
+        n_total, n_hit = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            n_total += 1
+            df = spark.read.parquet(f)
+            lo, hi = df.agg(F.min(pred), F.max(pred)).collect()[0]
+            stats = df.agg(
+                F.min("channel_id"), F.max("channel_id"), F.min("ts"), F.max("ts")
+            ).collect()[0]
+            yield_box = {
+                "channel": (stats[0], stats[1]),
+                "ts": (str(stats[2]), str(stats[3])),
+            }
+            if pred == "channel_id":
+                if yield_box["channel"][0] <= 5 <= yield_box["channel"][1]:
+                    n_hit += 1
+            else:
+                lo_t, hi_t = "2024-01-10 00:00:00", "2024-01-10 23:59:59"
+                if not (yield_box["ts"][1] < lo_t or yield_box["ts"][0] > hi_t):
+                    n_hit += 1
+        return n_hit, n_total
+
+    z_chan, nz = hits(zpath, "channel_id")
+    z_time, _ = hits(zpath, "ts")
+    c_chan, nc = hits(cpath, "channel_id")
+    c_time, _ = hits(cpath, "ts")
+    assert nz == nfiles and nc == nfiles
+
+    # channel-only sort: perfect on channel, useless on time
+    assert c_chan <= 2
+    assert c_time == nfiles
+    # z-order: useful on BOTH dimensions
+    assert z_chan < nfiles
+    assert z_time < nfiles
