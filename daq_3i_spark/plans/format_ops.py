@@ -91,3 +91,21 @@ def op_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_workdir("json_roundtrip"), "customer_json")
     src.write.mode("overwrite").json(path)
     return spark.read.schema(_CUSTOMER_SCHEMA).json(path)
+
+
+@register(
+    "op_source_orc_roundtrip",
+    "SELECT * FROM lineitem",
+    doc="ORC sink+source round-trip of the widest table (lineitem, 10 "
+    "columns incl. dates-as-timestamps and three doubles): ORC is the "
+    "second columnar production format Spark ships natively (predicate "
+    "pushdown, column pruning, and zlib/zstd stripes like parquet), and "
+    "the oracle is the source table itself — the hash check proves the "
+    "engine can land on and read back an ORC lakehouse losslessly with "
+    "no schema inference in the path",
+)
+def op_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(_workdir("orc_roundtrip"), "lineitem_orc")
+    src.write.mode("overwrite").orc(path)
+    return spark.read.schema(src.schema).orc(path)
