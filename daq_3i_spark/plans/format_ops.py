@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.daq_dims import dims_cte_sql
 from daq_3i_spark.sources.tables import load_table
 
 _TMP_ROOT = os.path.join(
@@ -109,3 +110,39 @@ def op_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_workdir("orc_roundtrip"), "lineitem_orc")
     src.write.mode("overwrite").orc(path)
     return spark.read.schema(src.schema).orc(path)
+
+
+@register(
+    "op_source_schema_evolution",
+    f"""WITH {dims_cte_sql()}
+    SELECT id, channel_id, ts, value,
+       CASE WHEN id % 2 = 1 THEN CAST(id % 100 AS INT) END AS quality
+    FROM channel_data""",
+    doc="schema evolution on the sink — the lakehouse reality that a "
+    "long-lived table's files span schema versions: half of channel_data "
+    "lands with the original 4-column schema, the other half with an "
+    "added INT quality column, and ONE mergeSchema read returns the "
+    "union schema with nulls where the old files have no column.  The "
+    "oracle states the same rows directly, hash-proving the merged read "
+    "is exact (no silent column drop, no type widening surprises).  At "
+    "100 TB, mergeSchema's footer union is a planning-time cost only — "
+    "scans still prune to the requested columns per file",
+)
+def op_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.plans.streaming_ops import _workdir
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from pyspark.sql import functions as F
+
+    cd = channel_data_df(spark, sf_dir)
+    path = os.path.join(_workdir("schema_evolution"), "cd_evolved")
+    old = cd.filter(F.pmod(F.col("id"), F.lit(2)) == 0)
+    new = cd.filter(F.pmod(F.col("id"), F.lit(2)) == 1).withColumn(
+        "quality", F.pmod(F.col("id"), F.lit(100)).cast("int")
+    )
+    old.write.parquet(os.path.join(path, "gen=1"))
+    new.write.parquet(os.path.join(path, "gen=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("id", "channel_id", "ts", "value", "quality")
+    )

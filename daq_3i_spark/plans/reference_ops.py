@@ -839,3 +839,81 @@ def anomaly_rank_bucketed(cd: DataFrame) -> DataFrame:
         .filter(F.col("pr") >= 0.99)
         .select("id", "channel_id", "ts", "value", "pr")
     )
+
+
+@register(
+    "op_quality_constraints",
+    f"""WITH {_D},
+    fk AS (
+      SELECT count(*) AS v FROM channel_data cd
+      WHERE NOT EXISTS (SELECT 1 FROM channels ch WHERE ch.id = cd.channel_id)
+    ),
+    scan AS (
+      SELECT
+        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+        sum(CASE WHEN value < 0 OR value > 500 THEN 1 ELSE 0 END) AS range_value,
+        sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                   OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+                 THEN 1 ELSE 0 END) AS ts_bounds
+      FROM channel_data
+    ),
+    dup AS (
+      SELECT COALESCE(sum(c - 1), 0) AS v
+      FROM (SELECT count(*) AS c FROM channel_data GROUP BY id) t
+      WHERE c > 1
+    )
+    SELECT 'fk_channel' AS rule, CAST(v AS BIGINT) AS violations FROM fk
+    UNION ALL SELECT 'null_value', CAST(null_value AS BIGINT) FROM scan
+    UNION ALL SELECT 'range_value', CAST(range_value AS BIGINT) FROM scan
+    UNION ALL SELECT 'ts_bounds', CAST(ts_bounds AS BIGINT) FROM scan
+    UNION ALL SELECT 'dup_id', CAST(v AS BIGINT) FROM dup""",
+    doc="data-quality constraint audit over the sink — the validation stage "
+    "a production pipeline runs before admitting a batch: referential "
+    "integrity (channel_id -> channels, broadcast anti-join), null check, "
+    "value-range check, event-time bounds, and duplicate-key count, each "
+    "reported as (rule, violations).  The three scan rules fold into ONE "
+    "conditional aggregate over a single pass (no rule re-scans the "
+    "table); the FK rule broadcasts the dimension; the dup rule is the "
+    "only shuffle (groupBy id) and at 100 TB would ride the existing "
+    "(channel, date) layout.  Constraint counts, not row dumps: the audit "
+    "output stays tiny no matter the table size",
+)
+def op_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channels_df
+
+    cd = _cd(spark, sf_dir)
+    ch = channels_df(spark).select(F.col("id").alias("channel_id"))
+    fk = (
+        cd.join(F.broadcast(ch), "channel_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(F.lit("fk_channel").alias("rule"), "violations")
+    )
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    scan = cd.agg(
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_value"),
+        F.sum(F.when((F.col("value") < 0) | (F.col("value") > 500), 1).otherwise(0))
+        .cast("bigint")
+        .alias("range_value"),
+        F.sum(F.when((F.col("ts") < lo) | (F.col("ts") >= hi), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ts_bounds"),
+    )
+    scan_rows = scan.selectExpr(
+        "stack(3, 'null_value', null_value, 'range_value', range_value, "
+        "'ts_bounds', ts_bounds) AS (rule, violations)"
+    )
+    dup = (
+        cd.groupBy("id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("violations")
+        )
+        .select(F.lit("dup_id").alias("rule"), "violations")
+    )
+    return fk.unionByName(scan_rows).unionByName(dup)
