@@ -94,6 +94,9 @@ HEADLINE = [
     "op_dedup_minhash_incremental",
     "op_stream_dedup_ingest",
     "op_sink_zorder",
+    "op_quality_constraints",
+    "op_source_orc_roundtrip",
+    "op_source_schema_evolution",
 ]
 
 
