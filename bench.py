@@ -97,6 +97,7 @@ HEADLINE = [
     "op_quality_constraints",
     "op_source_orc_roundtrip",
     "op_source_schema_evolution",
+    "op_sink_merge_upsert",
 ]
 
 

@@ -225,6 +225,65 @@ def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
 
 
+#: the CDC batch window for the MERGE op: only these days' partitions may
+#: be rewritten; everything else must stay byte-for-byte.
+_MERGE_LO, _MERGE_HI = "2024-01-10 00:00:00", "2024-01-15 00:00:00"
+
+
+@register(
+    "op_sink_merge_upsert",
+    f"""WITH {_D},
+    merged AS (
+      SELECT id, channel_id, ts,
+             CASE WHEN id % 7 = 0 AND ts >= TIMESTAMP '{_MERGE_LO}'
+                                  AND ts <  TIMESTAMP '{_MERGE_HI}'
+                  THEN value + 1000 ELSE value END AS value
+      FROM channel_data
+      UNION ALL
+      SELECT id + 1000000000, channel_id, ts, CAST(id % 100 AS DOUBLE)
+      FROM channel_data
+      WHERE id % 13 = 0 AND ts >= TIMESTAMP '{_MERGE_LO}'
+                        AND ts <  TIMESTAMP '{_MERGE_HI}'
+    )
+    SELECT id, channel_id, ts, value FROM merged""",
+    doc="MERGE INTO on the date-partitioned sink (the Delta MERGE "
+    "primitive, completing the table-service triad with retention and "
+    "compaction): a CDC batch of updates (matched ids take the source "
+    "value) and inserts (unmatched ids append) lands via the versioned-"
+    "manifest protocol — ONLY the batch's days are rewritten (anti-join "
+    "targets + union source per touched partition), every other "
+    "partition's files stay byte-for-byte, and a crash at any stage "
+    "leaves the previous version complete (sources/sink.py:merge_upsert)."
+    "  The oracle states the merged end-state directly, so any lost "
+    "update, duplicated key, or leaked unmatched row is a hash mismatch",
+)
+def op_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import (
+        merge_upsert,
+        write_channel_data_partitioned,
+    )
+
+    work = _workdir("op_sink_merge_upsert")
+    path = os.path.join(work, "channel_data_part")
+    cd = channel_data_df(spark, sf_dir)
+    write_channel_data_partitioned(cd, path)
+    in_window = (F.col("ts") >= F.lit(_MERGE_LO).cast("timestamp")) & (
+        F.col("ts") < F.lit(_MERGE_HI).cast("timestamp")
+    )
+    updates = cd.filter(in_window & (F.pmod(F.col("id"), F.lit(7)) == 0)).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    inserts = cd.filter(in_window & (F.pmod(F.col("id"), F.lit(13)) == 0)).select(
+        (F.col("id") + F.lit(1_000_000_000)).alias("id"),
+        "channel_id",
+        "ts",
+        F.pmod(F.col("id"), F.lit(100)).cast("double").alias("value"),
+    )
+    merge_upsert(spark, path, updates.unionByName(inserts))
+    return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
+
+
 #: time-retention cutoff — deliberately MID-DAY so the policy exercises both
 #: paths: whole partitions strictly before the cutoff DATE drop at the
 #: directory level (no data read), and the single straddled partition is

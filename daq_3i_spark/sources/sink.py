@@ -535,3 +535,58 @@ def write_channel_data_zordered(df: DataFrame, path: str, nfiles: int = 8) -> No
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str = "id",
+    keep_versions: int = 1,
+    _failpoint: Failpoint = _NOOP,
+) -> list[str]:
+    """MERGE INTO the date-partitioned sink ON ``key``: matched target rows
+    are replaced by the source row (update), unmatched source rows are
+    inserted — the Delta ``MERGE`` primitive, run as a manifest service
+    pass.  Only partitions named by the source's ``to_date(ts)`` are
+    rewritten; every other partition's files stay byte-for-byte (the CDC
+    upsert shape: the touched-day set is the batch's days, not the
+    table's).  Assumes key->partition stability — the source carries the
+    target row's day, as CDC feeds do; a cross-partition key move is a
+    delete+insert, not a merge.  Crash-safe per the module protocol.
+    Returns the rewritten partition values."""
+    version, files, fresh = _open_service(spark, path, keep_versions)
+    _failpoint("recovered")
+
+    src = source.withColumn("p_date", F.to_date("ts")).persist()
+    # the day list is batch-sized metadata (one row per touched day), the
+    # standard parameter-sized collect
+    days = sorted(str(r["p_date"]) for r in src.select("p_date").distinct().collect())
+
+    staging = _staging_dir(spark, path)
+
+    # per-day rewrites are independent — run them as concurrent Spark jobs
+    # (a sequential loop pays one job-submission latency per touched day)
+    def rewrite(pstr: str) -> tuple[str, str]:
+        sdir = posixpath.join(staging, f"p_date={pstr}")
+        s_d = src.filter(F.col("p_date") == F.lit(pstr).cast("date")).drop("p_date")
+        pfiles = _partition_files(path, files, pstr)
+        if pfiles:
+            tgt = spark.read.parquet(*pfiles)
+            out = tgt.join(s_d.select(key), key, "left_anti").unionByName(s_d)
+        else:
+            out = s_d
+        out.coalesce(1).sortWithinPartitions("channel_id", "id").write.parquet(sdir)
+        return pstr, sdir
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        staged = dict(pool.map(rewrite, days))
+    src.unpersist()
+    _failpoint("staged")
+
+    _commit_service_pass(
+        spark, path, version, files, staged, set(), _failpoint, keep_versions
+    )
+    return days

@@ -288,3 +288,47 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: useful on BOTH dimensions
     assert z_chan < nfiles
     assert z_time < nfiles
+
+
+@pytest.mark.parametrize("stage", STAGES)
+def test_kill_mid_merge_upsert(spark, sf_dir, tmp_path, stage):
+    """MERGE rides the same protocol: a kill at any stage leaves the
+    manifest reader on the full pre-merge table (pre-commit) or the exact
+    merged state (post-commit); re-running converges, and days outside the
+    CDC batch window keep their files byte-for-byte."""
+    from daq_3i_spark.sources.sink import merge_upsert
+
+    path = str(tmp_path / "sink")
+    write_channel_data_partitioned(channel_data_df(spark, sf_dir), path)
+    before_files = {
+        p: fl for p, fl in list_partitions(spark, path).items()
+    }
+    full = _rows(spark.read.parquet(path))
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-15 00:00:00"
+    in_win = (F.col("ts") >= F.lit(lo).cast("timestamp")) & (
+        F.col("ts") < F.lit(hi).cast("timestamp")
+    )
+    cd = channel_data_df(spark, sf_dir)
+    updates = cd.filter(in_win & (F.pmod(F.col("id"), F.lit(7)) == 0)).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    expect = sorted(
+        (i, c, t, v + 1000.0 if (i % 7 == 0 and lo <= str(t) < hi) else v)
+        for (i, c, t, v) in full
+    )
+
+    with pytest.raises(_Boom):
+        merge_upsert(spark, path, updates, _failpoint=_kill_at(stage))
+    got = _rows(read_channel_data_versioned(spark, path))
+    assert got == (expect if stage == "committed" else full)
+
+    merge_upsert(spark, path, updates)
+    assert _rows(read_channel_data_versioned(spark, path)) == expect
+    assert _rows(spark.read.parquet(path)) == expect
+
+    after_files = {p: fl for p, fl in list_partitions(spark, path).items()}
+    touched = {p for p in after_files if "2024-01-10" <= p < "2024-01-15"}
+    for p in after_files:
+        if p not in touched:
+            assert after_files[p] == before_files[p], f"untouched day {p} rewritten"
