@@ -98,6 +98,7 @@ HEADLINE = [
     "op_source_orc_roundtrip",
     "op_source_schema_evolution",
     "op_sink_merge_upsert",
+    "op_events_funnel",
 ]
 
 

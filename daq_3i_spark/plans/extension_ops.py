@@ -2313,3 +2313,69 @@ def op_timeseries_locf_multiday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pv").alias("locf_value"),
         (F.unix_micros("ts") - F.unix_micros("pt")).alias("staleness_us"),
     )
+
+
+@register(
+    "op_events_funnel",
+    """WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL '24 hours'
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL '24 hours'
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, (SELECT CAST(count(*) AS BIGINT) FROM v) AS users
+    UNION ALL SELECT 'click', (SELECT CAST(count(*) AS BIGINT) FROM c)
+    UNION ALL SELECT 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM p)""",
+    doc="conversion-funnel analysis over the event stream: users who "
+    "viewed, then clicked within 24h of their FIRST view, then purchased "
+    "within 24h of that first qualifying click — the classic product-"
+    "analytics sequential pattern (each step anchors on the previous "
+    "step's min event time, so the count is deterministic, not "
+    "any-pair).  Plan: three min-aggregates chained on user_id — the "
+    "SAME shuffle key throughout, so the stages co-partition and no "
+    "step re-shuffles the event scan differently; step outputs are "
+    "user-cardinality rows joined back to the (pruned by event_type) "
+    "scan.  At 100 TB the funnel is a fixed number of co-partitioned "
+    "passes, never a per-user collect or a cross join of step events",
+)
+def op_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    win = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("users")).select(
+            F.lit(name).alias("step"), "users"
+        )
+
+    return step("view", v).unionByName(step("click", c)).unionByName(
+        step("purchase", p)
+    )
