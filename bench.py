@@ -99,6 +99,7 @@ HEADLINE = [
     "op_source_schema_evolution",
     "op_sink_merge_upsert",
     "op_events_funnel",
+    "op_events_cohort_retention",
 ]
 
 

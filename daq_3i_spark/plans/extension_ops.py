@@ -2379,3 +2379,64 @@ def op_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return step("view", v).unionByName(step("click", c)).unionByName(
         step("purchase", p)
     )
+
+
+@register(
+    "op_events_cohort_retention",
+    """WITH s AS (
+      SELECT user_id, time_bucket(INTERVAL '7 days', min(ts),
+                                  TIMESTAMP '2024-01-01') AS cohort_w
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id,
+             time_bucket(INTERVAL '7 days', e.ts,
+                         TIMESTAMP '2024-01-01') AS active_w
+      FROM events e
+    )
+    SELECT epoch_us(s.cohort_w) AS cohort_week_us,
+           CAST((epoch_us(a.active_w) - epoch_us(s.cohort_w))
+                / CAST(604800000000 AS BIGINT) AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS users
+    FROM s JOIN a ON s.user_id = a.user_id AND a.active_w >= s.cohort_w
+    GROUP BY 1, 2""",
+    doc="weekly cohort-retention matrix — the second product-analytics "
+    "staple beside the funnel: users cohorted by their signup week "
+    "(7-day buckets anchored at 2024-01-01, identical bucketing in both "
+    "engines), crossed with the distinct weeks they were active at ALL "
+    "(any event type), emitting (cohort week, week offset, users).  "
+    "Plan: one min-aggregate for cohorts + one distinct-projection for "
+    "activity, joined on user_id and re-aggregated on the tiny (cohort, "
+    "offset) key — the activity side never materializes per-event rows "
+    "past the distinct.  Week bounds leave as epoch-micros BIGINT "
+    "(timestamp-canonicalization-neutral, same convention as "
+    "op_window_agg_events)",
+)
+def op_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # window() anchors at the epoch; 2024-01-01 is 19723 days after it and
+    # 19723 mod 7 = 4, so a 4-day startTime shifts the 7-day grid onto the
+    # oracle's time_bucket origin of 2024-01-01 exactly
+    wk = lambda c: F.window(c, "7 days", startTime="4 days").getField("start")  # noqa: E731
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select("user_id", wk(F.col("t0")).alias("cohort_w"))
+    )
+    a = ev.select("user_id", wk(F.col("ts")).alias("active_w")).distinct()
+    return (
+        s.join(a, "user_id")
+        .filter(F.col("active_w") >= F.col("cohort_w"))
+        .groupBy("cohort_w", "active_w")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users"))
+        .select(
+            F.unix_micros("cohort_w").alias("cohort_week_us"),
+            (
+                (F.unix_micros("active_w") - F.unix_micros("cohort_w"))
+                / F.lit(7 * 86400 * 1_000_000)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "users",
+        )
+    )
