@@ -138,6 +138,11 @@ def main() -> None:
         for name in names:
             passes[name].append(run(name))
     timings = {n: round(min(ts), 4) for n, ts in passes.items()}
+    # the driver keeps only a bounded stdout tail (r5's record was lost to
+    # it); at 76 queries the compact line needs every byte — 2 decimals on
+    # the wire (10 ms resolution, plenty for the cross-round guard), full
+    # precision in BENCH_FULL.json
+    wire = {n: round(v, 2) for n, v in timings.items()}
     # worst/best ratio across passes — an honest noise indicator for the
     # recorded minima (>>1 means steal bursts hit that query)
     spread = {n: round(max(ts) / min(ts), 2) for n, ts in passes.items()}
@@ -149,9 +154,9 @@ def main() -> None:
         sf_val = sf
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": wire,
         "sf": sf_val,
     }
     # The driver records only a bounded tail of stdout; at 54 queries the
@@ -159,7 +164,7 @@ def main() -> None:
     # "parsed": null.  Keep the stdout line compact (no spread, no spaces,
     # ~1.9 KB) and write the full record — including the noise indicator —
     # to BENCH_FULL.json beside the repo for the judge.
-    full = dict(out, pass_spread=spread)
+    full = dict(out, queries=timings, pass_spread=spread)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
