@@ -119,6 +119,14 @@ def main() -> None:
         print(f"{name:38s} {row['sf0.1']:7.3f}s {row['sf1']:8.3f}s  x{row['ratio']:<6}{flag}", flush=True)
 
     out = os.path.join(ROOT, ".tmp", "scaling_pass.json")
+    # a FILTERED run must not shrink the recorded sweep (tools/scaling_guard
+    # fails on measurements that disappear): merge targeted results into the
+    # existing record, full runs replace it
+    if only and os.path.exists(out):
+        with open(out) as fh:
+            merged = json.load(fh)
+        merged.update(results)
+        results = merged
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     if results:
