@@ -100,6 +100,7 @@ HEADLINE = [
     "op_sink_merge_upsert",
     "op_events_funnel",
     "op_events_cohort_retention",
+    "op_join_scd2",
 ]
 
 

@@ -917,3 +917,68 @@ def op_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("dup_id").alias("rule"), "violations")
     )
     return fk.unionByName(scan_rows).unionByName(dup)
+
+
+@register(
+    "op_join_scd2",
+    f"""WITH {_D},
+    dim AS (
+      SELECT ch.id AS channel_id, v.v AS cfg_version,
+             CASE v.v WHEN 1 THEN TIMESTAMP '1970-01-01 00:00:00'
+                      WHEN 2 THEN TIMESTAMP '2024-01-11 00:00:00'
+                      ELSE TIMESTAMP '2024-01-21 00:00:00' END AS valid_from,
+             CASE v.v WHEN 1 THEN TIMESTAMP '2024-01-11 00:00:00'
+                      WHEN 2 THEN TIMESTAMP '2024-01-21 00:00:00'
+                      ELSE TIMESTAMP '2100-01-01 00:00:00' END AS valid_to
+      FROM channels ch CROSS JOIN (SELECT unnest([1, 2, 3]) AS v) v
+    )
+    SELECT cd.id, cd.channel_id, cd.ts, cd.value,
+           CAST(d.cfg_version AS INT) AS cfg_version
+    FROM channel_data cd JOIN dim d
+      ON cd.channel_id = d.channel_id
+     AND cd.ts >= d.valid_from AND cd.ts < d.valid_to""",
+    doc="SCD2 point-in-time dimension join — the warehouse pattern the "
+    "as-of EVENT join doesn't cover: the channel CONFIG is versioned with "
+    "validity intervals (three deterministic config epochs per channel), "
+    "and every sample joins the version valid AT ITS event time.  Plan: "
+    "the versioned dim is built by exploding a 3-element version array "
+    "over the broadcast channels frame (no cross join), and the temporal "
+    "join is a BroadcastHashJoin on the channel_id equi-key with the "
+    "interval containment as a residual filter — never a nested-loop "
+    "range join.  At 100 TB the dim stays broadcast-sized (config "
+    "history, not data history) and the fact side never re-shuffles",
+)
+def op_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channels_df
+
+    cd = _cd(spark, sf_dir)
+    t = lambda x: F.lit(x).cast("timestamp")  # noqa: E731
+    dim = (
+        channels_df(spark)
+        .select(F.col("id").alias("channel_id"))
+        .withColumn("cfg_version", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .withColumn(
+            "valid_from",
+            F.when(F.col("cfg_version") == 1, t("1970-01-01 00:00:00"))
+            .when(F.col("cfg_version") == 2, t("2024-01-11 00:00:00"))
+            .otherwise(t("2024-01-21 00:00:00")),
+        )
+        .withColumn(
+            "valid_to",
+            F.when(F.col("cfg_version") == 1, t("2024-01-11 00:00:00"))
+            .when(F.col("cfg_version") == 2, t("2024-01-21 00:00:00"))
+            .otherwise(t("2100-01-01 00:00:00")),
+        )
+    )
+    return (
+        cd.join(
+            F.broadcast(dim),
+            (cd["channel_id"] == dim["channel_id"])
+            & (cd["ts"] >= dim["valid_from"])
+            & (cd["ts"] < dim["valid_to"]),
+        )
+        .select(
+            cd["id"], cd["channel_id"], cd["ts"], cd["value"],
+            F.col("cfg_version").cast("int").alias("cfg_version"),
+        )
+    )
