@@ -101,6 +101,8 @@ HEADLINE = [
     "op_events_funnel",
     "op_events_cohort_retention",
     "op_join_scd2",
+    "op_corpus_split",
+    "op_sink_change_feed",
 ]
 
 

@@ -29,7 +29,8 @@ import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
 # op_dedup_minhash_incremental, op_stream_dedup_ingest, op_sink_zorder,
 # op_source_orc_roundtrip, op_quality_constraints,
 # op_source_schema_evolution, op_sink_merge_upsert, op_events_funnel,
-# op_events_cohort_retention, op_join_scd2.
+# op_events_cohort_retention, op_join_scd2, op_corpus_split,
+# op_sink_change_feed.
 # Every registry entry is oracled (tools/check_counts.py pins the doc
 # counts) and passes the exact-compare local gate (tools/verify_contract.py)
 # before this ordering.

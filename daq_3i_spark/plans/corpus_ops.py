@@ -911,3 +911,34 @@ def _attach_stream_dedup_ingest_oracle() -> None:
 
 
 _attach_stream_dedup_ingest_oracle()
+
+
+@register(
+    "op_corpus_split",
+    """SELECT doc_id, source, n_chars,
+       CASE
+         WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test'
+       END AS split
+    FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10 AS b
+      FROM documents
+    ) t""",
+    doc="deterministic train/val/test split (80/10/10) of the corpus by a "
+    "portable content-independent hash of the doc key: bucket = first 32 "
+    "bits of md5(doc_id) mod 10 — the same doc lands in the same split on "
+    "every engine, cluster size, and rerun (a rand()-based split is not "
+    "reproducible and a mod-on-id split inherits id assignment patterns)."
+    "  Pure codegen projection, no shuffle; at 100 TB the split column is "
+    "computed at scan time and feeds partitioned writes per split",
+)
+def op_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(10),
+    )
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return docs.select("doc_id", "source", "n_chars", split.alias("split"))

@@ -284,6 +284,88 @@ def op_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
 
 
+@register(
+    "op_sink_change_feed",
+    f"""WITH {_D},
+    w AS (
+      SELECT * FROM channel_data
+      WHERE ts >= TIMESTAMP '{_MERGE_LO}' AND ts < TIMESTAMP '{_MERGE_HI}'
+    )
+    SELECT 'update_pre' AS change_type, id, channel_id, ts, value
+    FROM w WHERE id % 7 = 0
+    UNION ALL
+    SELECT 'update_post', id, channel_id, ts, value + 1000
+    FROM w WHERE id % 7 = 0
+    UNION ALL
+    SELECT 'insert', id + 1000000000, channel_id, ts, CAST(id % 100 AS DOUBLE)
+    FROM w WHERE id % 13 = 0""",
+    doc="change data feed between sink versions (the Delta table_changes "
+    "analog, built on the manifest protocol's retained versions): after a "
+    "MERGE with keep_versions=2, the op computes the GENERIC row-level "
+    "diff of version 1 vs version 2 — full-outer join on the key, "
+    "null-safe struct comparison, emitting insert / delete / update_pre / "
+    "update_post rows exactly as a CDC consumer expects.  The oracle "
+    "states the merge spec's expected changes directly, so the hash match "
+    "proves generic version-diff == the applied merge.  At 100 TB the "
+    "diff joins only the versions' differing partitions (the manifest "
+    "names them), and a production feed would persist per-commit deltas "
+    "instead of re-diffing — this op is the correctness baseline for one",
+)
+def op_sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.sink import (
+        merge_upsert,
+        read_channel_data_versioned,
+        write_channel_data_partitioned,
+    )
+
+    work = _workdir("op_sink_change_feed")
+    path = os.path.join(work, "channel_data_part")
+    cd = channel_data_df(spark, sf_dir)
+    write_channel_data_partitioned(cd, path)
+    in_window = (F.col("ts") >= F.lit(_MERGE_LO).cast("timestamp")) & (
+        F.col("ts") < F.lit(_MERGE_HI).cast("timestamp")
+    )
+    updates = cd.filter(in_window & (F.pmod(F.col("id"), F.lit(7)) == 0)).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    inserts = cd.filter(in_window & (F.pmod(F.col("id"), F.lit(13)) == 0)).select(
+        (F.col("id") + F.lit(1_000_000_000)).alias("id"),
+        "channel_id",
+        "ts",
+        F.pmod(F.col("id"), F.lit(100)).cast("double").alias("value"),
+    )
+    merge_upsert(spark, path, updates.unionByName(inserts), keep_versions=2)
+
+    cols = ["id", "channel_id", "ts", "value"]
+    v1 = read_channel_data_versioned(spark, path, version=1).select(cols).alias("a")
+    v2 = read_channel_data_versioned(spark, path, version=2).select(cols).alias("b")
+    j = v1.join(v2, F.col("a.id") == F.col("b.id"), "full_outer")
+
+    def side(tag: str, pre: str) -> DataFrame:
+        return j.select(
+            F.lit(tag).alias("change_type"),
+            *[F.col(f"{pre}.{c}").alias(c) for c in cols],
+        )
+
+    row_a = F.struct(*[F.col(f"a.{c}") for c in cols])
+    row_b = F.struct(*[F.col(f"b.{c}") for c in cols])
+    inserts_out = side("insert", "b").where(F.col("a.id").isNull())
+    deletes_out = side("delete", "a").where(F.col("b.id").isNull())
+    changed = (
+        F.col("a.id").isNotNull()
+        & F.col("b.id").isNotNull()
+        & ~row_a.eqNullSafe(row_b)
+    )
+    pre_out = side("update_pre", "a").where(changed)
+    post_out = side("update_post", "b").where(changed)
+    return (
+        inserts_out.unionByName(deletes_out)
+        .unionByName(pre_out)
+        .unionByName(post_out)
+    )
+
+
 #: time-retention cutoff — deliberately MID-DAY so the policy exercises both
 #: paths: whole partitions strictly before the cutoff DATE drop at the
 #: directory level (no data read), and the single straddled partition is

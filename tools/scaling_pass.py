@@ -63,6 +63,7 @@ OPS = [
     "op_events_funnel",
     "op_events_cohort_retention",
     "op_join_scd2",
+    "op_sink_change_feed",
     "op_stream_stale_monitor",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
