@@ -10,6 +10,7 @@ import daq_3i_spark.plans.sql_surface3  # noqa: F401,E402
 import daq_3i_spark.plans.streaming_ops  # noqa: F401,E402
 import daq_3i_spark.plans.format_ops  # noqa: F401,E402
 import daq_3i_spark.plans.corpus_ops  # noqa: F401,E402
+import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get

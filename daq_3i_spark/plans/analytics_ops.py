@@ -1,0 +1,376 @@
+"""Event/graph/corpus analytics operators (round-7 widening batch).
+
+Five staples a production analytics engine is expected to host on top of the
+reference's DAQ surface (the reference, /root/reference, is a MODBUS daemon
+with no analytics — these extend the engine the way BASELINE.json's north
+star asks):
+
+* ``op_events_ohlc`` — OHLC/volume resampling bars, THE canonical
+  downsampling shape for sample streams (open/close picked by deterministic
+  (ts, event_id) order, volume via the fixed-point sum convention);
+* ``op_events_topk_paths`` — top-k user journey prefixes (sequential
+  pattern mining, the product-analytics sibling of the funnel);
+* ``op_events_attribution`` — last-touch conversion attribution inside a
+  7-day lookback (single-pass framed window, no self-join);
+* ``op_graph_pagerank`` — 3 fixed PageRank iterations over the bipartite
+  part↔supplier co-occurrence graph in EXACT integer arithmetic, so the
+  result is bit-identical regardless of join/aggregation order — the
+  portable way to oracle an iterative float algorithm;
+* ``op_corpus_domain_mix`` — uniform-language rebalancing of the document
+  corpus by portable-hash thresholding (the domain-mixing stage of a
+  training-data pipeline, reproducible across engines/cluster sizes).
+
+Scale notes (100 TB):
+
+* OHLC and paths shuffle once on their natural keys ((event_type, bucket) /
+  user_id); window partitions are one bucket / one user — bounded however
+  large the table;
+* attribution is ONE framed window pass per user partition — never the
+  purchases×touches self-join, which at 100 TB would be quadratic in the
+  per-user event count;
+* PageRank's per-iteration cost is one shuffle join on src + one aggregate
+  on dst (the textbook distributed formulation); ranks are scaled integers
+  with total mass ~1e12 split over n nodes, so products stay < 2^63 at ANY
+  node count, and the edge+degree frame is localCheckpointed once and
+  reused by all iterations;
+* domain mix broadcasts the per-language count table (languages are a
+  dozens-sized dimension at any corpus size); the corpus side is a pure
+  hash-threshold filter — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql
+from daq_3i_spark.plans.registry import register
+from daq_3i_spark.sources.tables import load_events, load_table
+
+# the budget-sample LCG (plans/corpus_ops.py) — one portable hash convention
+# for every deterministic-sampling op
+_MIX_A, _MIX_C, _MIX_M = 1103515245, 12345, 2147483647
+
+
+@register(
+    "op_events_ohlc",
+    f"""WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '2024-01-01') AS w,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, w
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type, w) AS cnt
+      FROM b
+    )
+    SELECT event_type, epoch_us(w) AS bucket_us,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(CASE WHEN rn = cnt THEN value END) AS close,
+           max(value) AS high, min(value) AS low,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {fx_sum_sql('value')} AS volume
+    FROM r GROUP BY event_type, w""",
+    doc="OHLC/volume resampling bars — the canonical downsampling of a "
+    "sample stream to fixed bars (candlesticks, dashboard rollups): per "
+    "(event_type, 15-minute bucket) the first/last value by deterministic "
+    "(ts, event_id) order, min/max, count, and a fixed-point exact volume "
+    "sum.  The 15-minute grid is epoch-aligned in both engines (Spark "
+    "F.window anchors at the epoch; the oracle's time_bucket origin "
+    "2024-01-01 sits on the same grid).  Plan: ONE shuffle on "
+    "(event_type, bucket); open/close come from a single row_number + "
+    "count window over that same partitioning (the sort serves both ends), "
+    "then the bar aggregate reuses the partitioning — window partitions "
+    "are one bucket of one type, bounded at any table size",
+)
+def op_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        F.window("ts", "15 minutes").getField("start").alias("w"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    part = Window.partitionBy("event_type", "w")
+    r = b.withColumn(
+        "rn", F.row_number().over(part.orderBy("ts", "event_id"))
+    ).withColumn(
+        "cnt",
+        F.count("*").over(
+            part.orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return (
+        r.groupBy("event_type", "w")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias(
+                "close"
+            ),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").cast("bigint").alias("n_events"),
+            fx_sum(F.col("value")).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("w").alias("bucket_us"),
+            "open",
+            "close",
+            "high",
+            "low",
+            "n_events",
+            "volume",
+        )
+    )
+
+
+@register(
+    "op_events_topk_paths",
+    """WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS users
+    FROM p GROUP BY path ORDER BY users DESC, path LIMIT 10""",
+    doc="top-10 user journey prefixes: each user's first three events by "
+    "deterministic (ts, event_id) order joined into a '>'-separated path, "
+    "counted across users — sequential pattern mining, the exploratory "
+    "sibling of the fixed-shape funnel.  Plan: one row_number window on "
+    "user_id keeps only 3 rows per user BEFORE any aggregation (the "
+    "collect_list is bounded at 3 elements by construction, never a "
+    "whole-history collect), then a hash aggregate on the path string and "
+    "a global top-10 with a total (users DESC, path) tie-break.  At 100 TB "
+    "the per-user state is 3 rows and the path-count aggregate is "
+    "map-side combined; the final top-10 is a TakeOrdered, not a sort",
+)
+def op_events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    p = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("users"))
+        .orderBy(F.col("users").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "op_events_attribution",
+    f"""WITH x AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN struct_pack(t := ts, et := event_type)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT CASE WHEN touch IS NOT NULL AND touch.t >= ts - INTERVAL 7 DAY
+                THEN touch.et ELSE '(none)' END AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           {fx_sum_sql('value')} AS attributed_value
+    FROM x WHERE event_type = 'purchase' GROUP BY 1""",
+    doc="last-touch conversion attribution: every purchase credits the "
+    "user's most recent preceding non-purchase event within a 7-day "
+    "lookback ('(none)' when there is none), aggregating conversion count "
+    "and fixed-point exact value per touch type.  The touch is found by a "
+    "framed IGNORE-NULLS window over (ts, event_id) order — the LOCF "
+    "machinery (op_timeseries_locf) applied to attribution, ONE pass per "
+    "user partition.  At 100 TB this replaces the purchases×touches "
+    "self-join (quadratic in per-user events) with a single sort-window "
+    "shuffle on user_id; the final aggregate is map-side combined on a "
+    "5-value key",
+)
+def op_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("et")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    x = ev.withColumn("touch", touch)
+    return (
+        x.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch").isNotNull()
+                & (F.col("touch.t") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+                F.col("touch.et"),
+            )
+            .otherwise(F.lit("(none)"))
+            .alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            fx_sum(F.col("value")).alias("attributed_value"),
+        )
+    )
+
+
+#: PageRank's total rank mass, as a scaled integer (1.0 == _PR_SCALE).
+#: Per-node products stay < 2^63 at ANY node count because a single node's
+#: rank is bounded by the TOTAL mass (~1e12): rank * 85 <= 8.5e13.
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 3
+
+
+@register(
+    "op_graph_pagerank",
+    f"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    edges AS (
+      SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM e0
+      UNION ALL SELECT 's' || l_suppkey, 'p' || l_partkey FROM e0
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS node,
+                  CAST({_PR_SCALE} AS BIGINT) // (SELECT n FROM nn) AS rank
+           FROM deg),
+    i1 AS (
+      SELECT e.dst AS node,
+             (SELECT CAST({15 * _PR_SCALE} AS BIGINT) // (100 * n) FROM nn)
+             + CAST(SUM((r.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS rank
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    i2 AS (
+      SELECT e.dst AS node,
+             (SELECT CAST({15 * _PR_SCALE} AS BIGINT) // (100 * n) FROM nn)
+             + CAST(SUM((r.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS rank
+      FROM edges e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    i3 AS (
+      SELECT e.dst AS node,
+             (SELECT CAST({15 * _PR_SCALE} AS BIGINT) // (100 * n) FROM nn)
+             + CAST(SUM((r.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS rank
+      FROM edges e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT node, rank FROM i3 ORDER BY rank DESC, node LIMIT 100""",
+    doc="PageRank (damping 0.85, 3 iterations) over the bipartite "
+    "part↔supplier co-occurrence graph from lineitem, in EXACT integer "
+    "arithmetic: ranks are scaled integers (total mass 1e12 split over n "
+    "nodes), each contribution is (rank*85) DIV (100*outdeg) — floored "
+    "integer division — so the iteration is associative-exact and "
+    "bit-identical across engines, summation orders, and cluster sizes "
+    "(the portable way to hash-oracle an iterative float algorithm; a "
+    "float PageRank's sums are order-nondeterministic).  Every node of "
+    "the symmetric graph has outdeg >= 1, so there is no dangling-mass "
+    "term.  Plan: edges+degree built once and localCheckpointed (every "
+    "iteration reuses the materialized frame instead of re-deriving the "
+    "distinct), then per iteration ONE shuffle join on src + ONE "
+    "aggregate on dst — the textbook distributed PageRank step; the "
+    "node-count scalar is a parameter-sized driver value.  Top-100 by "
+    "(rank DESC, node) is a TakeOrdered, not a global sort",
+)
+def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    part = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    supp = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(part.alias("src"), supp.alias("dst")).unionByName(
+        e0.select(supp.alias("src"), part.alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # materialize edges⋈degree once — all iterations reuse it
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n = deg.count()  # parameter-sized scalar (node count)
+    teleport = (15 * _PR_SCALE) // (100 * n)
+    # cast both scalars explicitly: a Python int under 2^31 becomes an
+    # IntegerType literal, and rank*85 would then overflow 32-bit under ANSI
+    ranks = ed.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(_PR_SCALE // n).cast("bigint").alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("(rank * 85) DIV (100 * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(
+                (F.lit(teleport).cast("bigint") + F.sum("c"))
+                .cast("bigint")
+                .alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(100)
+
+
+@register(
+    "op_corpus_domain_mix",
+    f"""WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ), m AS (SELECT min(n) AS mn FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c ON d.lang = c.lang, m
+    WHERE ((d.doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M}) % 1000000
+          < (m.mn * 1000000) // c.n""",
+    doc="uniform-language corpus rebalancing — the domain-mixing stage of "
+    "a training-data pipeline: each language is downsampled toward the "
+    "smallest language's document count by keeping a doc iff its portable "
+    "LCG hash (the op_corpus_budget_sample convention) falls under the "
+    "language's mn/n threshold — so the selection manifest is "
+    "deterministic across runs, engines, and cluster sizes, and changing "
+    "a target weight re-selects a superset/subset rather than an "
+    "unrelated sample (hash thresholding is monotone).  Plan: the "
+    "per-language count table (a dozens-sized dimension at any corpus "
+    "size) gets the global min attached via a one-row broadcast and is "
+    "broadcast-hash-joined back into the corpus scan; the corpus side is "
+    "a pure codegen hash-threshold filter — NO shuffle of the documents "
+    "at all",
+)
+def op_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    mn = c.agg(F.min("n").alias("mn"))
+    thresholds = c.crossJoin(F.broadcast(mn))  # 5x1 one-row broadcast
+    h = (F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M
+    return (
+        docs.join(F.broadcast(thresholds), "lang")
+        .filter(
+            (h % 1_000_000)
+            < F.expr("(mn * 1000000) DIV n")
+        )
+        .select("doc_id", "lang")
+    )

@@ -43,6 +43,10 @@ _BNL_ALLOWED = {
     # localCheckpoint of the distance frame, this op keeps it lazy because
     # the distances feed exactly one consumer):
     "op_dedup_semantic",
+    # one-row global-min aggregate broadcast over the 5-row language-count
+    # dimension (scalar-subquery pattern; the corpus side is a broadcast
+    # HASH join on lang, never in the BNL):
+    "op_corpus_domain_mix",
 }
 
 _PLANNABLE = sorted(set(QUERIES) - _EXECUTING)
