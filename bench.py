@@ -103,6 +103,11 @@ HEADLINE = [
     "op_join_scd2",
     "op_corpus_split",
     "op_sink_change_feed",
+    "op_events_ohlc",
+    "op_events_topk_paths",
+    "op_events_attribution",
+    "op_graph_pagerank",
+    "op_corpus_domain_mix",
 ]
 
 

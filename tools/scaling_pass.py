@@ -65,6 +65,10 @@ OPS = [
     "op_join_scd2",
     "op_sink_change_feed",
     "op_stream_stale_monitor",
+    "op_events_ohlc",
+    "op_events_topk_paths",
+    "op_events_attribution",
+    "op_graph_pagerank",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
@@ -90,6 +94,7 @@ OPS = [
     "op_corpus_budget_sample",
     "op_corpus_dedup_sample",
     "op_corpus_clean_pipeline",
+    "op_corpus_domain_mix",
 ]
 
 
