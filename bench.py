@@ -108,6 +108,9 @@ HEADLINE = [
     "op_events_attribution",
     "op_graph_pagerank",
     "op_corpus_domain_mix",
+    "op_stream_ohlc",
+    "op_timeseries_ema",
+    "op_sim_knn_graph",
 ]
 
 
@@ -146,11 +149,22 @@ def main() -> None:
         for name in names:
             passes[name].append(run(name))
     timings = {n: round(min(ts), 4) for n, ts in passes.items()}
-    # the driver keeps only a bounded stdout tail (r5's record was lost to
-    # it); at 76 queries the compact line needs every byte — 2 decimals on
-    # the wire (10 ms resolution, plenty for the cross-round guard), full
-    # precision in BENCH_FULL.json
+    # the driver keeps only a 2000-byte stdout tail (r5's record was lost to
+    # it, and at 84 queries even a 2-decimal full dict is ~2.4 KB): the wire
+    # carries the most expensive queries first and stops at a 1900-byte
+    # budget, so the recorded line is always parseable; value stays the true
+    # ALL-query total and BENCH_FULL.json (committed) always has every
+    # query at full precision — BENCH_NOTES.md documents the convention
     wire = {n: round(v, 2) for n, v in timings.items()}
+    by_cost = sorted(wire, key=lambda n: (-wire[n], n))
+    while (
+        len(json.dumps({"metric": "headline_queries_total", "value": 9999.99,
+                        "unit": "sec", "queries": {n: wire[n] for n in by_cost},
+                        "sf": 0.1}, separators=(",", ":"))) > 1900
+        and by_cost
+    ):
+        by_cost.pop()
+    wire = {n: wire[n] for n in sorted(by_cost)}
     # worst/best ratio across passes — an honest noise indicator for the
     # recorded minima (>>1 means steal bursts hit that query)
     spread = {n: round(max(ts) / min(ts), 2) for n, ts in passes.items()}

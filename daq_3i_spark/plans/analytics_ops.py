@@ -52,9 +52,10 @@ from daq_3i_spark.sources.tables import load_events, load_table
 _MIX_A, _MIX_C, _MIX_M = 1103515245, 12345, 2147483647
 
 
-@register(
-    "op_events_ohlc",
-    f"""WITH b AS (
+# the OHLC oracle, shared verbatim by the streaming twin
+# (op_stream_ohlc, plans/streaming_ops.py): the stream's merged snapshot
+# must hash-match the same from-scratch bar computation
+OHLC_SQL = f"""WITH b AS (
       SELECT event_type,
              time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '2024-01-01') AS w,
              ts, event_id, value
@@ -72,7 +73,12 @@ _MIX_A, _MIX_C, _MIX_M = 1103515245, 12345, 2147483647
            max(value) AS high, min(value) AS low,
            CAST(count(*) AS BIGINT) AS n_events,
            {fx_sum_sql('value')} AS volume
-    FROM r GROUP BY event_type, w""",
+    FROM r GROUP BY event_type, w"""
+
+
+@register(
+    "op_events_ohlc",
+    OHLC_SQL,
     doc="OHLC/volume resampling bars — the canonical downsampling of a "
     "sample stream to fixed bars (candlesticks, dashboard rollups): per "
     "(event_type, 15-minute bucket) the first/last value by deterministic "
@@ -373,4 +379,202 @@ def op_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.expr("(mn * 1000000) DIV n")
         )
         .select("doc_id", "lang")
+    )
+
+
+# --- exponentially-weighted moving average, exact rational weights -----------
+
+#: EMA smoothing alpha = 1/8 over a K=8 truncated window: the weight of the
+#: sample aged i is alpha*(1-alpha)^i = 7^i / 8^(i+1) — every weight is a
+#: dyadic-septimal rational, so with 6-decimal fixed-point values the whole
+#: weighted sum is EXACT int64 arithmetic (numerator = sum v_fx*7^i*8^(7-i),
+#: denominator = 8^(8-s)*(8^s-7^s) for a partial window of s samples), and
+#: the single final int->double division is correctly rounded in both
+#: engines — the same portability construction as op_graph_pagerank.
+_EMA_K = 8
+_P7 = [7**i for i in range(_EMA_K + 1)]
+_P8 = [8**i for i in range(_EMA_K + 1)]
+
+
+def _ema_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    p7 = "[" + ",".join(str(v) for v in _P7) + "]"
+    p8 = "[" + ",".join(str(v) for v in _P8) + "]"
+    return f"""WITH {dims_cte_sql()},
+    r AS (
+      SELECT channel_id, id, ts,
+             list(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY channel_id ORDER BY ts, id
+                ROWS BETWEEN {_EMA_K - 1} PRECEDING AND CURRENT ROW) AS arr
+      FROM channel_data
+    )
+    SELECT channel_id, id, epoch_us(ts) AS ts_us,
+           CAST(CAST(list_sum(list_transform(arr, (x, j) ->
+                  x * {p7}[len(arr) - j + 1]
+                    * {p8}[{_EMA_K} - len(arr) + j])) AS BIGINT) AS DOUBLE)
+           / CAST(CAST({p8}[{_EMA_K} - len(arr) + 1] AS BIGINT)
+                  * ({p8}[len(arr) + 1] - {p7}[len(arr) + 1])
+                  * 1000000 AS DOUBLE) AS ema
+    FROM r"""
+
+
+@register(
+    "op_timeseries_ema",
+    _ema_oracle(),
+    doc="exponentially-weighted moving average per channel (alpha=1/8, "
+    "8-sample truncated window) in EXACT rational arithmetic: weights "
+    "7^i/8^(i+1) share the denominator 8^K, so the weighted sum is pure "
+    "int64 on 6-decimal fixed-point values and ONE final correctly-rounded "
+    "int->double division makes the smoothed series bit-identical across "
+    "engines — a float-recursive EMA (e_t = a*v + (1-a)*e_{t-1}) is "
+    "sequentially order-dependent and could never hash-oracle.  Partial "
+    "head windows renormalize by 8^(8-s)*(8^s-7^s), so the series starts "
+    "at the first sample with no warmup bias.  Plan: ONE shuffle on "
+    "channel_id, a single 8-row framed window collect, then pure codegen "
+    "higher-order-function arithmetic — no self-join (the naive "
+    "formulation joins each sample to its 7 predecessors, an 8x row "
+    "blowup); the frame is 8 rows whatever the table size",
+)
+def op_timeseries_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    p7 = F.array(*[F.lit(v).cast("long") for v in _P7])
+    p8 = F.array(*[F.lit(v).cast("long") for v in _P8])
+    w = (
+        Window.partitionBy("channel_id")
+        .orderBy("ts", "id")
+        .rowsBetween(-(_EMA_K - 1), 0)
+    )
+    r = cd.select(
+        "channel_id",
+        "id",
+        "ts",
+        F.collect_list(fx_unscaled(F.col("value"))).over(w).alias("arr"),
+    )
+    s = F.size("arr")
+    terms = F.zip_with(
+        F.col("arr"),
+        F.sequence(F.lit(1), s),
+        lambda x, j: x
+        * F.element_at(p7, s - j + 1)
+        * F.element_at(p8, F.lit(_EMA_K) - s + j),
+    )
+    num = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+    norm = F.element_at(p8, F.lit(_EMA_K) - s + 1) * (
+        F.element_at(p8, s + 1) - F.element_at(p7, s + 1)
+    )
+    return r.select(
+        "channel_id",
+        "id",
+        F.unix_micros("ts").alias("ts_us"),
+        (
+            num.cast("double")
+            / (norm * F.lit(1_000_000).cast("long")).cast("double")
+        ).alias("ema"),
+    )
+
+
+# --- kNN graph construction over the embedding corpus ------------------------
+
+_KNN_C = 16  # coarse cells (the op_sim_ivf*/op_dedup_semantic assignment)
+_KNN_K = 3  # neighbors per vector
+
+
+def _knn_oracle() -> str:
+    from daq_3i_spark.functions.vectors import (
+        duckdb_dot_fold,
+        duckdb_l2_fold,
+        duckdb_norm2_fold,
+    )
+
+    return f"""WITH en AS (
+      SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
+      FROM embeddings
+    ), cd AS (
+      SELECT e.vec_id, c.vec_id AS cid,
+             {duckdb_l2_fold('e.embedding', 'c.embedding')} AS dfull
+      FROM embeddings e JOIN embeddings c ON c.vec_id < {_KNN_C}
+    ), cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dfull, cid) AS rn
+        FROM cd) WHERE rn = 1
+    ), p AS (
+      SELECT ca.vec_id AS vec_id, cb.vec_id AS nbr_id,
+             ({duckdb_dot_fold('a.embedding', 'b.embedding')})
+               / sqrt(a.n2 * b.n2) AS cos_sim
+      FROM cells ca JOIN cells cb
+        ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+      JOIN en a ON a.vec_id = ca.vec_id
+      JOIN en b ON b.vec_id = cb.vec_id
+    ), r AS (
+      SELECT vec_id, nbr_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nbr_id) AS rn
+      FROM p
+    )
+    SELECT vec_id, nbr_id, CAST(rn AS BIGINT) AS rank, cos_sim
+    FROM r WHERE rn <= {_KNN_K}"""
+
+
+@register(
+    "op_sim_knn_graph",
+    _knn_oracle(),
+    doc=f"kNN-graph construction: every vector's top-{_KNN_K} cosine "
+    f"neighbors WITHIN its coarse cell ({_KNN_C} L2 cells, the "
+    "op_dedup_semantic assignment) — the similarity join that feeds "
+    "graph-based curation (connected-component dedup over semantic edges, "
+    "label propagation, cluster pruning), as opposed to the per-query "
+    "top-k of op_sim_*topk which answers point lookups.  Plan: cell "
+    "blocking bounds pair work to sum over cells of |cell|^2 (never "
+    "all-pairs over the corpus); within a cell the row-tiled numpy kernel "
+    "(functions/vectors.py cos_block_pairs) emits each a<b pair once, "
+    "then a union mirrors direction and a per-vector rank window keeps "
+    f"{_KNN_K}.  Cosines use the dim-sequential fold, bit-identical to "
+    "the oracle's; ties break on nbr_id so the graph is deterministic.  "
+    "At 100 TB cells come from a trained coarse quantizer and a hot cell "
+    "sub-splits exactly like the capped-LSH mitigation; edges never leave "
+    "the cell's shuffle partition until the final bounded top-k",
+)
+def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.vectors import cos_block_pairs, l2_fold
+    from daq_3i_spark.sources.tables import load_spread
+
+    emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < _KNN_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cd = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", l2_fold(F.col("embedding"), F.col("ce")).alias("dfull")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dfull", "cid")
+    cells = (
+        cd.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("label"))
+    )
+    blocked = emb.join(cells, "vec_id").select("vec_id", "embedding", "label")
+    # threshold below -1 keeps every pair (cosine is bounded by [-1, 1])
+    pairs = cos_block_pairs(blocked, threshold=-2.0)
+    directed = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            "cos_sim",
+        )
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), "nbr_id"
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "nbr_id", "rank", "cos_sim")
     )

@@ -1173,3 +1173,91 @@ def op_stream_stale_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markers.select(
         "channel_id", F.unix_micros("last_ts").alias("last_ts_us"), "status"
     )
+
+
+# --- streaming OHLC bars via arg-min/arg-max mergeable partials --------------
+
+
+@register(
+    "op_stream_ohlc",
+    None,  # oracle attached below: the batch op's OHLC_SQL, shared verbatim
+    doc="OHLC/volume bars maintained ACROSS MICRO-BATCHES — the streaming "
+    "twin of op_events_ohlc and the one aggregate in the mergeable family "
+    "whose partials are NOT plain sums: open/close are arg-min/arg-max "
+    "over the (ts, event_id) event order, so each batch's partial carries "
+    "the VALUE TOGETHER WITH ITS ORDERING KEY as a struct, and the merge "
+    "is min_by/max_by on the stored key — associative and exact, like "
+    "count/sum/min/max.  The feed replays in 4 micro-batches over the "
+    "versioned-snapshot protocol (idempotent overwrite per batch_id); the "
+    "oracle is the from-scratch bar computation over everything, so the "
+    "hash match proves 4-way key-carrying merge == batch recompute "
+    "bit-for-bit.  At 100 TB this is how live dashboards keep bars "
+    "current: per-batch partials are bar-cardinality, nothing re-scans "
+    "event history, and a late event merges into its bar exactly like an "
+    "in-order one (no watermark discard in the snapshot design)",
+)
+def op_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.sources.tables import load_events
+
+    work = _workdir("op_stream_ohlc")
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.window("ts", "15 minutes").getField("start").alias("w"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    okey = F.struct("ts", "event_id")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "w").agg(
+            F.min_by(F.struct("ts", "event_id", "value"), okey).alias("open_s"),
+            F.max_by(F.struct("ts", "event_id", "value"), okey).alias("close_s"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").alias("n_events"),
+            F.sum(fx_unscaled(F.col("value"))).alias("vol_fx"),
+        )
+
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        skey = F.struct(F.col("open_s.ts"), F.col("open_s.event_id"))
+        ckey = F.struct(F.col("close_s.ts"), F.col("close_s.event_id"))
+        return (
+            stored.unionByName(part)
+            .groupBy("event_type", "w")
+            .agg(
+                F.min_by(F.col("open_s"), skey).alias("open_s"),
+                F.max_by(F.col("close_s"), ckey).alias("close_s"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.sum("n_events").alias("n_events"),
+                F.sum("vol_fx").alias("vol_fx"),
+            )
+        )
+
+    final = _versioned_snapshot_replay(
+        spark, work, ev, "bars", partial, merge
+    )
+    return final.select(
+        "event_type",
+        F.unix_micros("w").alias("bucket_us"),
+        F.col("open_s.value").alias("open"),
+        F.col("close_s.value").alias("close"),
+        "high",
+        "low",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("vol_fx").cast("double") / F.lit(1e6)).alias("volume"),
+    )
+
+
+# attach the shared batch oracle (import here to avoid a cycle at module
+# import time: analytics_ops imports nothing from streaming_ops)
+import dataclasses  # noqa: E402
+
+from daq_3i_spark.plans.analytics_ops import OHLC_SQL as _OHLC_SQL  # noqa: E402
+from daq_3i_spark.plans.registry import QUERIES  # noqa: E402
+
+QUERIES["op_stream_ohlc"] = dataclasses.replace(
+    QUERIES["op_stream_ohlc"], oracle=_OHLC_SQL
+)

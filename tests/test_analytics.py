@@ -93,3 +93,67 @@ def test_domain_mix_rebalances(spark, sf_dir):
         for r in QUERIES["op_corpus_domain_mix"].spark(spark, sf_dir).collect()
     )
     assert ids1 == ids2
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir):
+    batch = {
+        (r.event_type, r.bucket_us): r
+        for r in QUERIES["op_events_ohlc"].spark(spark, sf_dir).collect()
+    }
+    stream = QUERIES["op_stream_ohlc"].spark(spark, sf_dir).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        b = batch[(r.event_type, r.bucket_us)]
+        assert (r.open, r.close, r.high, r.low, r.n_events, r.volume) == (
+            b.open,
+            b.close,
+            b.high,
+            b.low,
+            b.n_events,
+            b.volume,
+        )
+
+
+def test_ema_head_and_bounds(spark, sf_dir):
+    rows = QUERIES["op_timeseries_ema"].spark(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_ch = defaultdict(list)
+    for r in rows:
+        by_ch[r.channel_id].append(r)
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    vals = {
+        (r.channel_id, r.id): r.value
+        for r in channel_data_df(spark, sf_dir).collect()
+    }
+    for ch, rs in by_ch.items():
+        rs.sort(key=lambda r: (r.ts_us, r.id))
+        # first sample: EMA == the sample itself (renormalized head window)
+        first_v = vals[(ch, rs[0].id)]
+        assert abs(rs[0].ema - first_v) < 1e-6
+        lo, hi = min(vals[(ch, r.id)] for r in rs), max(vals[(ch, r.id)] for r in rs)
+        # a convex combination never leaves the value envelope
+        for r in rs:
+            assert lo - 1e-9 <= r.ema <= hi + 1e-9
+
+
+def test_knn_graph_shape(spark, sf_dir):
+    from daq_3i_spark.plans.analytics_ops import _KNN_K
+
+    rows = QUERIES["op_sim_knn_graph"].spark(spark, sf_dir).collect()
+    assert rows
+    seen = {}
+    for r in rows:
+        assert r.vec_id != r.nbr_id
+        assert 1 <= r.rank <= _KNN_K
+        assert -1.000001 <= r.cos_sim <= 1.000001
+        seen.setdefault(r.vec_id, []).append((r.rank, r.cos_sim))
+    for _, nb in seen.items():
+        nb.sort()
+        ranks = [x[0] for x in nb]
+        assert ranks == list(range(1, len(nb) + 1))
+        sims = [x[1] for x in nb]
+        # rank order is similarity order (desc)
+        assert sims == sorted(sims, reverse=True)

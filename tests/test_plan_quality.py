@@ -43,6 +43,9 @@ _BNL_ALLOWED = {
     # localCheckpoint of the distance frame, this op keeps it lazy because
     # the distances feed exactly one consumer):
     "op_dedup_semantic",
+    # same 16-row centroid broadcast as op_dedup_semantic (cell assignment
+    # for the kNN-graph blocking):
+    "op_sim_knn_graph",
     # one-row global-min aggregate broadcast over the 5-row language-count
     # dimension (scalar-subquery pattern; the corpus side is a broadcast
     # HASH join on lang, never in the BNL):

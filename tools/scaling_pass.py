@@ -66,6 +66,8 @@ OPS = [
     "op_sink_change_feed",
     "op_stream_stale_monitor",
     "op_events_ohlc",
+    "op_stream_ohlc",
+    "op_timeseries_ema",
     "op_events_topk_paths",
     "op_events_attribution",
     "op_graph_pagerank",
