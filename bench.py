@@ -111,6 +111,8 @@ HEADLINE = [
     "op_stream_ohlc",
     "op_timeseries_ema",
     "op_sim_knn_graph",
+    "op_join_bloom_prefilter",
+    "op_sample_weighted",
 ]
 
 

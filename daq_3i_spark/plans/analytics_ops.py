@@ -578,3 +578,136 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("vec_id", "nbr_id", "rank", "cos_sim")
     )
+
+
+# --- bloom-prefiltered join (the runtime-filter pattern, hash-proven) --------
+
+_BLOOM_M = 16384  # bits per hash row
+_BLOOM_K = 3  # hash rows
+_BLOOM_PRICE = 480_000.0  # build side: top ~4% of orders by total price
+
+
+@register(
+    "op_join_bloom_prefilter",
+    f"""SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {fx_sum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_totalprice > {_BLOOM_PRICE})
+    GROUP BY l.l_returnflag""",
+    doc="bloom-prefiltered fact⋈dim semi join — the runtime-filter "
+    "technique engines bolt onto big joins, built declaratively and "
+    "hash-proven: the qualifying order keys (top ~4% by price) fold into "
+    f"a {_BLOOM_K}x{_BLOOM_M}-bit bloom bitmap ({_BLOOM_K * _BLOOM_M // 8} "
+    "bytes however many keys the build side holds — the bitmap geometry, "
+    "not the data, bounds the broadcast), the fact scan drops every row "
+    "failing ANY of the 3 bit tests map-side BEFORE the join, and the "
+    "exact semi join then removes bloom false positives.  The oracle is "
+    "the plain semi join, so the hash match proves the bloom path loses "
+    "nothing (no false negatives) and the refine drops every false "
+    "positive.  Plan: bitmap built by a pure-HOF aggregate (no driver "
+    "collect anywhere), one-row broadcast crossJoin onto the fact scan, "
+    "bit tests in whole-stage codegen; at 100 TB the prefilter cuts the "
+    "probe-side shuffle to ~the true match rate, which is the entire "
+    "point of runtime filters",
+)
+def op_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nlongs = _BLOOM_K * _BLOOM_M // 64
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_totalprice") > _BLOOM_PRICE).select("o_orderkey")
+
+    # single-bit masks as a literal array (pyspark's shiftleft takes only a
+    # Python-int shift, so bit ops go through element_at + bitwiseAND/OR;
+    # bit 63 is the long MIN_VALUE)
+    pow2 = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+    def pos(j: int, key) -> F.Column:
+        # flatten hash row j into one position space [j*M, (j+1)*M)
+        return F.pmod(F.xxhash64(F.lit(j), key), F.lit(_BLOOM_M)) + F.lit(
+            j * _BLOOM_M
+        )
+
+    posd = keys.select(
+        F.explode(
+            F.array(*[pos(j, F.col("o_orderkey")) for j in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    bitmap = posd.agg(
+        F.aggregate(
+            F.collect_list("p"),
+            F.array_repeat(F.lit(0).cast("long"), nlongs),
+            lambda acc, p: F.transform(
+                acc,
+                lambda x, i: F.when(
+                    i == (p / 64).cast("int"),
+                    x.bitwiseOR(
+                        F.element_at(pow2, (p % 64).cast("int") + 1)
+                    ),
+                ).otherwise(x),
+            ),
+        ).alias("bm")
+    )
+
+    probed = li.select("l_orderkey", "l_returnflag", "l_extendedprice").crossJoin(
+        F.broadcast(bitmap)
+    )
+    survives = None
+    for j in range(_BLOOM_K):
+        p = pos(j, F.col("l_orderkey"))
+        mask = F.element_at(pow2, (p % 64).cast("int") + 1)
+        bit = (
+            F.element_at("bm", (p / 64).cast("int") + 1).bitwiseAND(mask) != 0
+        )
+        survives = bit if survives is None else (survives & bit)
+    prefiltered = probed.filter(survives).drop("bm")
+    exact = prefiltered.join(F.broadcast(keys.distinct()),
+                             prefiltered.l_orderkey == F.col("o_orderkey"),
+                             "semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        fx_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+# --- deterministic length-weighted Bernoulli sampling -------------------------
+
+
+@register(
+    "op_sample_weighted",
+    f"""WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), m AS (SELECT max(n_tokens) AS mx FROM t)
+    SELECT t.doc_id, t.n_tokens
+    FROM t, m
+    WHERE ((t.doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M}) % 1000000
+          < (t.n_tokens * 1000000) // m.mx""",
+    doc="deterministic length-weighted Bernoulli sampling: each document "
+    "is kept with probability n_tokens/max(n_tokens) — token-mass-biased "
+    "selection (long documents carry more training signal per row), the "
+    "weighted complement to op_sample_stratified (uniform hash threshold) "
+    "and op_corpus_budget_sample (greedy budget fill).  The coin is the "
+    "portable LCG of doc_id against a PER-DOCUMENT threshold, so the "
+    "manifest is reproducible across runs/engines/cluster sizes and "
+    "monotone in the weight (raising a doc's weight can only add it, "
+    "never reshuffle others — hash thresholding, not reservoir state).  "
+    "Plan: one-row max aggregate broadcast back over the scan; the corpus "
+    "side is a pure codegen filter, no shuffle",
+)
+def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    mx = docs.agg(F.max("n_tokens").alias("mx"))
+    h = (F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter((h % 1_000_000) < F.expr("(n_tokens * 1000000) DIV mx"))
+        .select("doc_id", "n_tokens")
+    )

@@ -157,3 +157,81 @@ def test_knn_graph_shape(spark, sf_dir):
         sims = [x[1] for x in nb]
         # rank order is similarity order (desc)
         assert sims == sorted(sims, reverse=True)
+
+
+def test_bloom_prefilter_selectivity(spark, sf_dir):
+    """The bloom stage itself (before the exact refine) must pass every true
+    match and reject the bulk of non-matches — the property the oracle hash
+    (result == plain semi join) cannot see."""
+    from daq_3i_spark.plans.analytics_ops import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_PRICE,
+    )
+    from daq_3i_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    true_keys = {
+        r.o_orderkey
+        for r in orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_orderkey")
+        .collect()
+    }
+    # recompute the bloom decision in python with the same xxhash positions
+    probe = li.select("l_orderkey").distinct()
+    bits = set()
+    kdf = spark.createDataFrame([(k,) for k in sorted(true_keys)], "k long")
+    pos_rows = kdf.select(
+        *[
+            (F.pmod(F.xxhash64(F.lit(j), F.col("k")), F.lit(_BLOOM_M)) + j * _BLOOM_M).alias(f"p{j}")
+            for j in range(_BLOOM_K)
+        ]
+    ).collect()
+    for r in pos_rows:
+        for j in range(_BLOOM_K):
+            bits.add(r[f"p{j}"])
+    probe_rows = probe.select(
+        "l_orderkey",
+        *[
+            (F.pmod(F.xxhash64(F.lit(j), F.col("l_orderkey")), F.lit(_BLOOM_M)) + j * _BLOOM_M).alias(f"p{j}")
+            for j in range(_BLOOM_K)
+        ]
+    ).collect()
+    passed = {
+        r.l_orderkey
+        for r in probe_rows
+        if all(r[f"p{j}"] in bits for j in range(_BLOOM_K))
+    }
+    probe_keys = {r.l_orderkey for r in probe_rows}
+    # no false negatives
+    assert true_keys & probe_keys <= passed
+    # real pruning: false-positive rate under 20% of the non-matching keys
+    non_match = probe_keys - true_keys
+    fp = len(passed - true_keys)
+    assert fp <= max(5, 0.2 * len(non_match))
+
+
+def test_weighted_sample_bias(spark, sf_dir):
+    sel = QUERIES["op_sample_weighted"].spark(spark, sf_dir).collect()
+    assert sel
+    from daq_3i_spark.sources.tables import load_table
+
+    all_rows = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    mx = max(r.n_tokens for r in all_rows)
+    # max-length docs are kept with probability 1
+    sel_ids = {r.doc_id for r in sel}
+    for r in all_rows:
+        if r.n_tokens == mx:
+            assert r.doc_id in sel_ids
+    # the sample is token-biased: mean tokens of kept > mean of all
+    mean_all = sum(r.n_tokens for r in all_rows) / len(all_rows)
+    mean_sel = sum(r.n_tokens for r in sel) / len(sel)
+    assert mean_sel > mean_all

@@ -46,6 +46,10 @@ _BNL_ALLOWED = {
     # same 16-row centroid broadcast as op_dedup_semantic (cell assignment
     # for the kNN-graph blocking):
     "op_sim_knn_graph",
+    # one-row bloom-bitmap / corpus-max aggregates broadcast over the scan
+    # (runtime-filter and weighted-threshold scalar patterns):
+    "op_join_bloom_prefilter",
+    "op_sample_weighted",
     # one-row global-min aggregate broadcast over the 5-row language-count
     # dimension (scalar-subquery pattern; the corpus side is a broadcast
     # HASH join on lang, never in the BNL):

@@ -71,6 +71,7 @@ OPS = [
     "op_events_topk_paths",
     "op_events_attribution",
     "op_graph_pagerank",
+    "op_join_bloom_prefilter",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
@@ -97,6 +98,7 @@ OPS = [
     "op_corpus_dedup_sample",
     "op_corpus_clean_pipeline",
     "op_corpus_domain_mix",
+    "op_sample_weighted",
 ]
 
 
