@@ -113,6 +113,8 @@ HEADLINE = [
     "op_sim_knn_graph",
     "op_join_bloom_prefilter",
     "op_sample_weighted",
+    "op_timeseries_rate",
+    "op_timeseries_outlier_mad",
 ]
 
 

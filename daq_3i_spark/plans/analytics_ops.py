@@ -711,3 +711,137 @@ def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((h % 1_000_000) < F.expr("(n_tokens * 1000000) DIV mx"))
         .select("doc_id", "n_tokens")
     )
+
+
+# --- per-channel derivative + robust outlier detection (DAQ staples) ---------
+
+
+def _rate_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    r AS (
+      SELECT channel_id, id, ts, value,
+             lag(value) OVER (PARTITION BY channel_id ORDER BY ts, id) AS pv,
+             lag(ts) OVER (PARTITION BY channel_id ORDER BY ts, id) AS pt
+      FROM channel_data
+    )
+    SELECT channel_id, id, epoch_us(ts) AS ts_us,
+           (value - pv) * 1e6 / CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+             AS rate_per_s
+    FROM r WHERE pv IS NOT NULL AND epoch_us(ts) > epoch_us(pt)"""
+
+
+@register(
+    "op_timeseries_rate",
+    _rate_oracle(),
+    doc="per-channel rate of change (the Prometheus rate()/TimescaleDB "
+    "delta staple a DAQ front-end charts): for each sample, "
+    "(value - prev)/(seconds since prev) over the deterministic (ts, id) "
+    "order, first sample and zero-dt pairs excluded.  The quotient is "
+    "built as (v - pv) * 1e6 / CAST(dt_us AS DOUBLE) — identical IEEE "
+    "expression tree in both engines, so the derivative series is "
+    "bit-identical with no rounding.  Plan: ONE lag window pass per "
+    "channel partition (one shuffle), pure codegen arithmetic — the "
+    "(channel, day)-bucketed carry machinery of the gap-fill family "
+    "applies verbatim if a channel's history outgrows one task",
+)
+def op_timeseries_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("ts", "id")
+    r = cd.select(
+        "channel_id",
+        "id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value").over(w).alias("pv"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pt_us"),
+    )
+    return r.filter(F.col("pv").isNotNull() & (F.col("ts_us") > F.col("pt_us"))).select(
+        "channel_id",
+        "id",
+        "ts_us",
+        (
+            (F.col("value") - F.col("pv"))
+            * F.lit(1e6)
+            / (F.col("ts_us") - F.col("pt_us")).cast("double")
+        ).alias("rate_per_s"),
+    )
+
+
+#: MAD outlier gate: |v - median| > _MAD_SIGMA * 1.4826 * MAD (the normal-
+#: consistency constant), the robust z-score every monitoring stack ships
+_MAD_SIGMA = 3.0
+
+
+def _mad_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    med AS (
+      SELECT channel_id, quantile_cont(value, 0.5) AS med
+      FROM channel_data GROUP BY channel_id
+    ),
+    dev AS (
+      SELECT d.channel_id, m.med, abs(d.value - m.med) AS adev
+      FROM channel_data d JOIN med m ON d.channel_id = m.channel_id
+    ),
+    mad AS (
+      SELECT channel_id, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY channel_id
+    )
+    SELECT dev.channel_id, dev.med AS median, mad.mad,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN dev.adev > {_MAD_SIGMA} * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.channel_id = mad.channel_id
+    GROUP BY dev.channel_id, dev.med, mad.mad"""
+
+
+@register(
+    "op_timeseries_outlier_mad",
+    _mad_oracle(),
+    doc="median-absolute-deviation outlier detection per channel — the "
+    "robust alternative to z-scores (mean/stddev float sums are order-"
+    "nondeterministic AND a single spike inflates them; the median/MAD "
+    "pair is exact-interpolation portable, proven by op_sql_quantiles, "
+    "and breakdown-point 0.5): flag samples with |v - median| > "
+    f"{_MAD_SIGMA} * 1.4826 * MAD, emit per-channel median/MAD/counts.  "
+    "Plan: two percentile aggregates on channel_id (median, then median "
+    "absolute deviation) with the per-channel scalars broadcast back "
+    "between them, one conditional-count aggregate at the end — three "
+    "passes over the channel partition, zero self-joins; the sketch "
+    "path at 100 TB swaps percentile for the mergeable histogram "
+    "(op_sql_histogram_quantile) exactly like op_anomaly_rank documents",
+)
+def op_timeseries_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    med = cd.groupBy("channel_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = cd.join(F.broadcast(med), "channel_id").select(
+        "channel_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("channel_id").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    gate = F.col("adev") > F.lit(_MAD_SIGMA) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "channel_id")
+        .groupBy("channel_id", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum(F.when(gate, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "channel_id",
+            F.col("med").alias("median"),
+            "mad",
+            "n_samples",
+            "n_outliers",
+        )
+    )

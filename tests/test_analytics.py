@@ -235,3 +235,50 @@ def test_weighted_sample_bias(spark, sf_dir):
     mean_all = sum(r.n_tokens for r in all_rows) / len(all_rows)
     mean_sel = sum(r.n_tokens for r in sel) / len(sel)
     assert mean_sel > mean_all
+
+
+def test_rate_against_naive(spark, sf_dir):
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    rows = QUERIES["op_timeseries_rate"].spark(spark, sf_dir).collect()
+    assert rows
+    raw = sorted(
+        channel_data_df(spark, sf_dir).collect(),
+        key=lambda r: (r.channel_id, r.ts, r.id),
+    )
+    naive = {}
+    prev = {}
+    for r in raw:
+        p = prev.get(r.channel_id)
+        ts_us = int(r.ts.timestamp() * 1_000_000)
+        if p is not None and ts_us > p[0]:
+            naive[(r.channel_id, r.id)] = (r.value - p[1]) * 1e6 / (ts_us - p[0])
+        prev[r.channel_id] = (ts_us, r.value)
+    assert len(rows) == len(naive)
+    for r in rows:
+        assert abs(r.rate_per_s - naive[(r.channel_id, r.id)]) < 1e-9
+
+
+def test_mad_outliers_on_spiked_fixture(spark):
+    """A constant series with one spike: MAD must flag exactly the spike
+    (stddev-based z-scores famously fail this — the spike inflates sigma)."""
+    import dataclasses
+
+    from daq_3i_spark.plans.analytics_ops import op_timeseries_outlier_mad
+
+    rows = [(i, 1, f"2024-01-10 00:{i:02d}:00", 10.0 + (0.001 * (i % 3))) for i in range(30)]
+    rows.append((99, 1, "2024-01-10 01:00:00", 500.0))
+    df = spark.createDataFrame(rows, "id long, channel_id int, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    import daq_3i_spark.sources.daq_dims as dims
+
+    orig = dims.channel_data_df
+    try:
+        dims.channel_data_df = lambda s, sf: df
+        out = {r.channel_id: r for r in op_timeseries_outlier_mad(spark, "unused").collect()}
+    finally:
+        dims.channel_data_df = orig
+    r = out[1]
+    assert r.n_samples == 31
+    assert r.n_outliers == 1
+    assert abs(r.median - 10.001) < 0.01

@@ -72,6 +72,8 @@ OPS = [
     "op_events_attribution",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
+    "op_timeseries_rate",
+    "op_timeseries_outlier_mad",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
