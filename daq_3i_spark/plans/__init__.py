@@ -31,7 +31,12 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # op_source_orc_roundtrip, op_quality_constraints,
 # op_source_schema_evolution, op_sink_merge_upsert, op_events_funnel,
 # op_events_cohort_retention, op_join_scd2, op_corpus_split,
-# op_sink_change_feed.
+# op_sink_change_feed; and the 12 analytics-batch additions (also never
+# driver-checked): op_events_ohlc, op_events_topk_paths,
+# op_events_attribution, op_graph_pagerank, op_corpus_domain_mix,
+# op_stream_ohlc, op_timeseries_ema, op_sim_knn_graph,
+# op_join_bloom_prefilter, op_sample_weighted, op_timeseries_rate,
+# op_timeseries_outlier_mad.
 # Every registry entry is oracled (tools/check_counts.py pins the doc
 # counts) and passes the exact-compare local gate (tools/verify_contract.py)
 # before this ordering.
