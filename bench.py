@@ -115,6 +115,7 @@ HEADLINE = [
     "op_sample_weighted",
     "op_timeseries_rate",
     "op_timeseries_outlier_mad",
+    "op_events_concurrency",
 ]
 
 

@@ -845,3 +845,100 @@ def op_timeseries_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --- sweep-line session concurrency curve ------------------------------------
+
+_CONC_GAP_S = 600  # the op_session_window_batch 10-minute gap, shared
+
+
+@register(
+    "op_events_concurrency",
+    f"""WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_CONC_GAP_S} * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o
+    ), sess AS (
+      SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+      FROM s GROUP BY user_id, session_id
+    ), d AS (
+      SELECT epoch_us(st) AS t, 1 AS a, 0 AS b FROM sess
+      UNION ALL SELECT epoch_us(en), 0, 1 FROM sess
+    ), g AS (
+      SELECT t, CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b
+      FROM d GROUP BY t
+    )
+    SELECT t AS ts_us,
+           CAST(SUM(a - b) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) + b
+                AS BIGINT) AS concurrent
+    FROM g""",
+    doc="concurrent-session curve by sweep line: sessions (the 10-min-gap "
+    "sessionization of op_session_window_batch) become +1/-1 boundary "
+    "deltas, and the concurrency at each boundary instant t is the "
+    "running delta sum with closed-interval semantics (a session ending "
+    "AT t still counts at t: conc = cumsum(starts-ends) + ends_at_t, so "
+    "back-to-back sessions touching at one instant both count).  The "
+    "capacity-planning staple (peak load, license seats, connection "
+    "pools).  Plan: the oracle states ONE global running sum; the Spark "
+    "plan is the hot-key-safe two-level form — per-day net rollup + "
+    "cumulative carry over the tiny day frame, then per-day partitioned "
+    "running sums with the carry broadcast-stitched in (the gap-fill "
+    "bucketing pattern applied to prefix sums) — so no task ever sees "
+    "more than one day of boundaries, and the hash match proves "
+    "two-level == global",
+)
+def op_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = wo.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(wo)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > _CONC_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(F.unix_micros(F.min("ts")).alias("st"),
+             F.unix_micros(F.max("ts")).alias("en"))
+    )
+    deltas = sess.select(F.col("st").alias("t"), F.lit(1).alias("a"),
+                         F.lit(0).alias("b")).unionByName(
+        sess.select(F.col("en").alias("t"), F.lit(0).alias("a"),
+                    F.lit(1).alias("b"))
+    )
+    g = deltas.groupBy("t").agg(
+        F.sum("a").cast("bigint").alias("a"), F.sum("b").cast("bigint").alias("b")
+    ).withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
+    # two-level prefix sum: per-day nets -> cumulative carry over the tiny
+    # day frame -> within-day running sums join the carry back
+    droll = g.groupBy("day").agg(F.sum(F.col("a") - F.col("b")).alias("dnet"))
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = droll.select(
+        "day", F.coalesce(F.sum("dnet").over(w_day), F.lit(0)).alias("base")
+    )
+    w_in = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.join(F.broadcast(carry), "day")
+        .select(
+            F.col("t").alias("ts_us"),
+            (
+                F.col("base")
+                + F.sum(F.col("a") - F.col("b")).over(w_in)
+                + F.col("b")
+            )
+            .cast("bigint")
+            .alias("concurrent"),
+        )
+    )

@@ -282,3 +282,20 @@ def test_mad_outliers_on_spiked_fixture(spark):
     assert r.n_samples == 31
     assert r.n_outliers == 1
     assert abs(r.median - 10.001) < 0.01
+
+
+def test_concurrency_sweep_invariants(spark, sf_dir):
+    rows = sorted(
+        QUERIES["op_events_concurrency"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.ts_us,
+    )
+    assert rows
+    # concurrency is always >= 1 at a boundary instant (the boundary's own
+    # session contains it) and the curve ends by closing every session
+    assert all(r.concurrent >= 1 for r in rows)
+    from daq_3i_spark.plans.analytics_ops import _CONC_GAP_S
+    from daq_3i_spark.sources.tables import load_events
+
+    # peak concurrency can never exceed the number of distinct users
+    n_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    assert max(r.concurrent for r in rows) <= n_users

@@ -70,6 +70,7 @@ OPS = [
     "op_timeseries_ema",
     "op_events_topk_paths",
     "op_events_attribution",
+    "op_events_concurrency",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
     "op_timeseries_rate",
