@@ -116,6 +116,7 @@ HEADLINE = [
     "op_timeseries_rate",
     "op_timeseries_outlier_mad",
     "op_events_concurrency",
+    "op_text_tfidf_topterms",
 ]
 
 

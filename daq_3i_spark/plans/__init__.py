@@ -36,7 +36,8 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # op_events_attribution, op_graph_pagerank, op_corpus_domain_mix,
 # op_stream_ohlc, op_timeseries_ema, op_sim_knn_graph,
 # op_join_bloom_prefilter, op_sample_weighted, op_timeseries_rate,
-# op_timeseries_outlier_mad, op_events_concurrency.
+# op_timeseries_outlier_mad, op_events_concurrency,
+# op_text_tfidf_topterms.
 # Every registry entry is oracled (tools/check_counts.py pins the doc
 # counts) and passes the exact-compare local gate (tools/verify_contract.py)
 # before this ordering.

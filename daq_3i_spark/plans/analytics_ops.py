@@ -942,3 +942,76 @@ def op_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("concurrent"),
         )
     )
+
+
+# --- TF-IDF keyword extraction with rational idf ------------------------------
+
+_TFIDF_K = 3  # top terms per document
+
+
+@register(
+    "op_text_tfidf_topterms",
+    f"""WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tfd AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dfa AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY token
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sc AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             t.tf * ((n.n * 1000000) // d.df) AS score
+      FROM tfd t JOIN dfa d ON t.token = d.token, n
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM sc
+    )
+    SELECT doc_id, token, tf, df, CAST(score AS BIGINT) AS score,
+           CAST(rn AS BIGINT) AS rk
+    FROM r WHERE rn <= {_TFIDF_K}""",
+    doc=f"TF-IDF keyword extraction: each document's top-{_TFIDF_K} terms "
+    "by tf x rational idf — score = tf * ((N * 1e6) DIV df), the integer "
+    "idf surrogate (monotone in N/df) that makes the ranking bit-portable "
+    "where ln(N/df) is not (libm ln differs across builds; the same "
+    "convention as op_text_bm25's rational idf, and the weighting "
+    "op_text_vocab's docstring explicitly defers to the caller).  Plan: "
+    "explode -> (doc, token) tf aggregate; df falls out of a SECOND "
+    "aggregate over the (doc, token) pairs (no distinct over the raw "
+    "token stream); corpus size N is a one-row broadcast; final "
+    "per-document top-k is a rank window over the doc partition.  Two "
+    "shuffles ((doc_id, token), then token) + the window — at 100 TB the "
+    "df table joins back as an ordinary equi join (vocab outgrows "
+    "broadcast) and everything stays map-side-combinable",
+)
+def op_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tfd = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfa = tfd.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n"))
+    sc = (
+        tfd.join(dfa, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr("tf * ((n * 1000000) DIV df)").cast("bigint").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )

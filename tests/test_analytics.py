@@ -299,3 +299,28 @@ def test_concurrency_sweep_invariants(spark, sf_dir):
     # peak concurrency can never exceed the number of distinct users
     n_users = load_events(spark, sf_dir).select("user_id").distinct().count()
     assert max(r.concurrent for r in rows) <= n_users
+
+
+def test_tfidf_prefers_rare_terms(spark, sf_dir):
+    rows = QUERIES["op_text_tfidf_topterms"].spark(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # score formula holds: tf * ((N * 1e6) DIV df)
+    n_docs = max(r.df for r in rows)  # df <= N
+    for r in rows:
+        assert r.score == r.tf * ((_n_docs_cached(spark, sf_dir) * 1_000_000) // r.df)
+
+
+def _n_docs_cached(spark, sf_dir, _c={}):
+    if sf_dir not in _c:
+        from daq_3i_spark.sources.tables import load_table
+
+        _c[sf_dir] = load_table(spark, sf_dir, "documents").count()
+    return _c[sf_dir]

@@ -50,6 +50,8 @@ _BNL_ALLOWED = {
     # (runtime-filter and weighted-threshold scalar patterns):
     "op_join_bloom_prefilter",
     "op_sample_weighted",
+    # one-row corpus-count broadcast into the tf-idf score projection:
+    "op_text_tfidf_topterms",
     # one-row global-min aggregate broadcast over the 5-row language-count
     # dimension (scalar-subquery pattern; the corpus side is a broadcast
     # HASH join on lang, never in the BNL):

@@ -102,6 +102,7 @@ OPS = [
     "op_corpus_clean_pipeline",
     "op_corpus_domain_mix",
     "op_sample_weighted",
+    "op_text_tfidf_topterms",
 ]
 
 
