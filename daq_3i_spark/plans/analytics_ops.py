@@ -1,24 +1,37 @@
-"""Event/graph/corpus analytics operators (round-7 widening batch).
+"""Event/graph/time-series/corpus analytics operators (round-7 batch).
 
-Five staples a production analytics engine is expected to host on top of the
+Staples a production analytics engine is expected to host on top of the
 reference's DAQ surface (the reference, /root/reference, is a MODBUS daemon
 with no analytics — these extend the engine the way BASELINE.json's north
 star asks):
 
 * ``op_events_ohlc`` — OHLC/volume resampling bars, THE canonical
   downsampling shape for sample streams (open/close picked by deterministic
-  (ts, event_id) order, volume via the fixed-point sum convention);
+  (ts, event_id) order, volume via the fixed-point sum convention); its
+  streaming twin ``op_stream_ohlc`` lives in plans/streaming_ops.py and
+  shares the oracle verbatim;
 * ``op_events_topk_paths`` — top-k user journey prefixes (sequential
   pattern mining, the product-analytics sibling of the funnel);
 * ``op_events_attribution`` — last-touch conversion attribution inside a
   7-day lookback (single-pass framed window, no self-join);
+* ``op_events_concurrency`` — sweep-line concurrent-session curve with
+  hot-key-safe two-level prefix sums;
 * ``op_graph_pagerank`` — 3 fixed PageRank iterations over the bipartite
   part↔supplier co-occurrence graph in EXACT integer arithmetic, so the
   result is bit-identical regardless of join/aggregation order — the
   portable way to oracle an iterative float algorithm;
-* ``op_corpus_domain_mix`` — uniform-language rebalancing of the document
-  corpus by portable-hash thresholding (the domain-mixing stage of a
-  training-data pipeline, reproducible across engines/cluster sizes).
+* ``op_sim_knn_graph`` — each vector's top-k cosine neighbors within its
+  coarse cell (the similarity JOIN feeding graph-based curation);
+* ``op_corpus_domain_mix`` / ``op_sample_weighted`` — deterministic
+  portable-hash sampling: uniform-language rebalancing and length-weighted
+  Bernoulli selection (the domain-mixing stages of a training pipeline);
+* ``op_join_bloom_prefilter`` — the runtime-filter technique, declarative
+  and hash-proven (bloom prefilter + exact refine == plain semi join);
+* ``op_timeseries_ema`` / ``op_timeseries_rate`` /
+  ``op_timeseries_outlier_mad`` — smoothing, differentiation, and robust
+  outlier gating per channel, all in bit-portable arithmetic;
+* ``op_text_tfidf_topterms`` — keyword extraction with the rational idf
+  surrogate (bit-portable where ln() is not).
 
 Scale notes (100 TB):
 
