@@ -117,6 +117,7 @@ HEADLINE = [
     "op_timeseries_outlier_mad",
     "op_events_concurrency",
     "op_text_tfidf_topterms",
+    "op_multimodal_phash",
 ]
 
 

@@ -1028,3 +1028,165 @@ def op_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TFIDF_K)
         .select("doc_id", "token", "tf", "df", "score", "rk")
     )
+
+
+# --- perceptual-hash image near-dup (multimodal -> dedup bridge) -------------
+
+_PH_W = 8  # aHash grid: 8x8 grayscale
+_PH_N = _PH_W * _PH_W
+_PH_HEADER = f"P5\n{_PH_W} {_PH_W}\n255\n".encode()
+_PH_HAM = 3  # 4x16-bit bands guarantee recall at hamming <= 3 (pigeonhole)
+
+#: DuckDB byte kernel (the op_multimodal_* convention): payload bytes as a
+#: 1-based int list via hex-digit positional arithmetic
+_PH_BYTES = (
+    "list_transform(range(1, octet_length(payload) + 1), i ->"
+    " (strpos('0123456789ABCDEF', substr(hex(payload), 2*i-1, 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', substr(hex(payload), 2*i, 1)) - 1))"
+)
+
+
+def _phash_oracle() -> str:
+    from daq_3i_spark.functions.text import DUCK
+
+    p_hi = "[" + ",".join(str(1 << (32 - i)) for i in range(1, 33)) + "]"
+    half = (
+        "CAST(list_sum(list_transform(range(1, 33), i ->"
+        " CASE WHEN px[i + {off}] * {n} > total THEN {pows}[i]"
+        " ELSE 0 END)) AS BIGINT)"
+    )
+    hi = half.format(off=0, n=_PH_N, pows=p_hi)
+    lo = half.format(off=32, n=_PH_N, pows=p_hi)
+    ham = (
+        f"{DUCK.bitcount(DUCK.bxor('a.hi', 'b.hi'))}"
+        f" + {DUCK.bitcount(DUCK.bxor('a.lo', 'b.lo'))}"
+    )
+    return f"""WITH p AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), b AS (
+      SELECT doc_id, octet_length(payload) AS n, {_PH_BYTES} AS bl FROM p
+    ), body AS (
+      SELECT doc_id,
+             list_transform(range(1, {_PH_N} + 1),
+               i -> CASE WHEN i <= n THEN bl[i] ELSE 0 END) AS px
+      FROM b
+    ), t AS (
+      SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS total FROM body
+    ), h AS (
+      SELECT doc_id, {hi} AS hi, {lo} AS lo FROM t
+    ), blocks AS (
+      SELECT doc_id, hi, lo, j,
+             CASE j WHEN 0 THEN (hi >> 16) & 65535 WHEN 1 THEN hi & 65535
+                    WHEN 2 THEN (lo >> 16) & 65535 ELSE lo & 65535 END AS band
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+      WHERE {ham} <= {_PH_HAM}
+    ), dup AS (
+      SELECT doc_b, min(doc_a) AS dup_of FROM pairs GROUP BY doc_b
+    )
+    SELECT h.doc_id, h.hi AS ahash_hi, h.lo AS ahash_lo, dup.dup_of,
+           dup.dup_of IS NULL AS is_kept
+    FROM h LEFT JOIN dup ON h.doc_id = dup.doc_b"""
+
+
+@register(
+    "op_multimodal_phash",
+    _phash_oracle(),
+    doc="perceptual-hash image near-dup — the multimodal->dedup bridge: "
+    f"each document's bytes frame as an {_PH_W}x{_PH_W} binary PGM (P5), "
+    "the REAL netpbm decoder (functions/multimodal.py:decode_media) "
+    "parses it to pixels, and the aHash bit i is px[i]*64 > sum(px) "
+    "(strict integer compare — no float mean), packed as two NON-NEGATIVE "
+    "32-bit halves so shifts/XOR/bit_count behave identically in both "
+    "engines with no sign-bit hazard.  Near-dups (hamming <= "
+    f"{_PH_HAM}) are found via 4x16-bit band blocking — pigeonhole "
+    "guarantees recall, the op_dedup_simhash machinery applied to "
+    "DECODED PIXELS — and each duplicate maps to its min-id keeper.  The "
+    "oracle never runs the decoder: it recomputes the hash from the raw "
+    "bytes by positional hex arithmetic, so the decode+hash pipeline is "
+    "verified against an independent derivation.  Plan: mapInPandas "
+    "Arrow batches for decode+hash (no shuffle), band-bucketed self-join "
+    "bounds pair work exactly like simhash; at 100 TB hot bands cap via "
+    "the df-window mitigation the capped dedup ops establish",
+)
+def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from daq_3i_spark.functions.multimodal import decode_media
+    from daq_3i_spark.functions.text import SPARK
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    body = F.substring(
+        F.concat(F.expr("encode(text, 'utf-8')"), F.lit(bytearray(_PH_N))),
+        1,
+        _PH_N,
+    )
+    packed = docs.select(
+        "doc_id", F.concat(F.lit(bytearray(_PH_HEADER)), body).alias("payload")
+    )
+
+    def hash_batches(it):
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = (
+                    decode_media(bytes(payload), "image/x-portable-graymap")
+                    .reshape(-1)
+                    .astype(np.int64)
+                )
+                total = int(px.sum())
+                bits = (px * _PH_N) > total
+                hi = lo = 0
+                for i in range(32):
+                    if bits[i]:
+                        hi |= 1 << (31 - i)
+                    if bits[32 + i]:
+                        lo |= 1 << (31 - i)
+                out.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(out, columns=["doc_id", "hi", "lo"])
+
+    # two consumers (band blocking + the final mapping join) — materialize
+    # the decode+hash pass once instead of running the Arrow kernel twice
+    h = packed.mapInPandas(
+        hash_batches, "doc_id long, hi long, lo long"
+    ).localCheckpoint(eager=True)
+    blocks = h.select(
+        "doc_id", "hi", "lo", F.explode(F.expr("sequence(0, 3)")).alias("j")
+    ).withColumn(
+        "band",
+        F.expr(
+            "CASE j WHEN 0 THEN shiftright(hi, 16) & 65535"
+            " WHEN 1 THEN hi & 65535"
+            " WHEN 2 THEN shiftright(lo, 16) & 65535"
+            " ELSE lo & 65535 END"
+        ),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.expr(
+        f"{SPARK.bitcount(SPARK.bxor('a.hi', 'b.hi'))}"
+        f" + {SPARK.bitcount(SPARK.bxor('a.lo', 'b.lo'))}"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= _PH_HAM)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dup = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of"))
+    return h.join(dup, h.doc_id == dup.doc_b, "left").select(
+        "doc_id",
+        F.col("hi").alias("ahash_hi"),
+        F.col("lo").alias("ahash_lo"),
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_kept"),
+    )

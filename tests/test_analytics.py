@@ -324,3 +324,25 @@ def _n_docs_cached(spark, sf_dir, _c={}):
 
         _c[sf_dir] = load_table(spark, sf_dir, "documents").count()
     return _c[sf_dir]
+
+
+def test_phash_duplicate_detection(spark, sf_dir):
+    """Exact-duplicate texts share identical byte images, so hamming 0 —
+    every such pair must be linked; and the keeper is always the min id."""
+    from daq_3i_spark.sources.tables import load_table
+
+    out = {r.doc_id: r for r in QUERIES["op_multimodal_phash"].spark(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_prefix = {}
+    for d in docs:
+        by_prefix.setdefault(d.text.encode()[:64], []).append(d.doc_id)
+    for _, ids in by_prefix.items():
+        if len(ids) > 1:
+            keep = min(ids)
+            for i in ids:
+                if i != keep:
+                    assert out[i].dup_of is not None and out[i].dup_of <= keep
+    for r in out.values():
+        assert r.is_kept == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.doc_id

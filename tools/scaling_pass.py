@@ -103,6 +103,7 @@ OPS = [
     "op_corpus_domain_mix",
     "op_sample_weighted",
     "op_text_tfidf_topterms",
+    "op_multimodal_phash",
 ]
 
 
