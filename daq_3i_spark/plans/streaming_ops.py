@@ -797,6 +797,35 @@ def op_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def snapshot_versions(root: str) -> list[int]:
+    """Version ids present under a snapshot root (``v=<id>`` dirs)."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("v=")
+    )
+
+
+def make_snapshot_refresh(spark: SparkSession, root: str, partial_fn, merge_fn):
+    """The per-batch commit step of the versioned-snapshot protocol,
+    exposed as a standalone callable so tests can drive it DIRECTLY with
+    replayed/crashed batch sequences (the streaming engine re-delivers a
+    batch_id after a crash-before-checkpoint-commit): v=batch_id is always
+    rebuilt from the latest version BELOW batch_id, so re-running a batch
+    overwrites its own version from the same predecessor — idempotent, and
+    the chain converges (pinned in tests/test_streaming.py)."""
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        merged = partial_fn(batch)
+        vs = [v for v in snapshot_versions(root) if v < batch_id]
+        if vs:
+            stored = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
+            merged = merge_fn(stored, merged)
+        merged.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+
+    return refresh
+
+
 def _versioned_snapshot_replay(
     spark: SparkSession,
     work: str,
@@ -811,28 +840,14 @@ def _versioned_snapshot_replay(
     (maxFilesPerTrigger=1), apply ``partial_fn`` per batch, merge into the
     latest prior snapshot with ``merge_fn(stored, partial)``, and overwrite
     snapshot v=batch_id (idempotent — a crashed/replayed batch rewrites ITS
-    version from the same prior version, so the chain converges).  Returns
-    the final snapshot.  Keeping the protocol in one place means a fix to
-    the retry-convergence rule cannot silently diverge between ops."""
+    version from the same prior version, so the chain converges; the
+    commit step is :func:`make_snapshot_refresh`, replay-tested directly).
+    Returns the final snapshot.  Keeping the protocol in one place means a
+    fix to the retry-convergence rule cannot silently diverge between ops."""
     feed = os.path.join(work, "feed")
     feed_df.repartition(4).write.parquet(feed)
     root = os.path.join(work, root_name)
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("v=")
-        )
-
-    def refresh(batch: DataFrame, batch_id: int) -> None:
-        merged = partial_fn(batch)
-        vs = [v for v in _versions() if v < batch_id]
-        if vs:
-            stored = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
-            merged = merge_fn(stored, merged)
-        merged.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
-
+    refresh = make_snapshot_refresh(spark, root, partial_fn, merge_fn)
     schema = spark.read.parquet(feed).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
@@ -845,7 +860,9 @@ def _versioned_snapshot_replay(
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(os.path.join(root, f"v={_versions()[-1]}"))
+    return spark.read.parquet(
+        os.path.join(root, f"v={snapshot_versions(root)[-1]}")
+    )
 
 
 

@@ -621,3 +621,59 @@ def test_compaction_threshold_semantics(spark, sf_dir, tmp_path):
             assert after[p] == before[p], f"compact partition {p} was rewritten"
     # content-neutral
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_snapshot_refresh_replay_convergence(spark, sf_dir):
+    """The versioned-snapshot commit step must be idempotent under the
+    streaming engine's crash-replay contract: a batch_id re-delivered after
+    a crash-before-checkpoint-commit rewrites ITS version from the same
+    predecessor, so any replay interleaving converges to the straight run."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from daq_3i_spark.plans.streaming_ops import (
+        _TMP_ROOT,
+        make_snapshot_refresh,
+        snapshot_versions,
+    )
+    from daq_3i_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    batches = [ev.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == k) for k in range(3)]
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.min("value").alias("mn")
+        )
+
+    def merge(stored, part):
+        return (
+            stored.unionByName(part)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.min("mn").alias("mn"))
+        )
+
+    def run(sequence, name):
+        root = os.path.join(_TMP_ROOT, name)
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        refresh = make_snapshot_refresh(spark, root, partial, merge)
+        for bid in sequence:
+            refresh(batches[bid], bid)
+        final = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(root, f"v={snapshot_versions(root)[-1]}")
+            ).collect()
+        )
+        shutil.rmtree(root)
+        return final
+
+    straight = run([0, 1, 2], "snap_replay_a")
+    # crash-replay interleavings the engine can produce: re-delivery of the
+    # last batch, and re-delivery mid-chain before the successor ran
+    assert run([0, 1, 1, 2], "snap_replay_b") == straight
+    assert run([0, 0, 1, 2, 2], "snap_replay_c") == straight
+    assert run([0, 1, 2, 2], "snap_replay_d") == straight
