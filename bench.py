@@ -118,6 +118,8 @@ HEADLINE = [
     "op_events_concurrency",
     "op_text_tfidf_topterms",
     "op_multimodal_phash",
+    "op_events_ab_lift",
+    "op_timeseries_seasonal",
 ]
 
 

@@ -1190,3 +1190,160 @@ def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.col("dup_of").isNull().alias("is_kept"),
     )
+
+
+# --- deterministic A/B experiment analysis -----------------------------------
+
+
+@register(
+    "op_events_ab_lift",
+    """WITH v AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ), c AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT v.variant,
+             CAST(count(*) AS BIGINT) AS users,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converters
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+      GROUP BY v.variant
+    ), r AS (
+      SELECT variant, users, converters,
+             (converters * 1000000) // users AS rate_ppm
+      FROM agg
+    )
+    SELECT a.users AS users_a, a.converters AS conv_a, a.rate_ppm AS rate_a_ppm,
+           b.users AS users_b, b.converters AS conv_b, b.rate_ppm AS rate_b_ppm,
+           CASE WHEN a.rate_ppm > 0
+                THEN ((b.rate_ppm - a.rate_ppm) * 1000000) // a.rate_ppm
+                ELSE NULL END AS lift_ppm
+    FROM (SELECT * FROM r WHERE variant = 'A') a,
+         (SELECT * FROM r WHERE variant = 'B') b""",
+    doc="A/B experiment analysis with a DETERMINISTIC assignment: users "
+    "split into variants by the portable md5 bucket (the op_corpus_split "
+    "convention on user_id — same user, same variant on every engine/"
+    "cluster/rerun, where rand() assignment is unreproducible and "
+    "mod-on-id inherits id patterns), conversion = any purchase event; "
+    "output is one row of per-variant users/converters/rate and the "
+    "relative lift, all as exact integer ppm (no float division "
+    "anywhere).  Plan: one distinct projection per side joined on "
+    "user_id, aggregate to a 2-row frame, self-joined to a single row — "
+    "the event scan is touched twice (variant universe + converters), "
+    "both passes map-side combinable; at 100 TB the converter side "
+    "prunes to the purchase partition at the scan",
+)
+def op_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(2),
+    )
+    v = ev.select(
+        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
+    ).distinct()
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    agg = (
+        v.join(c, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("users"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0))).cast("bigint").alias(
+                "converters"
+            ),
+        )
+        .withColumn("rate_ppm", F.expr("(converters * 1000000) DIV users"))
+    )
+    a = agg.filter(F.col("variant") == "A").alias("a")
+    b = agg.filter(F.col("variant") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.users").alias("users_a"),
+        F.col("a.converters").alias("conv_a"),
+        F.col("a.rate_ppm").alias("rate_a_ppm"),
+        F.col("b.users").alias("users_b"),
+        F.col("b.converters").alias("conv_b"),
+        F.col("b.rate_ppm").alias("rate_b_ppm"),
+        F.expr(
+            "CASE WHEN a.rate_ppm > 0"
+            " THEN ((b.rate_ppm - a.rate_ppm) * 1000000) DIV a.rate_ppm"
+            " ELSE NULL END"
+        ).alias("lift_ppm"),
+    )
+
+
+# --- seasonal (time-of-day) baseline profile ---------------------------------
+
+
+def _seasonal_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    b AS (
+      SELECT channel_id,
+             CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
+                  AS BIGINT) AS minute_of_day,
+             value
+      FROM channel_data
+    )
+    SELECT channel_id, minute_of_day,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM b GROUP BY channel_id, minute_of_day"""
+
+
+@register(
+    "op_timeseries_seasonal",
+    _seasonal_oracle(),
+    doc="seasonal baseline profile — the time-of-day folding every "
+    "monitoring stack builds (what does this channel NORMALLY read at "
+    "14:35?): samples grouped by (channel, minute-of-day) across all "
+    "history, emitting count, exact fixed-point mean (one int64 sum + one "
+    "correctly-rounded division — order-insensitive where a naive avg() "
+    "of doubles is not), and the min/max envelope.  The profile is the "
+    "denominator of seasonal-anomaly scoring (op_timeseries_outlier_mad "
+    "gates against a global center; this gate is time-conditioned).  "
+    "Plan: ONE map-side-combined hash aggregate on the (channel, "
+    "minute-of-day) key — 1440 buckets per channel whatever the history "
+    "length, so the aggregate output is dimension-sized and the shuffle "
+    "carries partials, not samples",
+)
+def op_timeseries_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    mod = (F.hour("ts") * 60 + F.minute("ts")).cast("bigint")
+    return (
+        cd.select("channel_id", mod.alias("minute_of_day"), "value")
+        .groupBy("channel_id", "minute_of_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum(fx_unscaled(F.col("value"))).alias("sum_fx"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "channel_id",
+            "minute_of_day",
+            "n_samples",
+            (
+                F.col("sum_fx").cast("double")
+                / (F.col("n_samples") * F.lit(1_000_000)).cast("double")
+            ).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+    )

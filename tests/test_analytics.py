@@ -346,3 +346,27 @@ def test_phash_duplicate_detection(spark, sf_dir):
         assert r.is_kept == (r.dup_of is None)
         if r.dup_of is not None:
             assert r.dup_of < r.doc_id
+
+
+def test_ab_lift_consistency(spark, sf_dir):
+    from daq_3i_spark.sources.tables import load_events
+
+    row = QUERIES["op_events_ab_lift"].spark(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    ev = load_events(spark, sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    assert r.users_a + r.users_b == n_users
+    assert 0 <= r.conv_a <= r.users_a and 0 <= r.conv_b <= r.users_b
+    assert r.rate_a_ppm == r.conv_a * 1_000_000 // r.users_a
+    # the split is roughly balanced (md5 bucket, not id parity)
+    assert abs(r.users_a - r.users_b) < 0.3 * n_users + 10
+
+
+def test_seasonal_profile_envelope(spark, sf_dir):
+    rows = QUERIES["op_timeseries_seasonal"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.minute_of_day < 1440
+        assert r.min_value <= r.avg_value <= r.max_value
+        assert r.n_samples >= 1

@@ -71,6 +71,8 @@ OPS = [
     "op_events_topk_paths",
     "op_events_attribution",
     "op_events_concurrency",
+    "op_events_ab_lift",
+    "op_timeseries_seasonal",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
     "op_timeseries_rate",
