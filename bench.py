@@ -120,6 +120,7 @@ HEADLINE = [
     "op_multimodal_phash",
     "op_events_ab_lift",
     "op_timeseries_seasonal",
+    "op_stream_late_drop",
 ]
 
 

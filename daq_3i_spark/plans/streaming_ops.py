@@ -1278,3 +1278,100 @@ from daq_3i_spark.plans.registry import QUERIES  # noqa: E402
 QUERIES["op_stream_ohlc"] = dataclasses.replace(
     QUERIES["op_stream_ohlc"], oracle=_OHLC_SQL
 )
+
+
+# --- watermark semantics proven: late deliveries drop, windows finalize ------
+
+#: late set: week-1 events (id % 7 == 0) are WITHHELD from the time-ordered
+#: slices and delivered last — after the watermark has passed their windows
+_LATE_CUT = "2024-01-08 00:00:00"
+_LATE_SLICES = ["2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+
+
+@register(
+    "op_stream_late_drop",
+    """WITH ot AS (
+      SELECT * FROM events
+      WHERE NOT (event_id % 7 = 0 AND ts < TIMESTAMP '2024-01-08 00:00:00')
+    ), m AS (SELECT max(ts) AS mx FROM ot),
+    w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ot GROUP BY 1, 2
+    )
+    SELECT epoch_us(ws) AS window_start_us, event_type, n_events
+    FROM w, m
+    WHERE ws + INTERVAL '2 hours' <= mx""",
+    doc="watermark semantics proven end-to-end — the one streaming behavior "
+    "the single-batch replays cannot show: hourly windowed counts with a "
+    "1-hour watermark run over FOUR mtime-ordered micro-batches where "
+    "week-1 events with id%7==0 are withheld from the time-ordered slices "
+    "and delivered LAST, after the watermark (max on-time event time - 1h) "
+    "has passed far beyond their windows.  Append mode then (a) emits only "
+    "FINALIZED windows (window_end <= watermark -> the oracle's "
+    "ws + 2h <= max(ts) cut: 1h window + 1h delay), and (b) DROPS the "
+    "late deliveries, whose windows were already finalized — so the "
+    "oracle's counts EXCLUDE the late set, and the hash match proves both "
+    "behaviors exactly (a non-dropping engine double-counts week-1 "
+    "windows; an eager emitter leaks trailing windows).  State is bounded "
+    "by windows inside the watermark horizon — the property that makes "
+    "unbounded-stream aggregation feasible at all",
+)
+def op_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.tables import load_events
+
+    work = _workdir("op_stream_late_drop")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    late = (F.col("event_id") % 7 == 0) & (
+        F.col("ts") < F.lit(_LATE_CUT).cast("timestamp")
+    )
+    bounds = [None, *_LATE_SLICES, None]
+    slices = []
+    for k in range(3):  # time-ordered on-time slices
+        cond = ~late
+        if bounds[k] is not None:
+            cond &= F.col("ts") >= F.lit(bounds[k]).cast("timestamp")
+        if bounds[k + 1] is not None:
+            cond &= F.col("ts") < F.lit(bounds[k + 1]).cast("timestamp")
+        slices.append(cond)
+    slices.append(late)  # the late delivery, last
+
+    ev = ev.persist()
+    ev.count()
+    for k, cond in enumerate(slices):
+        tmp = os.path.join(work, f"tmp{k}")
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"slice_{k}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    ev.unpersist()
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    with pinned_shuffle(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_late_drop")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_late_drop").select(
+        F.unix_micros(F.col("window").getField("start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )

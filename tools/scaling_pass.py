@@ -65,6 +65,7 @@ OPS = [
     "op_join_scd2",
     "op_sink_change_feed",
     "op_stream_stale_monitor",
+    "op_stream_late_drop",
     "op_events_ohlc",
     "op_stream_ohlc",
     "op_timeseries_ema",
