@@ -121,6 +121,7 @@ HEADLINE = [
     "op_events_ab_lift",
     "op_timeseries_seasonal",
     "op_stream_late_drop",
+    "op_events_burst",
 ]
 
 

@@ -1347,3 +1347,60 @@ def op_timeseries_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+# --- burst detection on event rates (integer cross-multiplied gate) ----------
+
+
+@register(
+    "op_events_burst",
+    """WITH m AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, hour, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base,
+             CAST(count(*) OVER (PARTITION BY event_type ORDER BY hour
+                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS nb
+      FROM m
+    )
+    SELECT event_type, epoch_us(hour) AS hour_us, n,
+           base AS trailing_total, nb AS trailing_hours
+    FROM w WHERE nb >= 12 AND n * nb > 2 * base""",
+    doc="rate-burst detection per event type: an hour fires when its count "
+    "exceeds 2x the trailing average over the previous (up to) 24 "
+    "OBSERVED hours, with at least 12 hours of baseline — the spike "
+    "alarm every ops dashboard carries.  The gate is the integer "
+    "cross-multiplication n * nb > 2 * base (never a float average, so "
+    "the comparison has no rounding boundary to drift across engines).  "
+    "Plan: one map-side-combined (type, hour) count aggregate — "
+    "dimension-sized however big the table — then a 24-row framed window "
+    "per event_type partition; at 100 TB the window input is one row per "
+    "(type, hour), bounded by the calendar, not the data",
+)
+def op_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    m = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").getField("start").alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    r = m.withColumn("base", F.sum("n").over(w).cast("bigint")).withColumn(
+        "nb", F.count("n").over(w).cast("bigint")
+    )
+    return r.filter(
+        (F.col("nb") >= 12) & (F.col("n") * F.col("nb") > 2 * F.col("base"))
+    ).select(
+        "event_type",
+        F.unix_micros("hour").alias("hour_us"),
+        "n",
+        F.col("base").alias("trailing_total"),
+        F.col("nb").alias("trailing_hours"),
+    )

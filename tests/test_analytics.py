@@ -370,3 +370,11 @@ def test_seasonal_profile_envelope(spark, sf_dir):
         assert 0 <= r.minute_of_day < 1440
         assert r.min_value <= r.avg_value <= r.max_value
         assert r.n_samples >= 1
+
+
+def test_burst_gate_is_exact(spark, sf_dir):
+    rows = QUERIES["op_events_burst"].spark(spark, sf_dir).collect()
+    for r in rows:
+        assert r.trailing_hours >= 12
+        # the integer cross-multiplied gate: n/nb-average exceeded 2x
+        assert r.n * r.trailing_hours > 2 * r.trailing_total

@@ -73,6 +73,7 @@ OPS = [
     "op_events_attribution",
     "op_events_concurrency",
     "op_events_ab_lift",
+    "op_events_burst",
     "op_timeseries_seasonal",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
