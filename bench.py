@@ -122,6 +122,7 @@ HEADLINE = [
     "op_timeseries_seasonal",
     "op_stream_late_drop",
     "op_events_burst",
+    "op_text_langid_confusion",
 ]
 
 

@@ -1404,3 +1404,65 @@ def op_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("base").alias("trailing_total"),
         F.col("nb").alias("trailing_hours"),
     )
+
+
+# --- classifier evaluation: langid confusion matrix ---------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from daq_3i_spark.plans.extension_ops import _langid_pred
+    from daq_3i_spark.functions.text import DUCK
+
+    return f"""WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), p AS (
+      SELECT lang AS actual, {_langid_pred(DUCK, 'toks')} AS predicted FROM t
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN actual = predicted THEN count(*) ELSE 0 END)
+                OVER () AS BIGINT) AS total_correct,
+           CAST(SUM(count(*)) OVER () AS BIGINT) AS total_docs
+    FROM p GROUP BY actual, predicted"""
+
+
+@register(
+    "op_text_langid_confusion",
+    _langid_confusion_oracle(),
+    doc="classifier evaluation in-engine: the confusion matrix of the "
+    "op_text_langid heuristic against the corpus's labeled lang column — "
+    "(actual, predicted, count) cells plus global correct/total so "
+    "accuracy is an exact integer ratio the reader computes without float "
+    "division.  The eval loop every data pipeline needs for its own "
+    "quality filters (is the langid gate wrongly dropping one language? "
+    "read its row).  Plan: the langid projection is shuffle-free codegen; "
+    "the matrix aggregate is map-side combined on a |langs|^2-bounded "
+    "key; the global sums ride an unpartitioned window over the TINY "
+    "matrix frame, not the corpus",
+)
+def op_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.plans.extension_ops import _langid_pred
+    from daq_3i_spark.functions.text import SPARK
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("actual"),
+        F.expr(
+            _langid_pred(SPARK, "split(lower(text), ' ')")
+        ).alias("predicted"),
+    )
+    m = p.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "actual",
+        "predicted",
+        "n",
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("total_correct"),
+        F.sum("n").over(w).cast("bigint").alias("total_docs"),
+    )

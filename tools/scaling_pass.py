@@ -108,6 +108,7 @@ OPS = [
     "op_sample_weighted",
     "op_text_tfidf_topterms",
     "op_multimodal_phash",
+    "op_text_langid_confusion",
 ]
 
 
