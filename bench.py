@@ -123,6 +123,7 @@ HEADLINE = [
     "op_stream_late_drop",
     "op_events_burst",
     "op_text_langid_confusion",
+    "op_events_rfm",
 ]
 
 

@@ -1466,3 +1466,65 @@ def op_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_correct"),
         F.sum("n").over(w).cast("bigint").alias("total_docs"),
     )
+
+
+# --- RFM customer segmentation -------------------------------------------------
+
+
+@register(
+    "op_events_rfm",
+    """WITH p AS (
+      SELECT user_id, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS mon_fx
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), s AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY mon_fx DESC, user_id) AS m_score
+      FROM p
+    )
+    SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS users
+    FROM s GROUP BY r_score, f_score, m_score""",
+    doc="RFM customer segmentation — THE classic marketing-analytics "
+    "cube: per purchasing user the recency (last purchase), frequency "
+    "(purchase count), and monetary total (exact fixed-point), each "
+    "quintiled by ntile(5) with a total (metric, user_id) order so the "
+    "segment assignment is deterministic, then the 125-cell segment "
+    "census.  Plan: one map-side-combined per-user aggregate over the "
+    "purchase-pruned scan, three same-partition ntile windows, a "
+    "125-key census aggregate.  The exact ntile is a global sort over "
+    "the PURCHASER dimension (not the event stream); at 100 TB with "
+    "1e9 purchasers the quintile boundaries come from the mergeable "
+    "histogram (op_sql_histogram_quantile) and scoring becomes a "
+    "broadcast threshold lookup — same output contract",
+)
+def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(fx_unscaled(F.col("value"))).cast("bigint").alias("mon_fx"),
+        )
+    )
+    s = p.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy(F.col("last_ts").desc(), "user_id")).alias(
+            "r_score"
+        ),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias(
+            "f_score"
+        ),
+        F.ntile(5).over(Window.orderBy(F.col("mon_fx").desc(), "user_id")).alias(
+            "m_score"
+        ),
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("users")
+    )

@@ -378,3 +378,19 @@ def test_burst_gate_is_exact(spark, sf_dir):
         assert r.trailing_hours >= 12
         # the integer cross-multiplied gate: n/nb-average exceeded 2x
         assert r.n * r.trailing_hours > 2 * r.trailing_total
+
+
+def test_rfm_census_totals(spark, sf_dir):
+    from daq_3i_spark.sources.tables import load_events
+
+    rows = QUERIES["op_events_rfm"].spark(spark, sf_dir).collect()
+    n_buyers = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.users for r in rows) == n_buyers
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5

@@ -74,6 +74,7 @@ OPS = [
     "op_events_concurrency",
     "op_events_ab_lift",
     "op_events_burst",
+    "op_events_rfm",
     "op_timeseries_seasonal",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
