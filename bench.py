@@ -124,6 +124,7 @@ HEADLINE = [
     "op_events_burst",
     "op_text_langid_confusion",
     "op_events_rfm",
+    "op_corpus_minhash_eval",
 ]
 
 

@@ -1528,3 +1528,164 @@ def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("users")
     )
+
+
+# --- LSH quality measured in-engine: MinHash recall vs exact Jaccard ----------
+
+_MHEVAL_TAU = 0.4  # "true near-dup" threshold for the recall denominator
+
+
+def _minhash_eval_oracle() -> str:
+    from daq_3i_spark.functions.text import DUCK
+    from daq_3i_spark.plans.extension_ops import _duck_sig_cte
+
+    return f"""WITH {_duck_sig_cte()},
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    l AS (SELECT doc_id, lang FROM documents),
+    cand AS (
+      SELECT c.doc_a, c.doc_b FROM cand0 c
+      JOIN l la ON c.doc_a = la.doc_id
+      JOIN l lb ON c.doc_b = lb.doc_id AND la.lang = lb.lang
+    ),
+    shp0 AS (
+      SELECT doc_id, lang, unnest({DUCK.shingle_hashes('th')}) AS h
+      FROM (SELECT t.doc_id, d.lang, t.th
+            FROM th t JOIN documents d ON t.doc_id = d.doc_id)
+    ), shp AS (SELECT DISTINCT doc_id, lang, h FROM shp0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shp a JOIN shp b ON a.h = b.h AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+            >= {_MHEVAL_TAU}
+    )
+    SELECT nc.n AS n_candidates, nt.n AS n_true, nh.n AS n_hits,
+           nt.n - nh.n AS n_missed
+    FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM cand) nc,
+         (SELECT CAST(count(*) AS BIGINT) AS n FROM truth) nt,
+         (SELECT CAST(count(*) AS BIGINT) AS n
+          FROM truth t JOIN cand c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) nh"""
+
+
+@register(
+    "op_corpus_minhash_eval",
+    _minhash_eval_oracle(),
+    doc="LSH quality measured IN-ENGINE: the MinHash band-candidate set "
+    "evaluated against exact shingle-Jaccard ground truth (same-language "
+    f"pairs, true threshold {_MHEVAL_TAU}) — one row of candidates / "
+    "true near-dups / hits / misses, so banding recall is an exact "
+    "integer ratio and a banding-geometry regression (fewer bands, "
+    "broken hashing) shows up as n_missed > 0 instead of silently "
+    "degraded dedup.  The eval composes two existing kernels — the "
+    "banded signature index (op_dedup_minhash) and the inverted "
+    "shingle-join exact Jaccard (op_dedup_ngram_jaccard) — and joins "
+    "their pair sets.  Plan: both pair generators are bucket-blocked "
+    "(band buckets / shingle postings, never all-pairs); the final "
+    "counts are three scalar aggregates cross-joined one-row",
+)
+def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.text import SPARK
+    from daq_3i_spark.plans.extension_ops import _spark_sigs
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang")
+
+    sigs = _spark_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
+            "band_idx", "band_val"
+        ),
+    ).localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand0 = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    cand = (
+        cand0.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+    filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+    shp = (
+        filtered.select(
+            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = shp.alias("sa"), shp.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.lang") == F.col("sb.lang"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= _MHEVAL_TAU
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    nh = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hits",
+            (F.col("n_true") - F.col("n_hits")).alias("n_missed"),
+        )
+    )

@@ -394,3 +394,13 @@ def test_rfm_census_totals(spark, sf_dir):
     assert sum(r.users for r in rows) == n_buyers
     for r in rows:
         assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_minhash_eval_recall_floor(spark, sf_dir):
+    """Banding recall on true near-dups must be high: at tau=0.4 the 4x4
+    banding catches a >=0.4-Jaccard pair unless all four bands miss —
+    on this corpus the duplicates are near-identical, so pin >= 0.9."""
+    r = QUERIES["op_corpus_minhash_eval"].spark(spark, sf_dir).collect()[0]
+    assert r.n_hits + r.n_missed == r.n_true
+    if r.n_true:
+        assert r.n_hits / r.n_true >= 0.9

@@ -54,6 +54,8 @@ _BNL_ALLOWED = {
     "op_text_tfidf_topterms",
     # 1-row x 1-row variant pivot (the A-side and B-side aggregates):
     "op_events_ab_lift",
+    # three one-row scalar count aggregates cross-joined to the result row:
+    "op_corpus_minhash_eval",
     # one-row global-min aggregate broadcast over the 5-row language-count
     # dimension (scalar-subquery pattern; the corpus side is a broadcast
     # HASH join on lang, never in the BNL):

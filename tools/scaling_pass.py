@@ -110,6 +110,7 @@ OPS = [
     "op_text_tfidf_topterms",
     "op_multimodal_phash",
     "op_text_langid_confusion",
+    "op_corpus_minhash_eval",
 ]
 
 
