@@ -125,6 +125,7 @@ HEADLINE = [
     "op_text_langid_confusion",
     "op_events_rfm",
     "op_corpus_minhash_eval",
+    "op_events_streaks",
 ]
 
 

@@ -1689,3 +1689,52 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_true") - F.col("n_hits")).alias("n_missed"),
         )
     )
+
+
+# --- gaps and islands: consecutive-day activity runs --------------------------
+
+
+@register(
+    "op_events_streaks",
+    """WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM d
+    ), runs AS (
+      SELECT user_id, min(day) AS run_start, max(day) AS run_end,
+             CAST(count(*) AS BIGINT) AS run_days
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(run_start AS TIMESTAMP) AS run_start,
+           CAST(run_end AS TIMESTAMP) AS run_end, run_days
+    FROM runs WHERE run_days >= 3""",
+    doc="gaps-and-islands: maximal runs of CONSECUTIVE CALENDAR DAYS a "
+    "user was active (streaks >= 3 days) — the engagement-streak / "
+    "uptime-run pattern, distinct from sessionization (calendar "
+    "adjacency, not inactivity gaps).  Uses the classic "
+    "day - row_number() grouping key: consecutive days share a constant "
+    "difference, so one window + one aggregate finds every maximal run "
+    "with NO self-join or iteration.  Plan: distinct (user, day) "
+    "projection (map-side combined), one row_number window and one "
+    "aggregate on the SAME user_id partitioning — Catalyst reuses the "
+    "exchange; per-user state is their distinct active days, "
+    "calendar-bounded at any event volume",
+)
+def op_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.date_sub(F.col("day"), F.row_number().over(w)))
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("timestamp").alias("run_start"),
+            F.max("day").cast("timestamp").alias("run_end"),
+            F.count("*").cast("bigint").alias("run_days"),
+        )
+        .filter(F.col("run_days") >= 3)
+        .select("user_id", "run_start", "run_end", "run_days")
+    )

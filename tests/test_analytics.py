@@ -404,3 +404,11 @@ def test_minhash_eval_recall_floor(spark, sf_dir):
     assert r.n_hits + r.n_missed == r.n_true
     if r.n_true:
         assert r.n_hits / r.n_true >= 0.9
+
+
+def test_streaks_are_maximal_and_consecutive(spark, sf_dir):
+    rows = QUERIES["op_events_streaks"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        span = (r.run_end - r.run_start).days + 1
+        assert span == r.run_days >= 3

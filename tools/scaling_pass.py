@@ -75,6 +75,7 @@ OPS = [
     "op_events_ab_lift",
     "op_events_burst",
     "op_events_rfm",
+    "op_events_streaks",
     "op_timeseries_seasonal",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
