@@ -1597,13 +1597,26 @@ def _minhash_eval_oracle() -> str:
 )
 def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.text import SPARK
-    from daq_3i_spark.plans.extension_ops import _spark_sigs
     from daq_3i_spark.sources.tables import load_spread
 
     docs = load_spread(spark, sf_dir, "documents")
     lang = docs.select("doc_id", "lang")
 
-    sigs = _spark_sigs(spark, sf_dir)
+    # the token-hash chain feeds BOTH pair generators (minhash signatures
+    # for the band index, shingle postings for the exact-Jaccard truth) —
+    # materialize it once instead of running the interpreted HOF hashing
+    # twice over the corpus
+    filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+    th = (
+        filtered.select(
+            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    sigs = th.select(
+        "doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh")
+    ).select("doc_id", F.expr(SPARK.minhash_sig("sh")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
@@ -1633,12 +1646,8 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
     shp = (
-        filtered.select(
-            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
-        )
-        .select(
+        th.select(
             "doc_id",
             "lang",
             F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
