@@ -68,3 +68,10 @@ def fx_sum_sql(expr: str) -> str:
     return (
         f"(CAST(CAST(SUM({fx_unscaled_sql(expr)}) AS BIGINT) AS DOUBLE) / 1e6)"
     )
+
+
+#: the portable deterministic-sampling LCG — ONE hash convention for every
+#: reproducible-sampling op (budget sample, domain mix, weighted Bernoulli):
+#: h = (key * MIX_A + MIX_C) % MIX_M, thresholded on h % 1_000_000.
+#: Shared here so the convention cannot silently fork between modules.
+MIX_A, MIX_C, MIX_M = 1103515245, 12345, 2147483647

@@ -31,7 +31,7 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # op_source_orc_roundtrip, op_quality_constraints,
 # op_source_schema_evolution, op_sink_merge_upsert, op_events_funnel,
 # op_events_cohort_retention, op_join_scd2, op_corpus_split,
-# op_sink_change_feed; and the 12 analytics-batch additions (also never
+# op_sink_change_feed; and the 23 analytics-batch additions (also never
 # driver-checked): op_events_ohlc, op_events_topk_paths,
 # op_events_attribution, op_graph_pagerank, op_corpus_domain_mix,
 # op_stream_ohlc, op_timeseries_ema, op_sim_knn_graph,

@@ -60,9 +60,13 @@ from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_table
 
-# the budget-sample LCG (plans/corpus_ops.py) — one portable hash convention
-# for every deterministic-sampling op
-_MIX_A, _MIX_C, _MIX_M = 1103515245, 12345, 2147483647
+# the shared deterministic-sampling LCG (functions/numeric.py) — the same
+# convention op_corpus_budget_sample uses, imported so it cannot fork
+from daq_3i_spark.functions.numeric import (  # noqa: E402
+    MIX_A as _MIX_A,
+    MIX_C as _MIX_C,
+    MIX_M as _MIX_M,
+)
 
 
 # the OHLC oracle, shared verbatim by the streaming twin
@@ -836,8 +840,15 @@ def op_timeseries_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = cd.groupBy("channel_id").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
-    dev = cd.join(F.broadcast(med), "channel_id").select(
-        "channel_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    # dev feeds two aggregates (MAD and the final gate census) — materialize
+    # the scan + broadcast-med join once (the two-consumer convention used
+    # by pagerank/phash in this module)
+    dev = (
+        cd.join(F.broadcast(med), "channel_id")
+        .select(
+            "channel_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+        )
+        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy("channel_id").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
@@ -929,9 +940,18 @@ def op_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("en").alias("t"), F.lit(0).alias("a"),
                     F.lit(1).alias("b"))
     )
-    g = deltas.groupBy("t").agg(
-        F.sum("a").cast("bigint").alias("a"), F.sum("b").cast("bigint").alias("b")
-    ).withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
+    # g sits above the full per-user sessionization window and feeds both
+    # the day-carry branch and the stitched output — materialize it once so
+    # the window sort does not execute twice
+    g = (
+        deltas.groupBy("t")
+        .agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum("b").cast("bigint").alias("b"),
+        )
+        .withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
+        .localCheckpoint(eager=True)
+    )
     # two-level prefix sum: per-day nets -> cumulative carry over the tiny
     # day frame -> within-day running sums join the carry back
     droll = g.groupBy("day").agg(F.sum(F.col("a") - F.col("b")).alias("dnet"))
@@ -1602,21 +1622,14 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     lang = docs.select("doc_id", "lang")
 
-    # the token-hash chain feeds BOTH pair generators (minhash signatures
+    # the token-hash prelude feeds BOTH pair generators (minhash signatures
     # for the band index, shingle postings for the exact-Jaccard truth) —
-    # materialize it once instead of running the interpreted HOF hashing
-    # twice over the corpus
-    filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
-    th = (
-        filtered.select(
-            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
-        )
-        .localCheckpoint(eager=True)
-    )
+    # the SHARED chain stages from extension_ops (the oracle composes the
+    # same _duck_sig_cte), materialized once
+    from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
 
-    sigs = th.select(
-        "doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh")
-    ).select("doc_id", F.expr(SPARK.minhash_sig("sh")).alias("sig"))
+    th = _spark_th_of(docs).localCheckpoint(eager=True)
+    sigs = _spark_sigs_from_th(th)
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(

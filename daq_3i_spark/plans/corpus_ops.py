@@ -487,7 +487,7 @@ _MIX_BUDGET = 3_000
 #: order makes the selection a uniform sample that is stable across runs,
 #: engines, and cluster sizes — rerunning the pipeline on the same corpus
 #: always picks the same documents.
-_MIX_A, _MIX_C, _MIX_M = 1103515245, 12345, 2147483647
+from daq_3i_spark.functions.numeric import MIX_A as _MIX_A, MIX_C as _MIX_C, MIX_M as _MIX_M  # noqa: E402
 
 
 @register(

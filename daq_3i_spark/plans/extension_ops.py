@@ -97,13 +97,30 @@ def _duck_sig_cte() -> str:
     )"""
 
 
-def _spark_sigs_of(docs: DataFrame) -> DataFrame:
+def _spark_th_of(docs: DataFrame) -> DataFrame:
+    """The shared signature-prelude stage: the >=3-token filter + token
+    hashes, with ``lang`` kept for consumers that block on it.  Exposed so
+    ops composing BOTH the signature chain and the shingle postings
+    (op_corpus_minhash_eval) derive them from ONE frame — the Spark twin of
+    the oracle-side convention where _duck_sig_cte() is the single CTE every
+    minhash oracle composes."""
     filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+    return filtered.select(
+        "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+    )
+
+
+def _spark_sigs_from_th(th: DataFrame) -> DataFrame:
+    """token hashes -> shingles -> minhash signature (the chain after the
+    prelude; see _spark_th_of)."""
     return (
-        filtered.select("doc_id", F.expr(SPARK.token_hashes("text")).alias("th"))
-        .select("doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh"))
+        th.select("doc_id", F.expr(SPARK.shingle_hashes("th")).alias("sh"))
         .select("doc_id", F.expr(SPARK.minhash_sig("sh")).alias("sig"))
     )
+
+
+def _spark_sigs_of(docs: DataFrame) -> DataFrame:
+    return _spark_sigs_from_th(_spark_th_of(docs))
 
 
 def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

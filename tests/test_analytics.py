@@ -293,7 +293,6 @@ def test_concurrency_sweep_invariants(spark, sf_dir):
     # concurrency is always >= 1 at a boundary instant (the boundary's own
     # session contains it) and the curve ends by closing every session
     assert all(r.concurrent >= 1 for r in rows)
-    from daq_3i_spark.plans.analytics_ops import _CONC_GAP_S
     from daq_3i_spark.sources.tables import load_events
 
     # peak concurrency can never exceed the number of distinct users
@@ -313,9 +312,10 @@ def test_tfidf_prefers_rare_terms(spark, sf_dir):
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
         # score formula holds: tf * ((N * 1e6) DIV df)
-    n_docs = max(r.df for r in rows)  # df <= N
+    n = _n_docs_cached(spark, sf_dir)
+    assert max(r.df for r in rows) <= n
     for r in rows:
-        assert r.score == r.tf * ((_n_docs_cached(spark, sf_dir) * 1_000_000) // r.df)
+        assert r.score == r.tf * ((n * 1_000_000) // r.df)
 
 
 def _n_docs_cached(spark, sf_dir, _c={}):
