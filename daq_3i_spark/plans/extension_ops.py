@@ -105,8 +105,9 @@ def _spark_th_of(docs: DataFrame) -> DataFrame:
     the oracle-side convention where _duck_sig_cte() is the single CTE every
     minhash oracle composes."""
     filtered = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+    keep = ["doc_id"] + (["lang"] if "lang" in docs.columns else [])
     return filtered.select(
-        "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+        *keep, F.expr(SPARK.token_hashes("text")).alias("th")
     )
 
 
