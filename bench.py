@@ -126,6 +126,7 @@ HEADLINE = [
     "op_events_rfm",
     "op_corpus_minhash_eval",
     "op_events_streaks",
+    "op_embed_centroids",
 ]
 
 

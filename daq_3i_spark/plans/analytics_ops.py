@@ -1760,3 +1760,61 @@ def op_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_days") >= 3)
         .select("user_id", "run_start", "run_end", "run_days")
     )
+
+
+# --- per-label embedding centroids (cluster-quality eval for vectors) ---------
+
+
+@register(
+    "op_embed_centroids",
+    """WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE) AS mean_v
+    FROM e GROUP BY label, dim""",
+    doc="per-label embedding centroids in exact arithmetic: every (label, "
+    "dimension) cell carries the class count and the fixed-point exact "
+    "elementwise mean — a float vector average is summation-order-"
+    "nondeterministic, this one is bit-identical on any cluster.  The "
+    "centroid table is the training step of nearest-centroid "
+    "classification AND the per-class quality probe for the vector "
+    "surface (a collapsed class shows as centroid drift); "
+    "op_sim_kmeans_assign consumes the same shape.  Plan: posexplode to "
+    "(label, dim, v) and ONE map-side-combined aggregate — partials are "
+    "(labels x 64)-sized whatever the corpus, and at 100 TB the explode "
+    "never materializes (codegen pipelines it into the partial "
+    "aggregate)",
+)
+def op_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(fx_unscaled(F.col("v"))).alias("sum_fx"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            (
+                F.col("sum_fx").cast("double")
+                / (F.col("n") * F.lit(1_000_000)).cast("double")
+            ).alias("mean_v"),
+        )
+    )

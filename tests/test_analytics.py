@@ -412,3 +412,18 @@ def test_streaks_are_maximal_and_consecutive(spark, sf_dir):
     for r in rows:
         span = (r.run_end - r.run_start).days + 1
         assert span == r.run_days >= 3
+
+
+def test_centroid_shape_and_counts(spark, sf_dir):
+    from daq_3i_spark.sources.tables import load_table
+
+    rows = QUERIES["op_embed_centroids"].spark(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_by_label = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    dims = len(emb.select("embedding").first()[0])
+    by_label = {}
+    for r in rows:
+        assert r.n == n_by_label[r.label]
+        by_label.setdefault(r.label, set()).add(r.dim)
+    for label, ds in by_label.items():
+        assert ds == set(range(1, dims + 1))
