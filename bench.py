@@ -127,6 +127,7 @@ HEADLINE = [
     "op_corpus_minhash_eval",
     "op_events_streaks",
     "op_embed_centroids",
+    "op_events_dau_wau",
 ]
 
 

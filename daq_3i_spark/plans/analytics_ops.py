@@ -1818,3 +1818,57 @@ def op_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_v"),
         )
     )
+
+
+# --- DAU / WAU / stickiness ----------------------------------------------------
+
+
+@register(
+    "op_events_dau_wau",
+    """WITH ad AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ad GROUP BY day
+    ), cov AS (
+      SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS cday
+      FROM ad CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) t
+    ), wau AS (
+      SELECT cday AS day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY cday
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+           (d.dau * 1000000) // w.wau AS stickiness_ppm
+    FROM dau d JOIN wau w ON d.day = w.day""",
+    doc="DAU / trailing-7-day WAU / stickiness (DAU÷WAU as exact integer "
+    "ppm) per active day — the engagement headline of every product "
+    "dashboard.  Rolling DISTINCT counts cannot ride a window (no "
+    "DISTINCT in window frames, and per-day sets don't merge), so each "
+    "(user, active-day) pair EXPLODES into the 7 trailing days it covers "
+    "and WAU is a plain distinct-count per covered day — linear in "
+    "active-pairs x 7, the standard disaggregation that replaces a "
+    "quadratic self-join.  Plan: one distinct projection, a 7x generator "
+    "explode pipelined into the second distinct, two map-side-combined "
+    "counts joined on day; at 100 TB the (user, day) pair table is the "
+    "bounded activity dimension, never raw events",
+)
+def op_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ad = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ad.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    cov = (
+        ad.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "day",
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("o")).alias("cday"))
+        .distinct()
+    )
+    wau = cov.groupBy(F.col("cday").alias("day")).agg(
+        F.count("*").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "dau",
+        "wau",
+        F.expr("(dau * 1000000) DIV wau").alias("stickiness_ppm"),
+    )

@@ -427,3 +427,12 @@ def test_centroid_shape_and_counts(spark, sf_dir):
         by_label.setdefault(r.label, set()).add(r.dim)
     for label, ds in by_label.items():
         assert ds == set(range(1, dims + 1))
+
+
+def test_dau_wau_bounds(spark, sf_dir):
+    rows = QUERIES["op_events_dau_wau"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau
+        assert 0 < r.stickiness_ppm <= 1_000_000
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau

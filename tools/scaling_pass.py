@@ -76,6 +76,7 @@ OPS = [
     "op_events_burst",
     "op_events_rfm",
     "op_events_streaks",
+    "op_events_dau_wau",
     "op_timeseries_seasonal",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
