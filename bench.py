@@ -128,6 +128,7 @@ HEADLINE = [
     "op_events_streaks",
     "op_embed_centroids",
     "op_events_dau_wau",
+    "op_orders_market_basket",
 ]
 
 

@@ -40,7 +40,7 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # op_text_tfidf_topterms, op_multimodal_phash, op_events_ab_lift,
 # op_timeseries_seasonal, op_stream_late_drop, op_events_burst,
 # op_text_langid_confusion, op_events_rfm, op_corpus_minhash_eval, op_events_streaks,
-# op_embed_centroids, op_events_dau_wau.
+# op_embed_centroids, op_events_dau_wau, op_orders_market_basket.
 # Every registry entry is oracled (tools/check_counts.py pins the doc
 # counts) and passes the exact-compare local gate (tools/verify_contract.py)
 # before this ordering.

@@ -1872,3 +1872,78 @@ def op_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.expr("(dau * 1000000) DIV wau").alias("stickiness_ppm"),
     )
+
+
+# --- market-basket co-occurrence with integer lift -----------------------------
+
+
+@register(
+    "op_orders_market_basket",
+    """WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             FROM op),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+           FROM op GROUP BY l_partkey),
+    pr AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           (n_ab * n.n_orders * 1000000) // (ca.n_p * cb.n_p) AS lift_ppm
+    FROM pr JOIN pc ca ON part_a = ca.l_partkey
+            JOIN pc cb ON part_b = cb.l_partkey, n
+    WHERE n_ab >= 2
+    ORDER BY n_ab DESC, lift_ppm DESC, part_a, part_b LIMIT 50""",
+    doc="market-basket analysis: part pairs co-occurring in the same order "
+    "with support >= 2, scored by association lift P(ab)/(P(a)P(b)) as "
+    "the exact integer (n_ab*N*1e6) DIV (n_a*n_b) — the "
+    "frequent-itemset/recommendation staple, top-50 by a total "
+    "(support, lift, pair) order.  Plan: the pair generator self-joins "
+    "the DISTINCT (order, part) table ON THE ORDER KEY, so pair work is "
+    "sum over orders of |basket|^2 — baskets are small by construction "
+    "(an order has a handful of lines), never an all-parts cross; the "
+    "part-frequency dim joins back tiny and the order count is a "
+    "one-row broadcast; top-50 is a TakeOrdered.  At true retail scale "
+    "the numerator widens to DECIMAL(38,0); the plan shape is unchanged",
+)
+def op_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.select("l_orderkey").distinct().count()  # parameter-sized scalar
+    pc = op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("na"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("nb"))
+    return (
+        pr.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(f"(n_ab * CAST({n} AS BIGINT) * 1000000) DIV (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(
+            F.col("n_ab").desc(), F.col("lift_ppm").desc(), "part_a", "part_b"
+        )
+        .limit(50)
+    )

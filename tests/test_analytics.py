@@ -436,3 +436,14 @@ def test_dau_wau_bounds(spark, sf_dir):
         assert 1 <= r.dau <= r.wau
         assert 0 < r.stickiness_ppm <= 1_000_000
         assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau
+
+
+def test_market_basket_pairs_sane(spark, sf_dir):
+    rows = QUERIES["op_orders_market_basket"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    supports = [r.n_ab for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_ab >= 2
+        assert r.lift_ppm > 0

@@ -77,6 +77,7 @@ OPS = [
     "op_events_rfm",
     "op_events_streaks",
     "op_events_dau_wau",
+    "op_orders_market_basket",
     "op_timeseries_seasonal",
     "op_graph_pagerank",
     "op_join_bloom_prefilter",
