@@ -15,59 +15,61 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get
 # every registry entry oracle-verified across rounds, the checked window is
-# rotated each round.  Round 7 window (VERDICT r6 "Next round" #1 — the
-# canonical record lags the code for ops last checked in r1/r3/r4):
-# (1) ops new or semantically touched this round — the bucketed anomaly
-# twin, and the two sink services rewritten onto the versioned-manifest
-# protocol; (2) the three leads the verdict names: op_text_repetition
-# (rewritten r6, last checked r4) and decode/convert (r4); (3) all 24 ops
-# whose latest check is round 1; (4) all 17 ops whose latest check is
-# round 3; (5) three more r4-checked ops.  Still r4-checked after this
-# round (rotate in r8): op_sink_partitioned_scan, op_multimodal_frames,
-# op_text_langid_ngram, op_sim_kmeans_assign, op_sim_ivf_trained_topk,
-# op_sql_q4_priority, op_sql_unpivot, op_stream_dedup_keys; also rotate
-# in the never-driver-checked r7 additions op_dedup_incremental,
-# op_dedup_minhash_incremental, op_stream_dedup_ingest, op_sink_zorder,
-# op_source_orc_roundtrip, op_quality_constraints,
-# op_source_schema_evolution, op_sink_merge_upsert, op_events_funnel,
-# op_events_cohort_retention, op_join_scd2, op_corpus_split,
-# op_sink_change_feed; and the 23 analytics-batch additions (also never
-# driver-checked): op_events_ohlc, op_events_topk_paths,
-# op_events_attribution, op_graph_pagerank, op_corpus_domain_mix,
-# op_stream_ohlc, op_timeseries_ema, op_sim_knn_graph,
-# op_join_bloom_prefilter, op_sample_weighted, op_timeseries_rate,
-# op_timeseries_outlier_mad, op_events_concurrency,
-# op_text_tfidf_topterms, op_multimodal_phash, op_events_ab_lift,
-# op_timeseries_seasonal, op_stream_late_drop, op_events_burst,
-# op_text_langid_confusion, op_events_rfm, op_corpus_minhash_eval, op_events_streaks,
-# op_embed_centroids, op_events_dau_wau, op_orders_market_basket.
-# Every registry entry is oracled (tools/check_counts.py pins the doc
-# counts) and passes the exact-compare local gate (tools/verify_contract.py)
-# before this ordering.
+# rotated each round.  Round 8 window (VERDICT r7 "Next round" #1): after r7,
+# 39 registry ops had never been inside the driver's window (every one of
+# them passes the identical local DuckDB hash gate — tools/verify_contract.py
+# and tests/test_oracle_parity.py).  The r8 window is (1) those 39, leading
+# with the most intricate (stream_ohlc, phash, pagerank, late_drop,
+# concurrency, bloom); (2) the 8-op cohort whose latest check is round 4
+# (op_sink_partitioned_scan, op_multimodal_frames, op_text_langid_ngram,
+# op_sim_kmeans_assign, op_sim_ivf_trained_topk, op_sql_q4_priority,
+# op_sql_unpivot, op_stream_dedup_keys); (3) three ops semantically touched
+# this round — op_corpus_budget_sample and op_corpus_dedup_sample (LCG key
+# pre-reduction, ADVICE r7) and op_sink_compaction (manifest-based partition
+# sizing, ADVICE r7).  39 + 8 + 3 = 50.
+#
+# r9 rotation plan (staleness-ordered, so the canonical record converges to
+# <=2-round staleness): after this window lands, the oldest cohort is the 45
+# ops whose latest check is round 5 — lead r9 with any op touched in r8,
+# then: op_stream_due_filter, op_source_modbus_sim, op_dedup_ngram_capped,
+# op_corpus_budget_sample*, op_sim_pq_topk, op_sim_ivfpq_topk,
+# op_text_lm_score, op_text_bm25, op_window_agg_events, op_stream_window_agg,
+# op_window_sliding, op_stream_window_sliding, op_stream_session_window,
+# op_rollup_hourly, op_anomaly_rank, op_sql_window_suite,
+# op_rollup_incremental, op_stream_rollup_refresh, op_sql_cm_sketch,
+# op_sql_q1, op_sql_q3_topk, op_sql_q5_region, op_sql_rollup, op_sql_cube,
+# op_sql_running_sum, op_sql_scalar_subquery, op_sql_json,
+# op_sql_having_bigorders, op_sql_grouping_sets, op_sql_q7_volume,
+# op_sql_q8_market_share, op_sql_q9_profit, op_sql_q10_returned,
+# op_sql_q11_topvalue, op_sql_q14_promo, op_sql_q15_topsupplier,
+# op_sql_q19_disjunction, op_sql_q22_idle_rich, op_sql_q6_forecast,
+# op_sql_q2_mincost, op_sql_q12_lateships, op_sql_q21_waiting
+# (* = re-checked in r8, drops out), then round-6-checked ops as slots allow.
 _CHECK_PRIORITY = [
-    # -- (1) new or touched this round ---------------------------------------
-    "op_anomaly_rank_bucketed", "op_sink_compaction", "op_sink_retention_time",
-    "op_sink_time_travel",
-    # -- (2) verdict leads: code moved after their last driver check ---------
-    "op_text_repetition", "op_decode_registers", "op_convert_expr",
-    # -- (3) latest check is round 1 -----------------------------------------
-    "op_sink_truncate_status", "op_filter_dirty", "op_project_columns",
-    "op_filter_status_key", "op_join_enrich_stream", "op_sign_extend",
-    "op_sched_tick", "op_heartbeat", "op_status_per_channel",
-    "op_error_handling", "op_join_salted", "op_dedup_simhash",
-    "op_dedup_ngram_jaccard", "op_dedup_embedding", "op_sim_topk",
-    "op_sim_lsh_topk", "op_text_stats", "op_text_tokens", "op_text_langid",
-    "op_text_quality", "op_multimodal_pack", "op_asof_join", "op_range_join",
-    "op_text_chunk",
-    # -- (4) latest check is round 3 -----------------------------------------
-    "op_text_fingerprint", "op_sql_semi_anti", "op_sql_setops",
-    "op_sql_window_rank", "op_sql_pivot", "op_sql_distinct_agg",
-    "op_sql_q13_distribution", "op_sql_exists", "op_sql_notin_countdistinct",
-    "op_text_vocab", "op_sample_stratified", "op_embed_quantize",
-    "op_text_bigrams", "op_sim_ivf_topk", "op_sql_quantiles",
-    "op_source_csv_roundtrip", "op_source_json_roundtrip",
-    # -- (5) round-4 cohort (continued in r8) --------------------------------
-    "op_sim_range_search", "op_stream_stream_join",
+    # -- (1a) never driver-checked, most intricate first ----------------------
+    "op_stream_ohlc", "op_multimodal_phash", "op_graph_pagerank",
+    "op_stream_late_drop", "op_events_concurrency", "op_join_bloom_prefilter",
+    # -- (1b) never driver-checked: incremental/streaming dedup + sink/source
+    "op_dedup_incremental", "op_dedup_minhash_incremental",
+    "op_stream_dedup_ingest", "op_sink_zorder", "op_sink_merge_upsert",
+    "op_sink_change_feed", "op_source_orc_roundtrip",
+    "op_source_schema_evolution", "op_quality_constraints", "op_join_scd2",
+    "op_corpus_split",
+    # -- (1c) never driver-checked: the r7 analytics wave ----------------------
+    "op_events_funnel", "op_events_cohort_retention", "op_events_ohlc",
+    "op_events_topk_paths", "op_events_attribution", "op_corpus_domain_mix",
+    "op_timeseries_ema", "op_sim_knn_graph", "op_sample_weighted",
+    "op_timeseries_rate", "op_timeseries_outlier_mad",
+    "op_text_tfidf_topterms", "op_events_ab_lift", "op_timeseries_seasonal",
+    "op_events_burst", "op_text_langid_confusion", "op_events_rfm",
+    "op_corpus_minhash_eval", "op_events_streaks", "op_embed_centroids",
+    "op_events_dau_wau", "op_orders_market_basket",
+    # -- (2) latest check is round 4 ------------------------------------------
+    "op_sink_partitioned_scan", "op_multimodal_frames", "op_text_langid_ngram",
+    "op_sim_kmeans_assign", "op_sim_ivf_trained_topk", "op_sql_q4_priority",
+    "op_sql_unpivot", "op_stream_dedup_keys",
+    # -- (3) semantically touched this round ----------------------------------
+    "op_corpus_budget_sample", "op_corpus_dedup_sample", "op_sink_compaction",
 ]
 
 
