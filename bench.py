@@ -178,10 +178,12 @@ def main() -> None:
     while (
         len(json.dumps({"metric": "headline_queries_total", "value": 9999.99,
                         "unit": "sec", "queries": {n: wire[n] for n in by_cost},
+                        "n_total": len(wire), "n_emitted": len(by_cost),
                         "sf": 0.1}, separators=(",", ":"))) > 1900
         and by_cost
     ):
         by_cost.pop()
+    n_emitted = len(by_cost)
     wire = {n: wire[n] for n in sorted(by_cost)}
     # worst/best ratio across passes — an honest noise indicator for the
     # recorded minima (>>1 means steal bursts hit that query)
@@ -192,11 +194,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # n_total/n_emitted make the wire self-describing: the recorded tail
+    # says how many per-query times were cut by the 1900-byte budget
+    # (BENCH_FULL.json always has all of them at full precision)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": wire,
+        "n_total": len(timings),
+        "n_emitted": n_emitted,
         "sf": sf_val,
     }
     # The driver records only a bounded tail of stdout; at 54 queries the

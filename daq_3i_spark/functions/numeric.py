@@ -72,6 +72,28 @@ def fx_sum_sql(expr: str) -> str:
 
 #: the portable deterministic-sampling LCG — ONE hash convention for every
 #: reproducible-sampling op (budget sample, domain mix, weighted Bernoulli):
-#: h = (key * MIX_A + MIX_C) % MIX_M, thresholded on h % 1_000_000.
+#: h = ((key % MIX_M) * MIX_A + MIX_C) % MIX_M, thresholded on h % 1_000_000.
 #: Shared here so the convention cannot silently fork between modules.
+#:
+#: The key is pre-reduced mod MIX_M BEFORE the multiply: modular arithmetic
+#: makes ((k % M) * A + C) % M identical to (k * A + C) % M for EVERY k, but
+#: the pre-reduced product is bounded by (M-1)*A < 2.4e18 < 2^63, so the coin
+#: never overflows int64 — the raw form throws under ANSI mode (or silently
+#: wraps without it) once key > ~8.4e9, which a ~1e10-document 100 TB corpus
+#: reaches.  Identity of the two forms is pinned by tests/test_functions.py.
 MIX_A, MIX_C, MIX_M = 1103515245, 12345, 2147483647
+
+
+def lcg_coin(key: Column) -> Column:
+    """The portable sampling coin over a BIGINT ``key``, overflow-free.
+
+    ``((key % MIX_M) * MIX_A + MIX_C) % MIX_M`` — equal to the textbook
+    ``(key * MIX_A + MIX_C) % MIX_M`` for every key by modular arithmetic,
+    but safe for keys up to the full int64 range (product ≤ (M-1)*A < 2^62).
+    """
+    return ((key % MIX_M) * MIX_A + MIX_C) % MIX_M
+
+
+def lcg_coin_sql(expr: str) -> str:
+    """DuckDB twin of :func:`lcg_coin` (same pre-reduced form, same bound)."""
+    return f"((({expr}) % {MIX_M}) * {MIX_A} + {MIX_C}) % {MIX_M}"

@@ -15,61 +15,47 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get
 # every registry entry oracle-verified across rounds, the checked window is
-# rotated each round.  Round 8 window (VERDICT r7 "Next round" #1): after r7,
-# 39 registry ops had never been inside the driver's window (every one of
-# them passes the identical local DuckDB hash gate — tools/verify_contract.py
-# and tests/test_oracle_parity.py).  The r8 window is (1) those 39, leading
-# with the most intricate (stream_ohlc, phash, pagerank, late_drop,
-# concurrency, bloom); (2) the 8-op cohort whose latest check is round 4
-# (op_sink_partitioned_scan, op_multimodal_frames, op_text_langid_ngram,
-# op_sim_kmeans_assign, op_sim_ivf_trained_topk, op_sql_q4_priority,
-# op_sql_unpivot, op_stream_dedup_keys); (3) three ops semantically touched
-# this round — op_corpus_budget_sample and op_corpus_dedup_sample (LCG key
-# pre-reduction, ADVICE r7) and op_sink_compaction (manifest-based partition
-# sizing, ADVICE r7).  39 + 8 + 3 = 50.
+# rotated each round.  After r8, every one of the 190 registry ops has a
+# driver-green row; the window now converges the record to <=2-round
+# staleness, leading each round with ops semantically TOUCHED that round so
+# fixes get fresh canonical rows immediately.
 #
-# r9 rotation plan (staleness-ordered, so the canonical record converges to
-# <=2-round staleness): after this window lands, the oldest cohort is the 45
-# ops whose latest check is round 5 — lead r9 with any op touched in r8,
-# then: op_stream_due_filter, op_source_modbus_sim, op_dedup_ngram_capped,
-# op_corpus_budget_sample*, op_sim_pq_topk, op_sim_ivfpq_topk,
-# op_text_lm_score, op_text_bm25, op_window_agg_events, op_stream_window_agg,
-# op_window_sliding, op_stream_window_sliding, op_stream_session_window,
-# op_rollup_hourly, op_anomaly_rank, op_sql_window_suite,
-# op_rollup_incremental, op_stream_rollup_refresh, op_sql_cm_sketch,
-# op_sql_q1, op_sql_q3_topk, op_sql_q5_region, op_sql_rollup, op_sql_cube,
-# op_sql_running_sum, op_sql_scalar_subquery, op_sql_json,
-# op_sql_having_bigorders, op_sql_grouping_sets, op_sql_q7_volume,
-# op_sql_q8_market_share, op_sql_q9_profit, op_sql_q10_returned,
-# op_sql_q11_topvalue, op_sql_q14_promo, op_sql_q15_topsupplier,
-# op_sql_q19_disjunction, op_sql_q22_idle_rich, op_sql_q6_forecast,
-# op_sql_q2_mincost, op_sql_q12_lateships, op_sql_q21_waiting
-# (* = re-checked in r8, drops out), then round-6-checked ops as slots allow.
+# Round 9 window:
+# (1) the 8 ops touched in r9 — the LCG coin pre-reduction (overflow-free
+#     sampling hash, VERDICT r8 #1) in op_corpus_domain_mix,
+#     op_sample_weighted, op_corpus_budget_sample, op_corpus_dedup_sample;
+#     the width-derived Z-order shift (#2) in op_sink_zorder; manifest-based
+#     compaction sizing (#3) in op_sink_compaction; and lazy plan
+#     construction (#4/#5) in op_orders_market_basket + op_graph_pagerank;
+# (2) 42 of the 44-op cohort whose latest check is round 5 (the ADVICE r9
+#     correction: the cohort is 44, including op_dedup_components,
+#     op_multimodal_decode, op_multimodal_features).  The remaining two
+#     (op_sql_q14_promo, op_sql_q15_topsupplier — chosen as the simplest
+#     single-table aggregates, with many driver-green siblings in the same
+#     module) spill past the 50-entry window and MUST LEAD the r10 rotation,
+#     followed by the round-6-checked cohort.
 _CHECK_PRIORITY = [
-    # -- (1a) never driver-checked, most intricate first ----------------------
-    "op_stream_ohlc", "op_multimodal_phash", "op_graph_pagerank",
-    "op_stream_late_drop", "op_events_concurrency", "op_join_bloom_prefilter",
-    # -- (1b) never driver-checked: incremental/streaming dedup + sink/source
-    "op_dedup_incremental", "op_dedup_minhash_incremental",
-    "op_stream_dedup_ingest", "op_sink_zorder", "op_sink_merge_upsert",
-    "op_sink_change_feed", "op_source_orc_roundtrip",
-    "op_source_schema_evolution", "op_quality_constraints", "op_join_scd2",
-    "op_corpus_split",
-    # -- (1c) never driver-checked: the r7 analytics wave ----------------------
-    "op_events_funnel", "op_events_cohort_retention", "op_events_ohlc",
-    "op_events_topk_paths", "op_events_attribution", "op_corpus_domain_mix",
-    "op_timeseries_ema", "op_sim_knn_graph", "op_sample_weighted",
-    "op_timeseries_rate", "op_timeseries_outlier_mad",
-    "op_text_tfidf_topterms", "op_events_ab_lift", "op_timeseries_seasonal",
-    "op_events_burst", "op_text_langid_confusion", "op_events_rfm",
-    "op_corpus_minhash_eval", "op_events_streaks", "op_embed_centroids",
-    "op_events_dau_wau", "op_orders_market_basket",
-    # -- (2) latest check is round 4 ------------------------------------------
-    "op_sink_partitioned_scan", "op_multimodal_frames", "op_text_langid_ngram",
-    "op_sim_kmeans_assign", "op_sim_ivf_trained_topk", "op_sql_q4_priority",
-    "op_sql_unpivot", "op_stream_dedup_keys",
-    # -- (3) semantically touched this round ----------------------------------
-    "op_corpus_budget_sample", "op_corpus_dedup_sample", "op_sink_compaction",
+    # -- (1) semantically touched in r9 ---------------------------------------
+    "op_corpus_domain_mix", "op_sample_weighted", "op_corpus_budget_sample",
+    "op_corpus_dedup_sample", "op_sink_zorder", "op_sink_compaction",
+    "op_orders_market_basket", "op_graph_pagerank",
+    # -- (2) latest check is round 5, intricate/stateful first ----------------
+    "op_stream_rollup_refresh", "op_rollup_incremental",
+    "op_stream_session_window", "op_stream_window_agg",
+    "op_stream_window_sliding", "op_stream_due_filter", "op_source_modbus_sim",
+    "op_dedup_components", "op_multimodal_decode", "op_multimodal_features",
+    "op_dedup_ngram_capped", "op_sim_pq_topk", "op_sim_ivfpq_topk",
+    "op_text_lm_score", "op_text_bm25", "op_window_agg_events",
+    "op_window_sliding", "op_rollup_hourly", "op_anomaly_rank",
+    "op_sql_window_suite", "op_sql_cm_sketch", "op_sql_q1", "op_sql_q3_topk",
+    "op_sql_q5_region", "op_sql_rollup", "op_sql_cube", "op_sql_running_sum",
+    "op_sql_scalar_subquery", "op_sql_json", "op_sql_having_bigorders",
+    "op_sql_grouping_sets", "op_sql_q7_volume", "op_sql_q8_market_share",
+    "op_sql_q9_profit", "op_sql_q10_returned", "op_sql_q11_topvalue",
+    "op_sql_q19_disjunction", "op_sql_q22_idle_rich", "op_sql_q6_forecast",
+    "op_sql_q2_mincost", "op_sql_q12_lateships", "op_sql_q21_waiting",
+    # -- spill: entries 51-52, outside the driver window — r10 leads with these
+    "op_sql_q14_promo", "op_sql_q15_topsupplier",
 ]
 
 

@@ -63,9 +63,8 @@ from daq_3i_spark.sources.tables import load_events, load_table
 # the shared deterministic-sampling LCG (functions/numeric.py) — the same
 # convention op_corpus_budget_sample uses, imported so it cannot fork
 from daq_3i_spark.functions.numeric import (  # noqa: E402
-    MIX_A as _MIX_A,
-    MIX_C as _MIX_C,
-    MIX_M as _MIX_M,
+    lcg_coin as _lcg_coin,
+    lcg_coin_sql as _lcg_coin_sql,
 )
 
 
@@ -331,15 +330,39 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(supp.alias("src"), part.alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # materialize edges⋈degree once — all iterations reuse it
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    n = deg.count()  # parameter-sized scalar (node count)
-    teleport = (15 * _PR_SCALE) // (100 * n)
-    # cast both scalars explicitly: a Python int under 2^31 becomes an
-    # IntegerType literal, and rank*85 would then overflow 32-bit under ANSI
-    ranks = ed.select("src").distinct().select(
-        F.col("src").alias("node"),
-        F.lit(_PR_SCALE // n).cast("bigint").alias("rank"),
+    # materialize edges⋈degree once — all iterations reuse it.  persist(),
+    # not localCheckpoint: a checkpoint (even eager=False) runs every
+    # upstream shuffle stage at BUILD time under AQE (toRdd materializes
+    # the query stages), i.e. a full pass over the edge set before the
+    # returned plan is ever executed.  A lazy cache marks the frame for
+    # reuse with zero jobs now; the first action computes it once and all
+    # iterations hit the cached InMemoryRelation.
+    # Without this conf a vanilla session plans every join against the
+    # cached frame at the static shuffle-partition count (AQE refuses to
+    # re-partition plans that feed a cache) — measured 67.8 s vs 7.3 s at
+    # sf0.1/local[32] under the 200-partition default.  Safe to enable
+    # globally: it only ALLOWS AQE to coalesce around InMemoryRelations.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    ed = edges.join(deg, "src").persist()
+    # node count and teleport term as one-row broadcast aggregates, carried
+    # through the iterations as a constant column (max() in each aggregate
+    # is map-side combined) — no driver-side scalar anywhere.  Integral SQL
+    # literals above 2^31 parse as BIGINT, so the DIV arithmetic never
+    # touches 32-bit under ANSI.
+    nn = ed.select("src").distinct().agg(F.count("*").cast("bigint").alias("n"))
+    ranks = (
+        ed.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"CAST({_PR_SCALE} AS BIGINT) DIV n").alias("rank"),
+            F.expr(f"CAST({15 * _PR_SCALE} AS BIGINT) DIV (100 * n)").alias(
+                "tele"
+            ),
+        )
     )
     for _ in range(_PR_ITERS):
         ranks = (
@@ -347,16 +370,20 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("dst"),
                 F.expr("(rank * 85) DIV (100 * outdeg)").alias("c"),
+                "tele",
             )
             .groupBy("dst")
             .agg(
-                (F.lit(teleport).cast("bigint") + F.sum("c"))
-                .cast("bigint")
-                .alias("rank")
+                (F.max("tele") + F.sum("c")).cast("bigint").alias("rank"),
+                F.max("tele").alias("tele"),
             )
-            .select(F.col("dst").alias("node"), "rank")
+            .select(F.col("dst").alias("node"), "rank", "tele")
         )
-    return ranks.orderBy(F.col("rank").desc(), "node").limit(100)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+        .select("node", "rank")
+    )
 
 
 @register(
@@ -367,7 +394,7 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (SELECT min(n) AS mn FROM c)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN c ON d.lang = c.lang, m
-    WHERE ((d.doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M}) % 1000000
+    WHERE ({_lcg_coin_sql('d.doc_id')}) % 1000000
           < (m.mn * 1000000) // c.n""",
     doc="uniform-language corpus rebalancing — the domain-mixing stage of "
     "a training-data pipeline: each language is downsampled toward the "
@@ -388,7 +415,7 @@ def op_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = docs.groupBy("lang").agg(F.count("*").alias("n"))
     mn = c.agg(F.min("n").alias("mn"))
     thresholds = c.crossJoin(F.broadcast(mn))  # 5x1 one-row broadcast
-    h = (F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M
+    h = _lcg_coin(F.col("doc_id"))
     return (
         docs.join(F.broadcast(thresholds), "lang")
         .filter(
@@ -702,7 +729,7 @@ def op_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (SELECT max(n_tokens) AS mx FROM t)
     SELECT t.doc_id, t.n_tokens
     FROM t, m
-    WHERE ((t.doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M}) % 1000000
+    WHERE ({_lcg_coin_sql('t.doc_id')}) % 1000000
           < (t.n_tokens * 1000000) // m.mx""",
     doc="deterministic length-weighted Bernoulli sampling: each document "
     "is kept with probability n_tokens/max(n_tokens) — token-mass-biased "
@@ -722,7 +749,7 @@ def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
     )
     mx = docs.agg(F.max("n_tokens").alias("mx"))
-    h = (F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M
+    h = _lcg_coin(F.col("doc_id"))
     return (
         docs.crossJoin(F.broadcast(mx))
         .filter((h % 1_000_000) < F.expr("(n_tokens * 1000000) DIV mx"))
@@ -1913,7 +1940,11 @@ def op_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    n = op.select("l_orderkey").distinct().count()  # parameter-sized scalar
+    # one-row order-count aggregate attached via broadcast crossJoin (the
+    # op_text_tfidf_topterms pattern) — NOT an eager .count(): building the
+    # plan fires zero Spark jobs, so at 100 TB the distinct projection is
+    # scanned once at execution, not an extra time at construction
+    n = op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_p"))
     a, b = op.alias("a"), op.alias("b")
     pr = (
@@ -1931,14 +1962,19 @@ def op_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("na"))
     cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("nb"))
+    # the part-frequency dims carry NO broadcast hint: at test scale AQE
+    # broadcasts them anyway (both sides are part-cardinality), while at
+    # real retail cardinality (1e8+ parts) a forced two-sided broadcast
+    # is a driver/executor OOM — let AQE pick per deployment (SCALE.md)
     return (
-        pr.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        pr.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "part_a",
             "part_b",
             "n_ab",
-            F.expr(f"(n_ab * CAST({n} AS BIGINT) * 1000000) DIV (na * nb)").alias(
+            F.expr("(n_ab * n_orders * 1000000) DIV (na * nb)").alias(
                 "lift_ppm"
             ),
         )

@@ -487,7 +487,10 @@ _MIX_BUDGET = 3_000
 #: order makes the selection a uniform sample that is stable across runs,
 #: engines, and cluster sizes — rerunning the pipeline on the same corpus
 #: always picks the same documents.
-from daq_3i_spark.functions.numeric import MIX_A as _MIX_A, MIX_C as _MIX_C, MIX_M as _MIX_M  # noqa: E402
+from daq_3i_spark.functions.numeric import (  # noqa: E402
+    lcg_coin as _lcg_coin,
+    lcg_coin_sql as _lcg_coin_sql,
+)
 
 
 @register(
@@ -495,7 +498,7 @@ from daq_3i_spark.functions.numeric import MIX_A as _MIX_A, MIX_C as _MIX_C, MIX
     f"""WITH t AS (
       SELECT doc_id, source,
              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-             (doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} AS h
+             {_lcg_coin_sql('doc_id')} AS h
       FROM documents
     ), w AS (
       SELECT doc_id, source, n_tokens,
@@ -523,7 +526,7 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
-        ((F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M).alias("h"),
+        _lcg_coin(F.col("doc_id")).alias("h"),
     )
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     cum = (
@@ -571,7 +574,7 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ann GROUP BY doc_id, source
     ), live AS (
       SELECT doc_id, source, n_tokens,
-             (doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} AS h
+             {_lcg_coin_sql('doc_id')} AS h
       FROM deduped WHERE n_tokens > 0
     )
     SELECT doc_id, source, n_tokens,
@@ -623,7 +626,7 @@ def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens")
     )
     live = deduped.filter(F.col("n_tokens") > 0).withColumn(
-        "h", (F.col("doc_id") * _MIX_A + _MIX_C) % _MIX_M
+        "h", _lcg_coin(F.col("doc_id"))
     )
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     cum = (

@@ -31,6 +31,10 @@ def get_spark(app_name: str = "daq_3i_spark", cpus: str | int | None = None) -> 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce/re-partition around cached frames (the iterative
+        # ops persist() their reused edge/state frames; without this the
+        # cache pins every downstream shuffle at the static partition count)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

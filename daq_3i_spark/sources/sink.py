@@ -418,8 +418,28 @@ def compact_partitions(
     version, files, fresh = _open_service(spark, path, keep_versions)
     _failpoint("recovered")
 
-    sizes = list_partitions(spark, path)
-    todo = sorted(p for p, fl in sizes.items() if len(fl) > max_files)
+    # Size from the COMMITTED manifest, not a directory listing: with
+    # keep_versions > 1 the directory also holds retained older-version
+    # files, which would inflate per-partition file counts (spurious
+    # rewrites of already-compact partitions) and byte totals (oversized
+    # nfiles targets).  The manifest is the live file set by definition;
+    # only partitions actually over threshold get their files statted.
+    manifest_parts: dict[str, list[str]] = {}
+    for f in files:
+        if f.startswith("p_date=") and f.endswith(".parquet"):
+            manifest_parts.setdefault(
+                f.split("/", 1)[0].split("=", 1)[1], []
+            ).append(f)
+    todo = sorted(p for p, fl in manifest_parts.items() if len(fl) > max_files)
+
+    fs, jvm = _fs(spark, path)
+    part_bytes = {
+        p: sum(
+            fs.getFileStatus(_jpath(jvm, path, f)).getLen()
+            for f in manifest_parts[p]
+        )
+        for p in todo
+    }
 
     staging = _staging_dir(spark, path)
 
@@ -428,7 +448,7 @@ def compact_partitions(
     # pays one job-submission latency per partition)
     def rewrite(p: str) -> tuple[str, str]:
         sdir = posixpath.join(staging, f"p_date={p}")
-        nbytes = sum(sizes[p].values())
+        nbytes = part_bytes[p]
         nfiles = max(1, -(-nbytes // target_file_bytes))
         src = spark.read.parquet(*_partition_files(path, files, p))
         if nfiles == 1:
@@ -511,6 +531,10 @@ def morton_code(a, b, bits: int = 10):
     return code
 
 
+#: bit width of the hour-of-month dimension (0..743 = 31 days x 24 hours)
+_HOUR_BITS = 10
+
+
 def write_channel_data_zordered(df: DataFrame, path: str, nfiles: int = 8) -> None:
     """channel_data laid out for BOTH per-channel and per-time-range reads:
     rows range-partitioned and sorted by the Morton interleave of
@@ -521,12 +545,24 @@ def write_channel_data_zordered(df: DataFrame, path: str, nfiles: int = 8) -> No
     sort the reverse.  At 100 TB this runs per date partition as the
     clustering step of the compaction service."""
     hour = (F.dayofmonth("ts") - 1) * 24 + F.hour("ts")
-    # LEFT-ALIGN the narrower dimension to the shared bit width: channel_id
-    # uses ~6 bits vs the hour's 10, and interleaving unaligned values puts
-    # the hour's high bits above every channel bit — degenerating into a
-    # plain time sort with zero channel pruning (measured before this
-    # shift: a channel predicate admitted all 8 files)
-    z = morton_code(F.shiftleft(F.col("channel_id").cast("long"), 4), hour, bits=10)
+    # LEFT-ALIGN the narrower dimension to the shared interleave width:
+    # interleaving unaligned values puts the wider dimension's high bits
+    # above every bit of the narrower one — degenerating into a
+    # single-dimension sort with zero pruning on the other (measured before
+    # alignment: a channel predicate admitted all 8 files).  The channel
+    # width is DERIVED from the data (one tiny max aggregate, answerable
+    # from parquet footer stats) rather than hard-coded: a fixed shift of 4
+    # silently aliased distinct channels into the same z-range for any
+    # deployment with >= 64 channels, turning the layout into a time-only
+    # sort exactly where two-dimensional pruning matters most.
+    max_ch = df.agg(F.max("channel_id")).first()[0] or 0
+    ch_bits = max(1, int(max_ch).bit_length())
+    bits = min(31, max(ch_bits, _HOUR_BITS))  # 2*31 interleaved bits < 63
+    z = morton_code(
+        F.shiftleft(F.col("channel_id").cast("long"), max(0, bits - ch_bits)),
+        F.shiftleft(hour.cast("long"), bits - _HOUR_BITS),
+        bits=bits,
+    )
     (
         df.withColumn("__z", z)
         .repartitionByRange(nfiles, "__z")
