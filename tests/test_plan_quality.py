@@ -52,6 +52,11 @@ _BNL_ALLOWED = {
     "op_sample_weighted",
     # one-row corpus-count broadcast into the tf-idf score projection:
     "op_text_tfidf_topterms",
+    # one-row order-count / node-count+teleport aggregates broadcast into
+    # the lift projection / initial-rank frame (the r9 lazy-construction
+    # rewrite replaced eager .count() scalars with these):
+    "op_orders_market_basket",
+    "op_graph_pagerank",
     # 1-row x 1-row variant pivot (the A-side and B-side aggregates):
     "op_events_ab_lift",
     # three one-row scalar count aggregates cross-joined to the result row:

@@ -11,11 +11,14 @@ documents are replicated 10x with doc_id shifts AND a per-copy token
 suffix, which preserves each copy's internal near-dup structure while
 making every cross-copy shingle distinct — candidate-pair work scales
 linearly, like a real 10x corpus with the same dup rate.  embeddings are
-copied UNSCALED: identical vector copies would land in the same LSH/IVF
-cells and inflate pair work quadratically — an artifact of replication,
-not of scale (the viral-duplicate regime's real mitigation is the capped
-variants, tested on a purpose-built 200-copy corpus).  The scaling pass
-therefore runs the embeddings-driven ops at sf0.1 only.
+replicated 10x with vec_id shifts AND a per-copy cyclic DIMENSION ROTATION
+(copy k rotates every vector by 6k positions): rotation is an orthogonal
+transform, so each copy's internal cosine/dot structure — norms, neighbor
+lists, cluster geometry — is preserved exactly, while cross-copy vectors
+decorrelate and land in genuinely different LSH/IVF/PQ cells.  A naive
+unrotated copy would stack 10 identical populations into the same cells
+(quadratic pair inflation that measures the replication artifact, not the
+plan); rotation gives the linear candidate growth of a real 10x corpus.
 
     python tools/make_sf1.py            # writes /root/repo/.tmp/sf1/
 """
@@ -61,8 +64,20 @@ def main() -> None:
     # dims referenced by unshifted foreign keys: copy once
     for t in ("region", "nation"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
-    # embeddings: copy once, UNSCALED (see module docstring)
-    shutil.copy(f"{SRC}/embeddings.parquet", f"{DST}/embeddings.parquet")
+
+    # embeddings: 10x with vec_id shift + per-copy cyclic dimension rotation
+    # (see module docstring — orthogonal per copy, decorrelated across)
+    b_vec = ceil_base(mx("embeddings", "vec_id"))
+    con.sql(
+        f"""COPY (SELECT vec_id + k * {b_vec} AS vec_id,
+                        CAST(list_concat(embedding[6 * k + 1:],
+                                         embedding[1:6 * k]) AS FLOAT[])
+                          AS embedding,
+                        label
+                 FROM '{SRC}/embeddings.parquet',
+                      generate_series(0, {COPIES - 1}) g(k))
+            TO '{DST}/embeddings.parquet'"""
+    )
 
     # documents: 10x with doc_id shift AND every token suffixed by the copy
     # index.  The suffix keeps each copy's INTERNAL near-dup structure intact

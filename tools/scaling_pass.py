@@ -114,6 +114,35 @@ OPS = [
     "op_multimodal_phash",
     "op_text_langid_confusion",
     "op_corpus_minhash_eval",
+    # r9 additions: the remaining BENCH_FULL top-30 + sink/format services
+    # over the scaled channel_data/events tables
+    "op_sink_compaction",
+    "op_sink_partitioned_scan",
+    "op_stream_anomaly_sketch",
+    "op_timeseries_interpolate_multiday",
+    "op_timeseries_locf_multiday",
+    "op_source_csv_roundtrip",
+    "op_source_json_roundtrip",
+    "op_source_orc_roundtrip",
+    "op_source_schema_evolution",
+    # embeddings-driven families — scalable since make_sf1 replicates
+    # vectors with per-copy dimension ROTATION (cells spread like a real
+    # 10x corpus; an unrotated copy stacked identical populations and
+    # measured the replication artifact instead of the plan)
+    "op_sim_topk",
+    "op_sim_range_search",
+    "op_sim_lsh_topk",
+    "op_sim_ivf_topk",
+    "op_sim_ivf_trained_topk",
+    "op_sim_kmeans_assign",
+    "op_sim_pq_topk",
+    "op_sim_ivfpq_topk",
+    "op_sim_pq_rerank_topk",
+    "op_sim_knn_graph",
+    "op_dedup_embedding",
+    "op_dedup_semantic",
+    "op_embed_centroids",
+    "op_embed_quantize",
 ]
 
 
