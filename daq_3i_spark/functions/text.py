@@ -121,6 +121,23 @@ class Dialect:
 
     def char_hash(self, s: str) -> str:
         """Rolling polynomial hash of a string's code points, in [0, P)."""
+        if self.is_spark:
+            # split-into-chars, NOT substr-by-index: substr(s, i, 1) seeks
+            # the code-point boundary from the string start on every call,
+            # making the sequence(1, length)/substr form O(len^2) per
+            # document — caught by the r9 sf0.1->sf1 scaling sweep
+            # (op_sample_stratified x17.4) and 3.3x slower even at sf0.1.
+            # split('') is one linear pass; the empty boundary element it
+            # emits is filtered, and coalesce keeps the sequence form's
+            # NULL->0 contract.  Value-identical on every corpus text and
+            # edge case (tests/test_text_portable.py pins it).
+            codes = (
+                f"transform(filter(split({s}, ''), __c -> __c <> ''), "
+                f"__c -> CAST(ascii(__c) AS BIGINT))"
+            )
+            folded = self.fold_long(codes, "0", "__a", "__c",
+                                    f"(__a*{B} + __c) % {P}")
+            return f"coalesce({folded}, 0)"
         codes = self.transform(self.seq1n(f"length({s})"), "__ci",
                                f"CAST(ascii(substr({s}, __ci, 1)) AS BIGINT)")
         return self.fold_long(codes, "0", "__a", "__c", f"(__a*{B} + __c) % {P}")

@@ -361,8 +361,15 @@ def op_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.split(F.lower("text"), " ")
     top_n = F.expr(_TOP_TOKEN_FREQ)
+    # fan the per-document kernels out BEFORE the quality gate: the local
+    # single-row-group file gives the streaming scan ONE split, so the
+    # repetition HOF + rolling char hash would run serially on one core
+    # (the load_spread artifact, streaming form — measured 26 s at sf0.1
+    # and minutes at sf1 without this; a production multi-file feed
+    # parallelizes at the source and the exchange is a no-op cost-wise)
+    spread = raw.repartition(spark.sparkContext.defaultParallelism)
     gated = (
-        raw.select("text", toks.alias("toks"))
+        spread.select("text", toks.alias("toks"))
         .withColumn("n_tokens", F.size("toks"))
         .filter((F.col("n_tokens") >= 4) & (2 * top_n <= F.col("n_tokens")))
         .select(F.expr(SPARK.char_hash(_norm_text(True))).alias("fingerprint"))

@@ -32,7 +32,9 @@ _TMP_ROOT = os.path.join(
 
 
 def _workdir(name: str) -> str:
-    d = os.path.join(_TMP_ROOT, name)
+    # per-process suffix: see plans/streaming_ops.py:_workdir (concurrent
+    # runners executing the same op must not rmtree each other's staging)
+    d = os.path.join(_TMP_ROOT, f"{name}-w{os.getpid()}")
     if os.path.isdir(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)

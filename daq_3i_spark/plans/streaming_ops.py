@@ -43,7 +43,11 @@ _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def _workdir(name: str) -> str:
-    d = os.path.join(_TMP_ROOT, name)
+    # per-PROCESS directory: concurrent runners (sharded pytest workers, a
+    # parity sweep next to a plan-quality build) executing the same sink op
+    # otherwise rmtree each other's staging mid-service — a collision, not
+    # a crash-safety gap (each service run is self-contained)
+    d = os.path.join(_TMP_ROOT, f"{name}-w{os.getpid()}")
     if os.path.isdir(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)

@@ -131,3 +131,19 @@ def test_kernels_agree_on_random_unicode(spark, texts):
         sv = [list(v) if isinstance(v, (list, tuple)) else v for v in sv]
         dv = [list(v) if isinstance(v, (list, tuple)) else v for v in dv]
         assert sv == dv, f"dialect drift on {texts!r}"
+
+
+def test_char_hash_null_contract(spark):
+    """The r9 split-based Spark char_hash (linear; the substr-by-index form
+    was O(len^2) per document) must keep the old NULL->0 contract and agree
+    with DuckDB on a long document (the regime the rewrite targets)."""
+    long_text = "lorem ipsum dolor sit amet " * 400  # ~10 KB
+    df = spark.createDataFrame([(None,), (long_text,)], "text string")
+    sv = [r[0] for r in df.select(
+        F.expr(SPARK.char_hash("text")).alias("v")).collect()]
+    assert sv[0] == 0  # NULL -> 0, as the aggregate-over-sequence form gave
+    con = duckdb.connect()
+    dv = con.execute(
+        f"SELECT {DUCK.char_hash('text')} FROM (SELECT ? AS text)", [long_text]
+    ).fetchone()[0]
+    assert sv[1] == dv

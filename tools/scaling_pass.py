@@ -143,6 +143,89 @@ OPS = [
     "op_dedup_semantic",
     "op_embed_centroids",
     "op_embed_quantize",
+    # r9 completion sweep: every remaining registry op — mostly sub-second
+    # scans/filters/joins and SQL aggregates (ratios dominated by fixed job
+    # startup), plus the streaming replays (constant per-batch machinery)
+    "op_stream_window_agg",
+    "op_stream_window_sliding",
+    "op_stream_due_filter",
+    "op_source_modbus_sim",
+    "op_multimodal_decode",
+    "op_multimodal_features",
+    "op_window_sliding",
+    "op_rollup_hourly",
+    "op_sql_cm_sketch",
+    "op_sql_rollup",
+    "op_sql_cube",
+    "op_sql_running_sum",
+    "op_sql_scalar_subquery",
+    "op_sql_json",
+    "op_sql_having_bigorders",
+    "op_sql_grouping_sets",
+    "op_sql_q7_volume",
+    "op_sql_q8_market_share",
+    "op_sql_q10_returned",
+    "op_sql_q11_topvalue",
+    "op_sql_q19_disjunction",
+    "op_sql_q22_idle_rich",
+    "op_sql_q6_forecast",
+    "op_sql_q14_promo",
+    "op_sql_q15_topsupplier",
+    "op_scan_config_buses",
+    "op_scan_config_channels",
+    "op_source_modbus_poll",
+    "op_scan_channel_data",
+    "op_sink_upsert_status",
+    "op_sink_truncate_status",
+    "op_sink_delete_retention",
+    "op_filter_enabled",
+    "op_filter_due",
+    "op_filter_dirty",
+    "op_project_columns",
+    "op_filter_status_key",
+    "op_join_channels_buses",
+    "op_join_channels_conversions",
+    "op_join_data_channels",
+    "op_join_enrich_stream",
+    "op_count_per_channel",
+    "op_oldest_n_per_channel",
+    "op_convert_expr",
+    "op_sign_extend",
+    "op_sched_tick",
+    "op_heartbeat",
+    "op_status_per_channel",
+    "op_error_handling",
+    "op_join_salted",
+    "op_text_tokens",
+    "op_text_langid",
+    "op_text_fingerprint",
+    "op_multimodal_pack",
+    "op_asof_join",
+    "op_range_join",
+    "op_text_chunk",
+    "op_text_vocab",
+    "op_sample_stratified",
+    "op_text_bigrams",
+    "op_multimodal_resize",
+    "op_multimodal_frames",
+    "op_text_langid_ngram",
+    "op_sql_semi_anti",
+    "op_sql_setops",
+    "op_sql_pivot",
+    "op_sql_distinct_agg",
+    "op_sql_q13_distribution",
+    "op_sql_exists",
+    "op_sql_notin_countdistinct",
+    "op_sql_q17_smallqty",
+    "op_sql_approx_sketches",
+    "op_sql_q4_priority",
+    "op_sql_unpivot",
+    "op_stream_latest_per_channel",
+    "op_stream_stream_join",
+    "op_stream_dedup_keys",
+    "op_graceful_stop",
+    "op_stream_corpus_ingest",
+    "op_corpus_split",
 ]
 
 
@@ -172,23 +255,35 @@ def main() -> None:
         results[name] = row
         flag = "  <-- SUPER-LINEAR" if row["ratio"] > 10 else ""
         print(f"{name:38s} {row['sf0.1']:7.3f}s {row['sf1']:8.3f}s  x{row['ratio']:<6}{flag}", flush=True)
+        _flush(only, dict(results))
 
-    out = os.path.join(ROOT, ".tmp", "scaling_pass.json")
-    # a FILTERED run must not shrink the recorded sweep (tools/scaling_guard
-    # fails on measurements that disappear): merge targeted results into the
-    # existing record, full runs replace it
-    if only and os.path.exists(out):
-        with open(out) as fh:
-            merged = json.load(fh)
-        merged.update(results)
-        results = merged
-    with open(out, "w") as fh:
-        json.dump(results, fh, indent=1)
+    results = _flush(only, results)
     if results:
         print(json.dumps({"n": len(results), "worst": max(r["ratio"] for r in results.values())}))
     else:
         print(json.dumps({"n": 0, "error": "no ops matched the filter"}))
     spark.stop()
+
+
+def _flush(only: set, results: dict) -> dict:
+    """Write the sweep record, merging targeted runs into the existing file.
+
+    Called after EVERY op (not just at exit) so a hung op or a killed run
+    loses one measurement, not the whole sweep.  A FILTERED run must not
+    shrink the recorded sweep (tools/scaling_guard fails on measurements
+    that disappear): merge targeted results into the existing record; full
+    runs replace it."""
+    out = os.path.join(ROOT, ".tmp", "scaling_pass.json")
+    if only and os.path.exists(out):
+        with open(out) as fh:
+            merged = json.load(fh)
+        merged.update(results)
+        results = merged
+    tmp = out + ".new"
+    with open(tmp, "w") as fh:
+        json.dump(results, fh, indent=1)
+    os.replace(tmp, out)
+    return results
 
 
 if __name__ == "__main__":
