@@ -1,0 +1,137 @@
+"""Distributed exact global ranking — row_number/ntile without the
+single-partition window.
+
+``F.row_number().over(Window.orderBy(...))`` (no partitionBy) is exact but
+funnels EVERY row through one task: Spark plans ``Exchange SinglePartition``
++ a single-partition sort, and emits the "No Partition Defined for Window
+operation" warning.  Over a bounded frame (per-day carries, a confusion
+matrix) that is the right plan; over an unbounded dimension (every vocabulary
+token, every purchasing user — 1e8-1e9 rows at the 100 TB design point) it
+is the classic scale killer: one core sorts the world.
+
+These helpers compute the SAME exact result with the standard two-level
+construction (the zipWithIndex idea, kept in DataFrame land):
+
+1. ``repartitionByRange`` on the order key — a distributed sort across P
+   range partitions (the same machinery ORDER BY uses, minus the final
+   single-partition gather) — the ONLY data-sized shuffle;
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id``: mid packs
+   (partition_id << 33) | row-position-within-partition, so one projection
+   over the sorted partitions yields BOTH the partition stamp and the
+   0-based local rank with no window sort and no second exchange (each
+   partition must stay under 2^33 rows — 8.6e9, far above any sane
+   partition size; asserted nowhere because the range split count P is
+   caller-controlled);
+3. per-partition row counts -> cumulative offsets (a window over P rows,
+   where P is the shuffle partition count — bounded by cluster geometry,
+   never by data volume) broadcast-joined back;
+4. global rank = local rank + partition offset + 1.
+
+Exactness requires the order to be TOTAL (pass a unique tiebreaker — every
+caller here orders by (metric, id)): range boundaries may then split the
+data anywhere without changing any row's global position.  The partition-id
+stamp is consistent across the count branch and the rank branch because both
+consume the same range exchange (Catalyst's ReuseExchange dedups the
+identical subtree; even unreused, the range sampler is seeded per input
+partition, so identical inputs yield identical boundaries — and the
+nondeterministic mid projection sits ABOVE the sort, never reordered past
+it).  Pinned by tests/test_ranks.py across skewed multi-partition inputs.
+
+``global_ntile`` reproduces the exact SQL NTILE contract (first ``N % n``
+buckets get the extra row) from the global row number plus a one-row count
+aggregate — no second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_OFF = "__rank_off"
+_CNT = "__rank_cnt"
+_MID = "__rank_mid"
+_MID_BITS = 33  # monotonically_increasing_id: pid << 33 | row-in-partition
+
+
+def _ranked(
+    df: DataFrame, order: list[Column], alias: str, num_partitions: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(df + global row_number ``alias``, per-partition counts frame)."""
+    spark = df.sparkSession
+    # the counts branch and the rank branch both consume the range exchange,
+    # but column pruning specializes each branch's scan projection, so the
+    # two exchanges canonicalize DIFFERENTLY and ReuseExchange never fires —
+    # without a cache the entire upstream plan runs twice (measured: the
+    # vocab aggregate's document scan + explode executed 4x).  A lazy
+    # persist() makes the sorted, mid-stamped frame compute once; the conf
+    # lets AQE still re-partition joins that feed the cache (the
+    # op_graph_pagerank lesson, measured 9x there).
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright(F.col(_MID), _MID_BITS))
+        .persist()
+    )
+    counts = rp.groupBy(_PID).agg(F.count("*").alias(_CNT))
+    # offsets: rows in all lower-pid partitions.  The window is global but
+    # over exactly P rows (the partition count) — bounded by cluster
+    # geometry, not data volume, so the SinglePartition exchange is free.
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF)
+    )
+    local_rn = F.col(_MID).bitwiseAND((1 << _MID_BITS) - 1)
+    ranked = (
+        rp.join(F.broadcast(offsets), _PID)
+        .withColumn(alias, (local_rn + F.col(_OFF) + 1).cast("long"))
+        .drop(_PID, _OFF, _MID)
+    )
+    return ranked, counts
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    alias: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order)`` as a BIGINT column, computed
+    with P-way parallelism.  ``order`` must be a total order (unique
+    tiebreaker); null keys sort per Spark's default null ordering, same as
+    the window form."""
+    ranked, _ = _ranked(df, order, alias, num_partitions)
+    return ranked
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order: list[Column],
+    alias: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY order)`` as an INT column, exact SQL
+    semantics: with N rows, the first ``N % n`` buckets hold ``N div n + 1``
+    rows, the rest ``N div n`` (degenerating to one row per bucket when
+    N < n).  N comes from summing the per-partition counts the rank pass
+    already produced — a one-row broadcast, not a second data pass."""
+    grn = f"__grn_{alias}"
+    ranked, counts = _ranked(df, order, grn, num_partitions)
+    total = counts.agg(F.sum(_CNT).cast("long").alias("__N"))
+    q = F.floor(F.col("__N") / n)  # base bucket size
+    r = F.col("__N") % n  # buckets carrying one extra row
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bucket = F.when(
+        F.col(grn) <= big, F.ceil(F.col(grn) / (q + 1))
+    ).otherwise(r + F.ceil((F.col(grn) - big) / q))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(alias, bucket.cast("int"))
+        .drop(grn, "__N")
+    )

@@ -21,24 +21,29 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # fixes get fresh canonical rows immediately.
 #
 # Round 9 window:
-# (1) the 8 ops touched in r9 — the LCG coin pre-reduction (overflow-free
+# (1) the 10 ops touched in r9 — the LCG coin pre-reduction (overflow-free
 #     sampling hash, VERDICT r8 #1) in op_corpus_domain_mix,
 #     op_sample_weighted, op_corpus_budget_sample, op_corpus_dedup_sample;
 #     the width-derived Z-order shift (#2) in op_sink_zorder; manifest-based
-#     compaction sizing (#3) in op_sink_compaction; and lazy plan
-#     construction (#4/#5) in op_orders_market_basket + op_graph_pagerank;
-# (2) 42 of the 44-op cohort whose latest check is round 5 (the ADVICE r9
+#     compaction sizing (#3) in op_sink_compaction; lazy plan construction
+#     (#4/#5) in op_orders_market_basket + op_graph_pagerank; and the
+#     distributed two-level global rank (operators/ranks.py — no more
+#     single-partition window over an unbounded dimension) in op_text_vocab
+#     + op_events_rfm;
+# (2) 40 of the 44-op cohort whose latest check is round 5 (the ADVICE r9
 #     correction: the cohort is 44, including op_dedup_components,
-#     op_multimodal_decode, op_multimodal_features).  The remaining two
-#     (op_sql_q14_promo, op_sql_q15_topsupplier — chosen as the simplest
-#     single-table aggregates, with many driver-green siblings in the same
-#     module) spill past the 50-entry window and MUST LEAD the r10 rotation,
-#     followed by the round-6-checked cohort.
+#     op_multimodal_decode, op_multimodal_features).  The remaining four
+#     (op_sql_q19_disjunction, op_sql_q12_lateships, op_sql_q14_promo,
+#     op_sql_q15_topsupplier — chosen as the simplest filter/aggregate
+#     plans, with many driver-green siblings in the same modules) spill
+#     past the 50-entry window and MUST LEAD the r10 rotation, followed by
+#     the round-6-checked cohort.
 _CHECK_PRIORITY = [
     # -- (1) semantically touched in r9 ---------------------------------------
     "op_corpus_domain_mix", "op_sample_weighted", "op_corpus_budget_sample",
     "op_corpus_dedup_sample", "op_sink_zorder", "op_sink_compaction",
     "op_orders_market_basket", "op_graph_pagerank",
+    "op_text_vocab", "op_events_rfm",
     # -- (2) latest check is round 5, intricate/stateful first ----------------
     "op_stream_rollup_refresh", "op_rollup_incremental",
     "op_stream_session_window", "op_stream_window_agg",
@@ -52,9 +57,10 @@ _CHECK_PRIORITY = [
     "op_sql_scalar_subquery", "op_sql_json", "op_sql_having_bigorders",
     "op_sql_grouping_sets", "op_sql_q7_volume", "op_sql_q8_market_share",
     "op_sql_q9_profit", "op_sql_q10_returned", "op_sql_q11_topvalue",
-    "op_sql_q19_disjunction", "op_sql_q22_idle_rich", "op_sql_q6_forecast",
-    "op_sql_q2_mincost", "op_sql_q12_lateships", "op_sql_q21_waiting",
-    # -- spill: entries 51-52, outside the driver window — r10 leads with these
+    "op_sql_q22_idle_rich", "op_sql_q6_forecast",
+    "op_sql_q2_mincost", "op_sql_q21_waiting",
+    # -- spill: entries 51-54, outside the driver window — r10 leads with these
+    "op_sql_q19_disjunction", "op_sql_q12_lateships",
     "op_sql_q14_promo", "op_sql_q15_topsupplier",
 ]
 

@@ -1540,15 +1540,15 @@ def op_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quintiled by ntile(5) with a total (metric, user_id) order so the "
     "segment assignment is deterministic, then the 125-cell segment "
     "census.  Plan: one map-side-combined per-user aggregate over the "
-    "purchase-pruned scan, three same-partition ntile windows, a "
-    "125-key census aggregate.  The exact ntile is a global sort over "
-    "the PURCHASER dimension (not the event stream); at 100 TB with "
-    "1e9 purchasers the quintile boundaries come from the mergeable "
-    "histogram (op_sql_histogram_quantile) and scoring becomes a "
-    "broadcast threshold lookup — same output contract",
+    "purchase-pruned scan, then three EXACT distributed ntiles "
+    "(operators/ranks.py: range-repartition + per-partition rank + "
+    "broadcast offsets — never a single-partition window, which at "
+    "100 TB would sort 1e9 purchasers on one core), then the 125-key "
+    "census aggregate",
 )
 def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.operators.ranks import global_ntile
 
     ev = load_events(spark, sf_dir)
     p = (
@@ -1560,18 +1560,25 @@ def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fx_unscaled(F.col("value"))).cast("bigint").alias("mon_fx"),
         )
     )
-    s = p.select(
-        "user_id",
-        F.ntile(5).over(Window.orderBy(F.col("last_ts").desc(), "user_id")).alias(
-            "r_score"
-        ),
-        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias(
-            "f_score"
-        ),
-        F.ntile(5).over(Window.orderBy(F.col("mon_fx").desc(), "user_id")).alias(
-            "m_score"
-        ),
-    )
+    # one ntile per metric over a NARROW (user_id, metric) projection of the
+    # cached purchaser aggregate, then score frames equi-join on user_id —
+    # chaining the ntiles instead stacks each layer's range exchange on the
+    # full previous output (measured 2x the plan depth for the same result)
+    p = p.persist()
+    scores = [
+        global_ntile(
+            p.select("user_id", metric),
+            5,
+            [F.col(metric).desc(), F.col("user_id").asc()],
+            alias,
+        ).select("user_id", alias)
+        for metric, alias in (
+            ("last_ts", "r_score"),
+            ("freq", "f_score"),
+            ("mon_fx", "m_score"),
+        )
+    ]
+    s = scores[0].join(scores[1], "user_id").join(scores[2], "user_id")
     return s.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("users")
     )

@@ -1418,9 +1418,14 @@ def op_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="corpus vocabulary with term and document frequencies + frequency "
     "rank — the TF-IDF precursor (idf itself needs ln(), which is not "
     "bit-portable across libm builds, so weights are left to the caller); "
-    "explode + two-phase aggregate, one shuffle on token",
+    "explode + two-phase aggregate, one shuffle on token.  The frequency "
+    "rank is the distributed two-level row_number (operators/ranks.py), "
+    "not a single-partition window: a noisy 100 TB corpus has a 1e8-1e9 "
+    "token vocabulary, far too large for one sort task",
 )
 def op_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.ranks import global_row_number
+
     docs = load_spread(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -1428,8 +1433,9 @@ def op_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tok.groupBy("token").agg(
         F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
-    return agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return global_row_number(
+        agg, [F.col("tf").desc(), F.col("token").asc()], "rnk"
+    )
 
 
 _SAMPLE_PCT = 30  # keep ~30% per stratum

@@ -65,6 +65,9 @@ _BNL_ALLOWED = {
     # dimension (scalar-subquery pattern; the corpus side is a broadcast
     # HASH join on lang, never in the BNL):
     "op_corpus_domain_mix",
+    # one-row purchaser-count aggregate broadcast into each of the three
+    # distributed-ntile bucket projections (operators/ranks.py global_ntile):
+    "op_events_rfm",
 }
 
 _PLANNABLE = sorted(set(QUERIES) - _EXECUTING)

@@ -1,0 +1,78 @@
+"""operators/ranks.py — distributed global row_number/ntile must be
+bit-identical to the single-partition window form on every input shape:
+uniform, heavily skewed (range boundaries land inside tie-free runs of
+near-equal metric values), tiny (N < n buckets), and with more requested
+partitions than rows (empty range partitions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from daq_3i_spark.operators.ranks import global_ntile, global_row_number
+
+
+def _mkdf(spark, n, skew=False):
+    df = spark.range(n).select(F.col("id").alias("k"))
+    # metric with heavy ties when skewed: many rows share the same metric so
+    # global position depends entirely on the tiebreaker crossing partition
+    # boundaries — the case a broken two-level construction gets wrong
+    metric = (F.col("k") % 7) if skew else F.pmod(F.col("k") * 2654435761, 1000003)
+    return df.withColumn("m", metric.cast("long")).repartition(8, "k")
+
+
+@pytest.mark.parametrize("n,skew,parts", [
+    (1000, False, 16),
+    (1000, True, 16),
+    (5, False, 16),     # more range partitions than rows
+    (1, False, 4),
+    (997, True, 3),     # few partitions, prime N
+])
+def test_global_row_number_matches_window(spark, n, skew, parts):
+    df = _mkdf(spark, n, skew)
+    order = [F.col("m").desc(), F.col("k").asc()]
+    got = {
+        r["k"]: r["rn"]
+        for r in global_row_number(df, order, "rn", parts).collect()
+    }
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,nt,parts", [
+    (1000, 5, 16),
+    (1003, 5, 16),   # N % n != 0: first 3 buckets carry the extra row
+    (3, 5, 8),       # N < n: one row per bucket, buckets 4-5 empty
+    (1, 5, 4),
+    (640, 7, 5),
+])
+def test_global_ntile_matches_window(spark, n, nt, parts):
+    df = _mkdf(spark, n, skew=True)
+    order = [F.col("m").desc(), F.col("k").asc()]
+    got = {
+        r["k"]: r["b"]
+        for r in global_ntile(df, nt, order, "b", parts).collect()
+    }
+    want = {
+        r["k"]: r["b"]
+        for r in df.withColumn("b", F.ntile(nt).over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
+
+
+def test_rank_is_parallel_not_single_partition(spark):
+    """The data-frame window must be partitioned (by the range-partition
+    stamp); the only SinglePartition exchange allowed is the one over the
+    P-row offsets frame."""
+    df = _mkdf(spark, 1000)
+    out = global_row_number(df, [F.col("m").asc(), F.col("k").asc()], "rn", 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__rank_pid" in plan  # the big sort is keyed by partition stamp
+    # exactly one SinglePartition exchange: the bounded offsets cumsum
+    assert plan.count("Exchange SinglePartition") <= 1
