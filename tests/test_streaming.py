@@ -509,7 +509,12 @@ def test_stream_rollup_refresh_is_multibatch(spark, sf_dir):
 
     out = QUERIES["op_stream_rollup_refresh"].spark(spark, sf_dir)
     n = out.count()
-    roll_root = os.path.join(_TMP_ROOT, "op_stream_rollup_refresh", "rollup")
+    # the op's workdir is per-PROCESS (streaming_ops._workdir appends
+    # -w{pid} so concurrent sharded workers don't rmtree each other); the
+    # op above ran in THIS process, so the same suffix finds its output
+    roll_root = os.path.join(
+        _TMP_ROOT, f"op_stream_rollup_refresh-w{os.getpid()}", "rollup"
+    )
     versions = [d for d in os.listdir(roll_root) if d.startswith("v=")]
     assert len(versions) >= 2, "drain must produce several merged snapshots"
     assert n > 0

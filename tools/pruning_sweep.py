@@ -1,18 +1,27 @@
-"""Registry-wide column-pruning audit.
+"""Registry-wide physical-plan audit: column pruning + global windows.
 
-For every plannable registry op, walk the formatted physical plan, pair each
-parquet `Scan` with its source table (via the InMemoryFileIndex location) and
-its `ReadSchema`, and report scans that read EVERY column of a wide table.
-At 100 TB a scan that hauls all 16 lineitem columns through the shuffle for a
-2-column projection is the single most expensive silent mistake a plan can
-make — Parquet is columnar, so unread columns are never even decoded, but
-only if the projection is pruned at the scan.
+For every plannable registry op, walk the formatted physical plan once and
+check two scale properties:
+
+1. **Column pruning** — pair each parquet `Scan` with its source table (via
+   the InMemoryFileIndex location) and its `ReadSchema`, and flag scans that
+   read EVERY column of a wide table.  At 100 TB a scan that hauls all 16
+   lineitem columns through the shuffle for a 2-column projection is the
+   single most expensive silent mistake a plan can make — Parquet is
+   columnar, so unread columns are never even decoded, but only if the
+   projection is pruned at the scan.
+
+2. **Global windows** — flag `Window` nodes with an EMPTY partition spec
+   (the "No Partition Defined for Window operation" plan: Exchange
+   SinglePartition + one-task sort).  Exact but one-core at any scale; only
+   acceptable over frames whose cardinality is bounded by something other
+   than data volume (days, lang² cells, the shuffle partition count), each
+   documented in GLOBAL_WINDOW_ALLOWED.  Unbounded ones get the distributed
+   two-level rank instead (operators/ranks.py — the r9 op_text_vocab /
+   op_events_rfm rewrite).
 
 Usage: python tools/pruning_sweep.py [sf_dir]
-Prints one line per (op, table) scan: n_read/n_total columns, flagging
-full-width scans of tables with > FULL_WIDTH_MIN columns.  Exit 1 if any
-flagged scan is not in the documented allowlist (ops that genuinely consume
-every column, e.g. format round-trips that must preserve the row).
+Exit 1 if any flagged scan/window is not in its documented allowlist.
 """
 
 from __future__ import annotations
@@ -35,11 +44,73 @@ ALLOWED_FULL = {
     ("op_source_schema_evolution", "lineitem"),
 }
 
+# ops whose plan keeps a Window with NO partition spec — each one's frame is
+# bounded by something other than data volume, so the SinglePartition sort
+# is constant-sized at any corpus scale:
+GLOBAL_WINDOW_ALLOWED = {
+    # cumulative day-carry of the two-level prefix sum: rows = distinct days
+    "op_events_concurrency": "per-day carry frame (rows = days)",
+    # global correct/total attached to the confusion matrix: rows = langs²
+    "op_text_langid_confusion": "lang x lang confusion cells",
+    # operators/ranks.py offsets cumsum: rows = shuffle partition count P
+    "op_text_vocab": "P-row partition-offsets frame (ranks.py)",
+    "op_events_rfm": "P-row partition-offsets frame (ranks.py)",
+}
+
 _SCAN_RE = re.compile(
     r"\(\d+\) Scan parquet ?\n(?:[^\n]*\n)*?"
     r"Location: InMemoryFileIndex(?: \(\d+ paths\))? \[[^\]]*?/(\w+)\.parquet[^\]]*\]\n"
     r"(?:[^\n]*\n)*?ReadSchema: struct<([^\n]*)>",
 )
+
+_WINDOW_RE = re.compile(
+    r"\(\d+\) (?:Window|RunningWindowFunction)\n(?:[^\n]*\n)*?Arguments: ([^\n]*)"
+)
+
+
+def _top_level_groups(args_line: str) -> list[str]:
+    """Top-level [...] group contents of a formatted-plan Arguments line.
+    A Window prints [functions], [partitionSpec], [orderSpec], OMITTING
+    whichever spec is empty: 2 groups means EITHER no partition (global
+    window — the scale problem) or no ordering (a plain partitioned
+    aggregate frame, fine).  The two cases are told apart by content: an
+    order spec annotates every element with ASC/DESC + NULLS ordering."""
+    depth = 0
+    groups: list[str] = []
+    cur: list[str] = []
+    for ch in args_line:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return groups
+
+
+def _is_order_spec(group: str) -> bool:
+    return " ASC" in group or " DESC" in group
+
+
+def global_windows(formatted_plan: str) -> int:
+    """Number of Window nodes with an empty partition spec in the plan."""
+    n = 0
+    for m in _WINDOW_RE.finditer(formatted_plan):
+        groups = _top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue  # [functions], [partitionSpec], [orderSpec]
+        if len(groups) == 2 and not _is_order_spec(groups[1]):
+            continue  # [functions], [partitionSpec] — unordered frame
+        n += 1  # ordered with no partition, or no specs at all: global
+    return n
 
 
 def scan_schemas(formatted_plan: str) -> list[tuple[str, list[str]]]:
@@ -87,6 +158,7 @@ def main() -> int:
 
     flagged = []
     n_scans = 0
+    n_global = 0
     for name in sorted(set(QUERIES) - executing):
         try:
             df = QUERIES[name].spark(spark, sf_dir)
@@ -108,7 +180,17 @@ def main() -> int:
                 flagged.append((name, table))
                 print(f"FULL  {name}: {table} reads {len(cols)}/{total} cols",
                       flush=True)
-    print(f"swept {n_scans} parquet scans; {len(flagged)} flagged")
+        gw = global_windows(plan)
+        if gw:
+            n_global += gw
+            if name not in GLOBAL_WINDOW_ALLOWED:
+                flagged.append((name, "<global-window>"))
+                print(f"GWIN  {name}: {gw} unpartitioned Window node(s) — "
+                      "single-task sort of the whole frame", flush=True)
+    print(
+        f"swept {n_scans} parquet scans; {n_global} bounded global windows "
+        f"(allowlisted); {len(flagged)} flagged"
+    )
     return 1 if flagged else 0
 
 
