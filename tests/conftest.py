@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import collections
+import json
 import os
 import sys
 
@@ -8,6 +10,25 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# per-module wall cost, fed back to tools/run_tests_sharded.py's LPT
+# scheduler (its static WEIGHTS table went stale as modules grew; measured
+# times keep the shards balanced without hand-maintenance)
+_MODULE_SECONDS: collections.defaultdict[str, float] = collections.defaultdict(float)
+
+
+def pytest_runtest_logreport(report):
+    # setup+call+teardown all charge the test's module; the session-scoped
+    # spark fixture's ~15 s build lands on the first test of its shard,
+    # which is noise at the scheduling granularity that matters here
+    _MODULE_SECONDS[report.nodeid.split("::", 1)[0].split("/")[-1]] += report.duration
+
+
+def pytest_sessionfinish(session, exitstatus):
+    out = os.environ.get("TEST_TIMINGS_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump({m: round(s, 2) for m, s in _MODULE_SECONDS.items()}, fh, indent=1)
 
 
 @pytest.fixture(scope="session")

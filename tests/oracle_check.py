@@ -15,6 +15,7 @@ decimals internal, cast the final column to double).
 from __future__ import annotations
 
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -23,7 +24,13 @@ from daq_3i_spark.schemas import ALL_TABLES
 
 
 def run_oracle(sql: str, sf_dir: str):
-    con = duckdb.connect()
+    # bound DuckDB to the shard's CPU share — its default is EVERY host
+    # core per query, which stampedes the box when tools/run_tests_sharded.py
+    # runs several oracle-heavy shards concurrently (measured: parity tests
+    # went 3.2 s -> 12.5 s each under four 32-thread DuckDB neighbours);
+    # sf0.001 queries are instant at any thread count
+    threads = max(2, int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    con = duckdb.connect(config={"threads": threads})
     for name in ALL_TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"

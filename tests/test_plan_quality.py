@@ -1,10 +1,11 @@
-"""Physical-plan quality gates over the whole registry.
+"""Targeted physical-plan quality gates.
 
-Correctness is the oracle's job; these tests guard the SCALE properties the
-plans are designed for: no accidental cartesian products, broadcast joins
-where a tiny dimension is involved, and filter pushdown reaching the parquet
-scans.  Planning only (executedPlan is built, nothing runs), so the whole
-registry is checked in seconds.
+The registry-wide sweeps (no cartesian products, driver-hashable schemas)
+live in the slice modules test_plan_quality_s{0..2}.py — split so
+tools/run_tests_sharded.py can spread them across shards; shared defs and
+check bodies are in tests/plan_quality_common.py.  This module keeps the
+single-plan gates and pins the invariants that make the split safe.
+Planning only (executedPlan is built, nothing runs).
 """
 
 from __future__ import annotations
@@ -12,80 +13,15 @@ from __future__ import annotations
 import pytest
 
 from daq_3i_spark.plans import QUERIES
-
-# ops that RUN work at build time (streaming drains, sink round-trips) —
-# planning them here would execute them; covered by their own tests
-_EXECUTING = {name for name in QUERIES if name.startswith("op_stream_")} | {
-    "op_sink_partitioned_scan",
-    "op_source_modbus_sim",
-    "op_graceful_stop",
-    "op_rollup_incremental",  # materializes the stored aggregate at build time
-}
-
-# non-equi joins where a broadcast nested loop IS the intended strategy
-# (tiny broadcast side, by design):
-#   - sim ops: 8 query vectors x corpus with a != predicate
-#   - scalar-subquery style plans
-_BNL_ALLOWED = {
-    "op_sim_topk",
-    "op_sim_lsh_topk",
-    "op_sim_range_search",
-    "op_sql_scalar_subquery",
-    "op_asof_join",  # union branch pruning can leave a broadcast single-row join
-    "op_filter_dirty",  # ts > (scalar max_ts - 1h): single-row broadcast side
-    # single-row aggregate broadcast back over the table (threshold / global
-    # stats cross joins) — a one-row BNL side is the intended plan:
-    "op_sql_q11_topvalue",
-    "op_sql_q22_idle_rich",
-    "op_text_bm25",
-    # 16-row centroid table broadcast against the corpus for cell assignment
-    # (the op_sim_ivf* shape; those ops hide the same BNL behind an eager
-    # localCheckpoint of the distance frame, this op keeps it lazy because
-    # the distances feed exactly one consumer):
-    "op_dedup_semantic",
-    # same 16-row centroid broadcast as op_dedup_semantic (cell assignment
-    # for the kNN-graph blocking):
-    "op_sim_knn_graph",
-    # one-row bloom-bitmap / corpus-max aggregates broadcast over the scan
-    # (runtime-filter and weighted-threshold scalar patterns):
-    "op_join_bloom_prefilter",
-    "op_sample_weighted",
-    # one-row corpus-count broadcast into the tf-idf score projection:
-    "op_text_tfidf_topterms",
-    # one-row order-count / node-count+teleport aggregates broadcast into
-    # the lift projection / initial-rank frame (the r9 lazy-construction
-    # rewrite replaced eager .count() scalars with these):
-    "op_orders_market_basket",
-    "op_graph_pagerank",
-    # 1-row x 1-row variant pivot (the A-side and B-side aggregates):
-    "op_events_ab_lift",
-    # three one-row scalar count aggregates cross-joined to the result row:
-    "op_corpus_minhash_eval",
-    # one-row global-min aggregate broadcast over the 5-row language-count
-    # dimension (scalar-subquery pattern; the corpus side is a broadcast
-    # HASH join on lang, never in the BNL):
-    "op_corpus_domain_mix",
-    # one-row purchaser-count aggregate broadcast into each of the three
-    # distributed-ntile bucket projections (operators/ranks.py global_ntile):
-    "op_events_rfm",
-}
-
-_PLANNABLE = sorted(set(QUERIES) - _EXECUTING)
+from tests.plan_quality_common import N_SLICES, _PLANNABLE, _plan, plannable_slice
 
 
-def _plan(spark, sf_dir, name) -> str:
-    df = QUERIES[name].spark(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-@pytest.mark.parametrize("name", _PLANNABLE)
-def test_no_cartesian_product(spark, sf_dir, name):
-    plan = _plan(spark, sf_dir, name)
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    if name not in _BNL_ALLOWED:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name} plans a broadcast nested-loop join (non-equi fallback?)"
-        )
+def test_slices_cover_every_plannable_entry_exactly_once():
+    """The three slice modules must partition _PLANNABLE — an edit that
+    drops or doubles a slice would silently shrink (or pad) the plan gate."""
+    seen = [n for k in range(N_SLICES) for n in plannable_slice(k)]
+    assert sorted(seen) == _PLANNABLE
+    assert len(seen) == len(_PLANNABLE)
 
 
 def test_config_dims_broadcast(spark, sf_dir):
@@ -112,29 +48,6 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate range not pushed"
     plan = _plan(spark, sf_dir, "op_sql_q9_profit")
     assert "EqualTo(p_type,STANDARD)" in plan, "p_type filter not pushed"
-
-
-@pytest.mark.parametrize("name", _PLANNABLE)
-def test_result_schema_is_driver_hashable(spark, sf_dir, name):
-    """The driver's canonicalizer sorts result rows column-wise and hashes
-    cell values — array/map/struct cells crash it (round-1 lesson:
-    op_text_fingerprint and op_multimodal_features errored with 'unhashable
-    type: list').  Every registry entry must project scalar columns only."""
-    df = QUERIES[name].spark(spark, sf_dir)
-    from pyspark.sql import types as T
-
-    for f in df.schema.fields:
-        assert not isinstance(
-            f.dataType, (T.ArrayType, T.MapType, T.StructType)
-        ), f"{name}.{f.name} is {f.dataType.simpleString()} — not driver-hashable"
-        # round-4 lesson: the driver's oracle fetch coerces DuckDB decimals
-        # to float64 while Spark collects Decimal objects — a decimal OUTPUT
-        # column can never hash-match.  Keep decimals internal, cast finals
-        # to double (plans/registry.py docstring).
-        assert not isinstance(f.dataType, T.DecimalType), (
-            f"{name}.{f.name} is {f.dataType.simpleString()} — decimal "
-            "outputs never hash-match the driver's float64-coerced oracle"
-        )
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
