@@ -102,6 +102,7 @@ HEADLINE = [
     "op_events_cohort_retention",
     "op_join_scd2",
     "op_corpus_split",
+    "op_corpus_dsir_weights",
     "op_sink_change_feed",
     "op_events_ohlc",
     "op_events_topk_paths",

@@ -952,3 +952,113 @@ def op_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
     return docs.select("doc_id", "source", "n_chars", split.alias("split"))
+
+
+# --- DSIR-style importance weighting ------------------------------------------
+
+#: hashed-feature buckets for the importance estimator (DSIR keeps this small
+#: — the estimate is a bucket-frequency ratio, not a language model)
+_DSIR_BUCKETS = 256
+#: target-domain proxy: the curated source whose distribution the selection
+#: should match (DSIR's "target = formal text" role)
+_DSIR_TARGET = "src0"
+#: per-feature importance-ratio clip, in 1e-6 fixed-point units (ratio <=
+#: 1e6).  DSIR implementations clip importance weights anyway (a rare bucket
+#: dominating the product is estimator noise); here the clip also bounds the
+#: per-doc int64 sum: term <= 1e12, so overflow needs > 9.2e6 bigrams in ONE
+#: document
+_DSIR_CLIP = 1_000_000_000_000
+
+_DSIR_RATIO = (
+    "(CAST(p_cnt AS DOUBLE) * CAST(q_tot AS DOUBLE))"
+    " / (CAST(q_cnt AS DOUBLE) * CAST(p_tot AS DOUBLE))"
+)
+# clip BEFORE the BIGINT cast (as doubles): floor(least(x, C)) ==
+# least(floor(x), C) for integer C, and the cast can then never overflow no
+# matter how extreme the bucket skew gets
+_DSIR_SCALED = (
+    f"CAST(FLOOR(least(({_DSIR_RATIO}) * 1e6 + 0.5, "
+    f"CAST({_DSIR_CLIP} AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "op_corpus_dsir_weights",
+    f"""WITH th AS (
+      SELECT doc_id, source, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ), feats AS (
+      SELECT doc_id, source, h % {_DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, source, unnest({DUCK.shingle_hashes('th', 2)}) AS h
+            FROM th)
+    ), dim AS (
+      SELECT bucket,
+             SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) + 1 AS p_cnt,
+             COUNT(*) + 1 AS q_cnt
+      FROM feats GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(p_cnt) AS p_tot, SUM(q_cnt) AS q_tot FROM dim
+    ), rdim AS (
+      SELECT bucket, {_DSIR_SCALED} AS s
+      FROM dim CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(r.s) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS dsir_score
+    FROM feats f JOIN rdim r ON f.bucket = r.bucket
+    GROUP BY f.doc_id""",
+    doc="DSIR-style importance weight per document (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): hashed "
+    f"word-bigram features into {_DSIR_BUCKETS} buckets (the portable "
+    "rolling-hash kernel), per-bucket importance ratio p_hat/q_hat between "
+    f"the target source '{_DSIR_TARGET}' (add-one smoothed) and the whole "
+    "corpus, and the per-doc mean ratio over its bigrams as the selection "
+    "score.  Cross-engine exact WITHOUT log(): each bucket ratio is a "
+    "correctly-rounded double rounded to 1e-6 fixed point and clipped, so "
+    "per-doc sums are order-free integer arithmetic (the registry's BM25/"
+    "TF-IDF rational-arithmetic convention).  Scale shape: two corpus "
+    f"passes — one groupBy(bucket) collapsing to <= {_DSIR_BUCKETS} rows "
+    "per partition map-side, then a broadcast of the ratio dim back over "
+    "the feature stream with groupBy(doc_id) partials (explode preserves "
+    "doc locality, so each doc collapses to one row before the shuffle).  "
+    "No collect, no window, no all-pairs anything",
+)
+def op_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 2
+    )
+    feats = (
+        docs.select(
+            "doc_id", "source", F.expr(SPARK.token_hashes("text")).alias("th")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(SPARK.shingle_hashes("th", 2))).alias("h"),
+        )
+        .select("doc_id", "source", (F.col("h") % _DSIR_BUCKETS).alias("bucket"))
+    )
+    dim = feats.groupBy("bucket").agg(
+        (
+            F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)) + 1
+        ).alias("p_cnt"),
+        (F.count("*") + 1).alias("q_cnt"),
+    )
+    tot = dim.agg(
+        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    )
+    rdim = dim.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.expr(_DSIR_SCALED).alias("s")
+    )
+    return (
+        feats.join(F.broadcast(rdim), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("s").alias("raw"))
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr(
+                "CAST(raw AS DOUBLE) / 1e6 / CAST(n_feats AS DOUBLE)"
+            ).alias("dsir_score"),
+        )
+    )

@@ -71,6 +71,10 @@ _BNL_ALLOWED = {
     # dimension (scalar-subquery pattern; the corpus side is a broadcast
     # HASH join on lang, never in the BNL):
     "op_corpus_domain_mix",
+    # one-row (p_tot, q_tot) totals aggregate cross-joined onto the 256-row
+    # bucket dim before it broadcasts back over the corpus (the scalar
+    # totals pattern; the corpus join itself is a broadcast HASH join):
+    "op_corpus_dsir_weights",
     # one-row purchaser-count aggregate broadcast into each of the three
     # distributed-ntile bucket projections (operators/ranks.py global_ntile):
     "op_events_rfm",

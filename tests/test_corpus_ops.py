@@ -261,3 +261,46 @@ def test_dedup_sample_composite_counts_postdedup_tokens(spark, tmp_path_factory)
     assert got[2]["n_tokens"] == 8, "only the surviving 8-token chunk counts"
     problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
     assert not problems, problems
+
+
+def test_dsir_weights_target_separation(spark, tmp_path_factory):
+    rows = [
+        # target corpus ('src0'): formal phrasing with shared bigrams
+        (1, "the model learns the data distribution", "en", "src0", 38),
+        (2, "the data distribution shapes the model", "en", "src0", 38),
+        (3, "the model fits the data", "en", "src0", 23),
+        # in-distribution raw doc: shares the target's bigrams
+        (10, "the model learns the data", "en", "web", 25),
+        # off-distribution raw doc: disjoint vocabulary
+        (11, "zebra quantum pickle vortex banana", "en", "web", 34),
+        # single-token doc: no bigrams -> excluded from the output
+        (12, "solo", "en", "web", 4),
+    ]
+    d = _mkdocs(spark, tmp_path_factory.mktemp("dsir"), rows)
+    q = QUERIES["op_corpus_dsir_weights"]
+    df = q.spark(spark, d)
+    assert compare(df, run_oracle(q.oracle, d)) == []
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert 12 not in got, "a 1-token doc has no bigram features"
+    assert got[10]["n_feats"] == 4, "5 tokens -> 4 bigram features"
+    # importance ranking: in-distribution raw doc > off-distribution raw doc,
+    # and every target doc also outscores the off-distribution doc
+    assert got[10]["dsir_score"] > got[11]["dsir_score"]
+    assert min(got[i]["dsir_score"] for i in (1, 2, 3)) > got[11]["dsir_score"]
+
+
+def test_dsir_scaled_term_clips(spark):
+    """The per-feature fixed-point term must clip at _DSIR_CLIP (both a
+    DSIR weight-clipping convention and the int64-sum headroom bound), and
+    the clip applies pre-cast so extreme bucket skew can never overflow the
+    BIGINT conversion."""
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.plans.corpus_ops import _DSIR_CLIP, _DSIR_SCALED
+
+    row = spark.createDataFrame(
+        [(10**9, 2, 10**9 + 256, 10**13)],
+        "p_cnt long, q_cnt long, p_tot long, q_tot long",
+    )
+    got = row.select(F.expr(_DSIR_SCALED).alias("s")).collect()[0]["s"]
+    assert got == _DSIR_CLIP

@@ -109,6 +109,7 @@ OPS = [
     "op_corpus_dedup_sample",
     "op_corpus_clean_pipeline",
     "op_corpus_domain_mix",
+    "op_corpus_dsir_weights",
     "op_sample_weighted",
     "op_text_tfidf_topterms",
     "op_multimodal_phash",
