@@ -103,6 +103,7 @@ HEADLINE = [
     "op_join_scd2",
     "op_corpus_split",
     "op_corpus_dsir_weights",
+    "op_corpus_dsir_select",
     "op_sink_change_feed",
     "op_events_ohlc",
     "op_events_topk_paths",

@@ -982,9 +982,9 @@ _DSIR_SCALED = (
 )
 
 
-@register(
-    "op_corpus_dsir_weights",
-    f"""WITH th AS (
+# the shared scored-corpus sub-plan (oracle side): every DSIR op selects
+# from `scored` — one text, two consumers, parity by construction
+_DSIR_SCORED_CTE = f"""th AS (
       SELECT doc_id, source, {DUCK.token_hashes('text')} AS th FROM documents
       WHERE len(string_split(lower(text), ' ')) >= 2
     ), feats AS (
@@ -1001,29 +1001,17 @@ _DSIR_SCALED = (
     ), rdim AS (
       SELECT bucket, {_DSIR_SCALED} AS s
       FROM dim CROSS JOIN tot
-    )
-    SELECT f.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_feats,
-           CAST(SUM(r.s) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS dsir_score
-    FROM feats f JOIN rdim r ON f.bucket = r.bucket
-    GROUP BY f.doc_id""",
-    doc="DSIR-style importance weight per document (Xie et al. 2023, 'Data "
-    "Selection for Language Models via Importance Resampling'): hashed "
-    f"word-bigram features into {_DSIR_BUCKETS} buckets (the portable "
-    "rolling-hash kernel), per-bucket importance ratio p_hat/q_hat between "
-    f"the target source '{_DSIR_TARGET}' (add-one smoothed) and the whole "
-    "corpus, and the per-doc mean ratio over its bigrams as the selection "
-    "score.  Cross-engine exact WITHOUT log(): each bucket ratio is a "
-    "correctly-rounded double rounded to 1e-6 fixed point and clipped, so "
-    "per-doc sums are order-free integer arithmetic (the registry's BM25/"
-    "TF-IDF rational-arithmetic convention).  Scale shape: two corpus "
-    f"passes — one groupBy(bucket) collapsing to <= {_DSIR_BUCKETS} rows "
-    "per partition map-side, then a broadcast of the ratio dim back over "
-    "the feature stream with groupBy(doc_id) partials (explode preserves "
-    "doc locality, so each doc collapses to one row before the shuffle).  "
-    "No collect, no window, no all-pairs anything",
-)
-def op_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(r.s) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS dsir_score
+      FROM feats f JOIN rdim r ON f.bucket = r.bucket
+      GROUP BY f.doc_id
+    )"""
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, dsir_score) — the Spark twin of _DSIR_SCORED_CTE."""
     docs = load_spread(spark, sf_dir, "documents").filter(
         F.size(F.split(F.lower("text"), " ")) >= 2
     )
@@ -1061,4 +1049,64 @@ def op_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(raw AS DOUBLE) / 1e6 / CAST(n_feats AS DOUBLE)"
             ).alias("dsir_score"),
         )
+    )
+
+
+@register(
+    "op_corpus_dsir_weights",
+    f"""WITH {_DSIR_SCORED_CTE}
+    SELECT doc_id, n_feats, dsir_score FROM scored""",
+    doc="DSIR-style importance weight per document (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): hashed "
+    f"word-bigram features into {_DSIR_BUCKETS} buckets (the portable "
+    "rolling-hash kernel), per-bucket importance ratio p_hat/q_hat between "
+    f"the target source '{_DSIR_TARGET}' (add-one smoothed) and the whole "
+    "corpus, and the per-doc mean ratio over its bigrams as the selection "
+    "score.  Cross-engine exact WITHOUT log(): each bucket ratio is a "
+    "correctly-rounded double rounded to 1e-6 fixed point and clipped, so "
+    "per-doc sums are order-free integer arithmetic (the registry's BM25/"
+    "TF-IDF rational-arithmetic convention).  Scale shape: two corpus "
+    f"passes — one groupBy(bucket) collapsing to <= {_DSIR_BUCKETS} rows "
+    "per partition map-side, then a broadcast of the ratio dim back over "
+    "the feature stream with groupBy(doc_id) partials (explode preserves "
+    "doc locality, so each doc collapses to one row before the shuffle).  "
+    "No collect, no window, no all-pairs anything",
+)
+def op_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_scored(spark, sf_dir)
+
+
+@register(
+    "op_corpus_dsir_select",
+    f"""WITH {_DSIR_SCORED_CTE},
+    m AS (SELECT max(dsir_score) AS mx FROM scored)
+    SELECT doc_id, n_feats, dsir_score
+    FROM scored CROSS JOIN m
+    WHERE ({_lcg_coin_sql('doc_id')}) % 1000000
+          < CAST(FLOOR(dsir_score / mx * 1e6) AS BIGINT)""",
+    doc="the DSIR resampling step over op_corpus_dsir_weights' scores: keep "
+    "each document with probability dsir_score/max(dsir_score) — "
+    "importance-proportional Bernoulli selection using the portable LCG "
+    "coin against a per-document threshold (the op_sample_weighted "
+    "convention), so the selected manifest is reproducible across runs/"
+    "engines/cluster sizes and monotone in the weight.  The threshold is "
+    "floor((score/max)*1e6): both operands are the same correctly-rounded "
+    "doubles in both engines, so the integer comparison is exact.  Scale "
+    "shape: the one-row max rides as a broadcast crossJoin and the filter "
+    "is pure codegen; the scored sub-plan feeds two consumers here — a "
+    "production deployment materializes op_corpus_dsir_weights' output "
+    "once and runs selection over the stored table (this op composes the "
+    "two stages declaratively for the single-query surface)",
+)
+def op_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dsir_scored(spark, sf_dir)
+    m = scored.agg(F.max("dsir_score").alias("mx"))
+    coin = _lcg_coin(F.col("doc_id"))
+    return (
+        scored.crossJoin(F.broadcast(m))
+        .filter(
+            (coin % 1_000_000)
+            < F.expr("CAST(FLOOR(dsir_score / mx * 1e6) AS BIGINT)")
+        )
+        .select("doc_id", "n_feats", "dsir_score")
     )

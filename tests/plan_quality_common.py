@@ -73,8 +73,10 @@ _BNL_ALLOWED = {
     "op_corpus_domain_mix",
     # one-row (p_tot, q_tot) totals aggregate cross-joined onto the 256-row
     # bucket dim before it broadcasts back over the corpus (the scalar
-    # totals pattern; the corpus join itself is a broadcast HASH join):
+    # totals pattern; the corpus join itself is a broadcast HASH join), and
+    # in the select twin additionally the one-row max(dsir_score) threshold:
     "op_corpus_dsir_weights",
+    "op_corpus_dsir_select",
     # one-row purchaser-count aggregate broadcast into each of the three
     # distributed-ntile bucket projections (operators/ranks.py global_ntile):
     "op_events_rfm",

@@ -304,3 +304,21 @@ def test_dsir_scaled_term_clips(spark):
     )
     got = row.select(F.expr(_DSIR_SCALED).alias("s")).collect()[0]["s"]
     assert got == _DSIR_CLIP
+
+
+def test_dsir_select_is_weight_proportional_subset(spark, sf_dir):
+    """The resampling op must (a) hash-match its oracle, (b) select a strict
+    weight-biased subset of the scored corpus, and (c) always keep the
+    top-scored document (its threshold is exactly 1e6, above any coin)."""
+    wq = QUERIES["op_corpus_dsir_weights"]
+    sq = QUERIES["op_corpus_dsir_select"]
+    assert compare(sq.spark(spark, sf_dir), run_oracle(sq.oracle, sf_dir)) == []
+    scored = {r["doc_id"]: r["dsir_score"] for r in wq.spark(spark, sf_dir).collect()}
+    kept = {r["doc_id"]: r["dsir_score"] for r in sq.spark(spark, sf_dir).collect()}
+    assert kept and set(kept) < set(scored), "selection must be a proper subset"
+    assert all(kept[d] == scored[d] for d in kept), "scores must pass through"
+    top = max(scored, key=lambda d: (scored[d], d))
+    assert top in kept, "the max-weight doc is kept with probability 1"
+    # weight bias: the kept set's mean score exceeds the dropped set's
+    dropped = [scored[d] for d in scored if d not in kept]
+    assert sum(kept.values()) / len(kept) > sum(dropped) / len(dropped)

@@ -110,6 +110,7 @@ OPS = [
     "op_corpus_clean_pipeline",
     "op_corpus_domain_mix",
     "op_corpus_dsir_weights",
+    "op_corpus_dsir_select",
     "op_sample_weighted",
     "op_text_tfidf_topterms",
     "op_multimodal_phash",
