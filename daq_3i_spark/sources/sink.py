@@ -493,10 +493,14 @@ def write_channel_data_jdbc(
     with the decimal(25,6) cast applied at this boundary via
     :func:`decimal_cast_projection`.
 
-    No database runs in the test environment, so this is exercised only by
-    callers with a live JDBC URL (e.g. ``jdbc:mysql://host/db``); the parquet
-    sink (streaming/pipeline.py) is the tested path, and the cast projection
-    is oracled separately (tests/test_streaming.py).
+    Exercised end-to-end against a REAL embedded JDBC database (Derby, the
+    jar Spark bundles for its Hive metastore) in
+    tests/test_sink_services.py::test_jdbc_sink_roundtrip_derby — table
+    auto-creation, batched append, and the decimal cast all run through the
+    actual Spark JDBC writer.  A server-backed deployment only swaps the URL
+    (e.g. ``jdbc:mysql://host/db``) and ships that server's driver jar; the
+    cast projection is additionally oracled standalone
+    (tests/test_sink_services.py::test_decimal_cast_projection_boundary).
     """
     (
         decimal_cast_projection(df)
