@@ -11,9 +11,11 @@ This module exposes the same acquisition as a declarative source:
   advanced by one per stream tick so successive micro-batches change).  Fully
   deterministic: options ``poll_ts`` (epoch seconds of the poll) and
   ``ticks`` pin the output.
-* a real pymodbus transport would plug into ``_read_registers`` behind the
-  same interface; pymodbus is not installed here, so that path raises with a
-  clear message (import-gated, never in the simulated path).
+* ``modbus_tcp`` — LIVE acquisition over real sockets: a dependency-free
+  MODBUS-TCP function-3 client written from the public spec (pymodbus is
+  not installed, and not needed), one persistent connection per bus sweep.
+  Exercised end-to-end against an in-process TCP server in
+  tests/test_modbus_live.py.
 
 Partitioning: one input partition per (bus, device) — the natural parallel
 unit (the reference runs one thread per bus, daq-3i.py:341-345); at scale
@@ -136,9 +138,135 @@ class ModbusSimDataSource(DataSource):
         return _SimStreamReader(self.options)
 
 
-def read_live_modbus(*_args, **_kwargs):
-    """Placeholder for the real pymodbus transport (not installed here)."""
-    raise NotImplementedError(
-        "live MODBUS-TCP requires pymodbus; the modbus_sim source provides "
-        "the same interface against a deterministic simulated device"
-    )
+# --- live MODBUS-TCP transport ------------------------------------------------
+#
+# The reference gets this from pymodbus (modbus.py:37-56: ModbusTcpClient +
+# read_holding_registers, one blocking socket per read).  pymodbus is not
+# installed here, and is not needed: MODBUS-TCP function 3 is a tiny public
+# wire format (MODBUS Application Protocol v1.1b + MBAP framing), so the live
+# transport is implemented directly on a plain socket — and improves on the
+# reference by holding ONE connection per bus sweep instead of a socket per
+# register read.  Exercised end-to-end against a real in-process TCP server
+# in tests/test_modbus_live.py.
+
+
+class ModbusProtocolError(IOError):
+    """Raised on MODBUS exception responses and MBAP framing violations."""
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ModbusProtocolError(f"peer closed mid-frame ({len(buf)}/{n} bytes)")
+        buf += chunk
+    return buf
+
+
+class ModbusTcpClient:
+    """Minimal MODBUS-TCP client (read-holding-registers, function 3).
+
+    One persistent connection, sequential transactions with echo-checked
+    transaction ids; exception responses (function | 0x80) raise
+    :class:`ModbusProtocolError` carrying the device's exception code, the
+    same surface the reference maps pymodbus errors through
+    (modbus.py:50-56)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 5.0):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._tid = 0
+
+    def read_holding_registers(self, unit: int, address: int, count: int) -> list[int]:
+        import struct
+
+        self._tid = (self._tid + 1) % 65536
+        req = struct.pack(">HHHBBHH", self._tid, 0, 6, unit, 3, address, count)
+        self._sock.sendall(req)
+        rtid, proto, length, runit = struct.unpack(">HHHB", _recv_exact(self._sock, 7))
+        if rtid != self._tid or proto != 0:
+            raise ModbusProtocolError(
+                f"MBAP mismatch: tid {rtid} (sent {self._tid}), protocol {proto}"
+            )
+        body = _recv_exact(self._sock, length - 1)
+        func = body[0]
+        if func == 0x83:
+            raise ModbusProtocolError(f"device exception code {body[1]} (unit {runit})")
+        if func != 3 or body[1] != 2 * count:
+            raise ModbusProtocolError(
+                f"malformed response: function {func}, byte count {body[1]}"
+            )
+        return list(struct.unpack(f">{count}H", body[2 : 2 + 2 * count]))
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self) -> "ModbusTcpClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def read_live_modbus(
+    host: str, port: int, unit: int, address: int, count: int, timeout: float = 5.0
+) -> list[int]:
+    """One-shot live register read (the reference's socket-per-read shape)."""
+    with ModbusTcpClient(host, port, timeout=timeout) as c:
+        return c.read_holding_registers(unit, address, count)
+
+
+def _live_poll_rows(host: str, port: int, bus_id: int, poll_ts: int, tick: int):
+    """One live poll sweep over a bus: every enabled func-3 channel, read
+    over ONE connection (the per-bus sweep the reference runs per thread,
+    daq-3i.py:341-345, minus its per-read reconnects)."""
+    with ModbusTcpClient(host, port) as client:
+        for c in channels_rows():
+            cid, _name, cbus, device_id, address, _t, _conv, func, fmt, enabled = c[:10]
+            if not enabled or cbus != bus_id or func != 3:
+                continue
+            count = FORMAT_REGS.get(fmt, 1)
+            regs = client.read_holding_registers(device_id, address, count)
+            yield (cid, bus_id, device_id, address, fmt, regs, poll_ts + tick, tick)
+
+
+class _LiveBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.host = options.get("host", "")
+        self.port = int(options.get("port", 502))
+        self.poll_ts = int(options.get("poll_ts", 0))
+        self.ticks = int(options.get("ticks", 1))
+
+    def partitions(self) -> list[InputPartition]:
+        return [_BusPartition(b[0]) for b in buses_rows() if b[6] and b[2] == 1]
+
+    def read(self, partition: _BusPartition) -> Iterator[tuple]:
+        # the bus dim carries each device's (ip, port); a single `host`/
+        # `port` option overrides every bus (test rigs, NAT'd gateways)
+        bus = next(b for b in buses_rows() if b[0] == partition.bus_id)
+        host = self.host or bus[3]
+        port = self.port if self.host else bus[4]
+        for tick in range(self.ticks):
+            yield from _live_poll_rows(host, port, partition.bus_id, self.poll_ts, tick)
+
+
+class ModbusTcpDataSource(DataSource):
+    """spark.read.format("modbus_tcp") — LIVE acquisition over real sockets.
+
+    Identical schema, partitioning (one input partition per bus) and row
+    contract as ``modbus_sim``; only the transport differs.  Register with
+    ``spark.dataSource.register(ModbusTcpDataSource)`` and point it at a
+    device (or at tests/test_modbus_live.py's in-process server, which
+    serves the reference simulator's register map)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "modbus_tcp"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _LiveBatchReader(self.options)

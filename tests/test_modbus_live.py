@@ -1,0 +1,113 @@
+"""Live MODBUS-TCP transport against a REAL in-process TCP server.
+
+The server below implements the device side of MODBUS-TCP function 3 (MBAP
+framing per the public MODBUS Application Protocol v1.1b) and serves the
+reference simulator's register map — register n holds n
+(/root/reference/modbus_server.py:89-95 behavior, reimplemented from the
+spec, no code taken).  That makes the strongest possible assertion cheap:
+the LIVE ``modbus_tcp`` DataFrame must equal the simulated ``modbus_sim``
+DataFrame row-for-row at tick 0.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from daq_3i_spark.sources.modbus_source import (
+    ModbusProtocolError,
+    ModbusSimDataSource,
+    ModbusTcpClient,
+    ModbusTcpDataSource,
+    read_live_modbus,
+)
+
+#: addresses at or above this respond with ILLEGAL DATA ADDRESS (code 2)
+ILLEGAL_FROM = 60000
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        while True:
+            try:
+                hdr = self._recv(7)
+            except ConnectionError:
+                return
+            if hdr is None:
+                return
+            tid, proto, length, unit = struct.unpack(">HHHB", hdr)
+            body = self._recv(length - 1)
+            if body is None:
+                return
+            func, address, count = struct.unpack(">BHH", body)
+            if func != 3 or address >= ILLEGAL_FROM:
+                pdu = struct.pack(">BB", func | 0x80, 2)
+            else:
+                regs = [(address + i) % 65536 for i in range(count)]
+                pdu = struct.pack(f">BB{count}H", 3, 2 * count, *regs)
+            self.request.sendall(
+                struct.pack(">HHHB", tid, proto, len(pdu) + 1, unit) + pdu
+            )
+
+    def _recv(self, n: int):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.request.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+
+@pytest.fixture(scope="module")
+def modbus_server():
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_client_reads_register_map(modbus_server):
+    host, port = modbus_server
+    with ModbusTcpClient(host, port) as c:
+        # several sequential transactions on ONE connection (tid echo-checked)
+        assert c.read_holding_registers(1, 7, 3) == [7, 8, 9]
+        assert c.read_holding_registers(2, 0, 1) == [0]
+        assert c.read_holding_registers(3, 98, 4) == [98, 99, 100, 101]
+    # and the one-shot reference-shaped path
+    assert read_live_modbus(host, port, 1, 42, 2) == [42, 43]
+
+
+def test_client_raises_on_device_exception(modbus_server):
+    host, port = modbus_server
+    with pytest.raises(ModbusProtocolError, match="exception code 2"):
+        read_live_modbus(host, port, 1, ILLEGAL_FROM, 1)
+
+
+def test_live_source_equals_simulated_source(spark, modbus_server):
+    """The live modbus_tcp read over real sockets must produce exactly the
+    rows the modbus_sim source produces (the server serves the simulator's
+    register map), proving transport and source agree on the row contract."""
+    host, port = modbus_server
+    spark.dataSource.register(ModbusSimDataSource)
+    spark.dataSource.register(ModbusTcpDataSource)
+    sim = (
+        spark.read.format("modbus_sim").option("poll_ts", 1234).load().collect()
+    )
+    live = (
+        spark.read.format("modbus_tcp")
+        .option("host", host)
+        .option("port", port)
+        .option("poll_ts", 1234)
+        .load()
+        .collect()
+    )
+    key = lambda r: r["channel_id"]  # noqa: E731
+    assert sorted(live, key=key) == sorted(sim, key=key)
+    assert len(live) > 0
