@@ -252,8 +252,43 @@ class _LiveBatchReader(DataSourceReader):
             yield from _live_poll_rows(host, port, partition.bus_id, self.poll_ts, tick)
 
 
+class _LiveStreamReader(SimpleDataSourceStreamReader):
+    """The reference's actual operating mode — a polling daemon — as a
+    streaming source: one live sweep over every enabled TCP bus per
+    micro-batch, tick as the offset.  Replay (readBetweenOffsets) re-polls
+    the device, so a real deployment gets at-least-once register reads and
+    the sink must be idempotent on (channel_id, tick) — the standard caveat
+    for any non-replayable physical source (the streaming pipeline's MERGE
+    sink already is)."""
+
+    def __init__(self, options: dict):
+        self.host = options.get("host", "")
+        self.port = int(options.get("port", 502))
+        self.poll_ts = int(options.get("poll_ts", 0))
+
+    def _sweep(self, tick: int) -> Iterator[tuple]:
+        for b in buses_rows():
+            if not (b[6] and b[2] == 1):
+                continue
+            host = self.host or b[3]
+            port = self.port if self.host else b[4]
+            yield from _live_poll_rows(host, port, b[0], self.poll_ts, tick)
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        tick = int(start["tick"])
+        return iter(list(self._sweep(tick))), {"tick": tick + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for tick in range(int(start["tick"]), int(end["tick"])):
+            yield from self._sweep(tick)
+
+
 class ModbusTcpDataSource(DataSource):
-    """spark.read.format("modbus_tcp") — LIVE acquisition over real sockets.
+    """spark.read/readStream.format("modbus_tcp") — LIVE acquisition over
+    real sockets.
 
     Identical schema, partitioning (one input partition per bus) and row
     contract as ``modbus_sim``; only the transport differs.  Register with
@@ -270,3 +305,6 @@ class ModbusTcpDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _LiveBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _LiveStreamReader(self.options)

@@ -111,3 +111,49 @@ def test_live_source_equals_simulated_source(spark, modbus_server):
     key = lambda r: r["channel_id"]  # noqa: E731
     assert sorted(live, key=key) == sorted(sim, key=key)
     assert len(live) > 0
+
+
+def test_live_streaming_polls_per_tick(spark, modbus_server):
+    """The live daemon mode: readStream polls the real server once per
+    micro-batch; each tick is one full sweep (18 pollable channels) with
+    the served register map."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    host, port = modbus_server
+    spark.dataSource.register(ModbusTcpDataSource)
+    q = (
+        spark.readStream.format("modbus_tcp")
+        .option("host", host)
+        .option("port", port)
+        .option("poll_ts", 1_700_000_000)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_modbus_live_stream")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    ticks: set[int] = set()
+    while time.time() < deadline:
+        ticks = {
+            r["tick"]
+            for r in spark.table("t_modbus_live_stream").select("tick").distinct().collect()
+        }
+        if len(ticks) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert len(ticks) >= 2, f"saw ticks {ticks}"
+    rows = spark.table("t_modbus_live_stream").collect()
+    per_tick = (
+        spark.table("t_modbus_live_stream").groupBy("tick").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] == 18 for r in per_tick)
+    # the server's register map is static: every tick re-reads address+i
+    assert all(
+        r["registers"] == [(r["address"] + i) % 65536 for i in range(len(r["registers"]))]
+        for r in rows
+    )
