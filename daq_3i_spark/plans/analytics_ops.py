@@ -2036,9 +2036,11 @@ def _downsample_oracle() -> str:
     "averaged away; n_pts records the compression ratio per bucket.  NULL "
     "samples are excluded in both dialects (NULL ordering differs between "
     "engines).  Plan: ONE shuffle on (channel, bucket); the two orderings "
-    "and the count share that exchange as three window passes over "
-    "bucket-bounded partitions — per-partition work is sort of one "
-    "bucket's points, no state across buckets, embarrassingly scalable",
+    "and the count share that exchange as ONE window stack (extreme rows "
+    "kept once, kind labels exploded — a filter-union would re-run the "
+    "Sort+Window operators per branch) over bucket-bounded partitions — "
+    "per-partition work is sort of one bucket's points, no state across "
+    "buckets, embarrassingly scalable",
 )
 def op_timeseries_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.daq_dims import channel_data_df
@@ -2061,15 +2063,25 @@ def op_timeseries_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wmax).alias("rn_max"),
         F.count("*").over(wc).alias("n_pts"),
     )
-
-    def pick(flag: str, kind: str) -> DataFrame:
-        return r.filter(F.col(flag) == 1).select(
+    # single pass: a union of two filters over `r` would re-run the whole
+    # Sort+Window stack per branch (Spark reuses exchanges, not the Window
+    # operators above them — the dominant per-partition sort would double).
+    # Instead keep extreme rows once and EXPLODE their kind labels; a
+    # 1-point bucket's row is both min and max and legitimately emits twice.
+    kinds = F.array_compact(
+        F.array(
+            F.when(F.col("rn_min") == 1, F.lit("min")),
+            F.when(F.col("rn_max") == 1, F.lit("max")),
+        )
+    )
+    return (
+        r.filter((F.col("rn_min") == 1) | (F.col("rn_max") == 1))
+        .select(
             "channel_id",
             (F.col("bucket") * 900).alias("bucket_start_s"),
-            F.lit(kind).alias("kind"),
+            F.explode(kinds).alias("kind"),
             "ts",
             "value",
             "n_pts",
         )
-
-    return pick("rn_min", "min").unionAll(pick("rn_max", "max"))
+    )

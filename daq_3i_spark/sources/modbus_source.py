@@ -190,6 +190,11 @@ class ModbusTcpClient:
             raise ModbusProtocolError(
                 f"MBAP mismatch: tid {rtid} (sent {self._tid}), protocol {proto}"
             )
+        if length < 3:
+            # length counts unit id + PDU; a function-3 PDU is >= 2 bytes
+            # (func + byte count / exception code) — anything shorter cannot
+            # be indexed and is a framing violation, not an IndexError
+            raise ModbusProtocolError(f"MBAP length {length} too short for a PDU")
         body = _recv_exact(self._sock, length - 1)
         func = body[0]
         if func == 0x83:
@@ -221,12 +226,18 @@ def read_live_modbus(
 def _live_poll_rows(host: str, port: int, bus_id: int, poll_ts: int, tick: int):
     """One live poll sweep over a bus: every enabled func-3 channel, read
     over ONE connection (the per-bus sweep the reference runs per thread,
-    daq-3i.py:341-345, minus its per-read reconnects)."""
+    daq-3i.py:341-345, minus its per-read reconnects).  The channel list is
+    resolved BEFORE connecting, so a bus with nothing to poll never costs a
+    connect (or a connect timeout when that idle bus is also offline)."""
+    todo = [
+        c for c in channels_rows()
+        if c[9] and c[2] == bus_id and c[7] == 3
+    ]
+    if not todo:
+        return
     with ModbusTcpClient(host, port) as client:
-        for c in channels_rows():
-            cid, _name, cbus, device_id, address, _t, _conv, func, fmt, enabled = c[:10]
-            if not enabled or cbus != bus_id or func != 3:
-                continue
+        for c in todo:
+            cid, _name, _cbus, device_id, address, _t, _conv, _func, fmt = c[:9]
             count = FORMAT_REGS.get(fmt, 1)
             regs = client.read_holding_registers(device_id, address, count)
             yield (cid, bus_id, device_id, address, fmt, regs, poll_ts + tick, tick)
@@ -235,7 +246,7 @@ def _live_poll_rows(host: str, port: int, bus_id: int, poll_ts: int, tick: int):
 class _LiveBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.host = options.get("host", "")
-        self.port = int(options.get("port", 502))
+        self.port = int(options["port"]) if "port" in options else None
         self.poll_ts = int(options.get("poll_ts", 0))
         self.ticks = int(options.get("ticks", 1))
 
@@ -243,11 +254,12 @@ class _LiveBatchReader(DataSourceReader):
         return [_BusPartition(b[0]) for b in buses_rows() if b[6] and b[2] == 1]
 
     def read(self, partition: _BusPartition) -> Iterator[tuple]:
-        # the bus dim carries each device's (ip, port); a single `host`/
-        # `port` option overrides every bus (test rigs, NAT'd gateways)
+        # the bus dim carries each device's (ip, port); the `host` and
+        # `port` options each INDEPENDENTLY override every bus (test rigs,
+        # NAT'd gateways, port-forwarded devices at their dim IPs)
         bus = next(b for b in buses_rows() if b[0] == partition.bus_id)
         host = self.host or bus[3]
-        port = self.port if self.host else bus[4]
+        port = self.port if self.port is not None else bus[4]
         for tick in range(self.ticks):
             yield from _live_poll_rows(host, port, partition.bus_id, self.poll_ts, tick)
 
@@ -263,7 +275,7 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.host = options.get("host", "")
-        self.port = int(options.get("port", 502))
+        self.port = int(options["port"]) if "port" in options else None
         self.poll_ts = int(options.get("poll_ts", 0))
 
     def _sweep(self, tick: int) -> Iterator[tuple]:
@@ -271,7 +283,7 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
             if not (b[6] and b[2] == 1):
                 continue
             host = self.host or b[3]
-            port = self.port if self.host else b[4]
+            port = self.port if self.port is not None else b[4]
             yield from _live_poll_rows(host, port, b[0], self.poll_ts, tick)
 
     def initialOffset(self) -> dict:

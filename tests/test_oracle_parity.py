@@ -19,9 +19,16 @@ def test_every_registry_entry_is_oracled():
 
 
 def test_slices_cover_every_oracled_entry_exactly_once():
-    """The four slice modules must partition ORACLED — an edit that drops or
-    doubles a slice would silently shrink (or pad) the local correctness
-    gate."""
-    seen = [n for k in range(N_SLICES) for n in parity_slice(k)]
+    """The four LIVE slice modules must partition ORACLED — introspected by
+    IMPORTING each module and reading the NAMES list its parametrize
+    actually uses, so a deleted slice file or a copy-pasted wrong index
+    fails HERE (checking only the slice function would miss both)."""
+    import importlib
+
+    seen: list[str] = []
+    for k in range(N_SLICES):
+        mod = importlib.import_module(f"tests.test_oracle_parity_s{k}")
+        assert mod.NAMES == parity_slice(k), f"slice module s{k} uses a wrong index"
+        seen.extend(mod.NAMES)
     assert sorted(seen) == ORACLED
     assert len(seen) == len(ORACLED)

@@ -17,9 +17,17 @@ from tests.plan_quality_common import N_SLICES, _PLANNABLE, _plan, plannable_sli
 
 
 def test_slices_cover_every_plannable_entry_exactly_once():
-    """The three slice modules must partition _PLANNABLE — an edit that
-    drops or doubles a slice would silently shrink (or pad) the plan gate."""
-    seen = [n for k in range(N_SLICES) for n in plannable_slice(k)]
+    """The three LIVE slice modules must partition _PLANNABLE — introspected
+    by IMPORTING each module and reading the NAMES list its parametrize
+    actually uses, so a deleted slice file or a copy-pasted wrong index
+    fails HERE (checking only the slice function would miss both)."""
+    import importlib
+
+    seen: list[str] = []
+    for k in range(N_SLICES):
+        mod = importlib.import_module(f"tests.test_plan_quality_s{k}")
+        assert mod.NAMES == plannable_slice(k), f"slice module s{k} uses a wrong index"
+        seen.extend(mod.NAMES)
     assert sorted(seen) == _PLANNABLE
     assert len(seen) == len(_PLANNABLE)
 

@@ -90,7 +90,9 @@ def main() -> int:
     timings = _load_timings()
 
     def weight(m: str) -> float:
-        return timings.get(m) or float(WEIGHTS.get(m, 10))
+        # explicit membership test, not `or`: a genuinely-measured 0.0
+        # (sub-5ms module) must not fall back to a stale static weight
+        return timings[m] if m in timings else float(WEIGHTS.get(m, 10))
 
     # LPT: heaviest module onto the currently lightest shard
     shards: list[list[str]] = [[] for _ in range(args.n)]
