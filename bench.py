@@ -136,8 +136,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from daq_3i_spark.session import get_spark
     from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.cache import release_shared
 
     spark = get_spark("daq_3i_bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -151,11 +154,37 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # multi-consumer sub-plans are tracked lazy caches (cache.shared);
+        # dropping them between queries keeps the session's memory flat and
+        # every timed run cold (a warm cache would hide the derivation cost)
+        release_shared()
+        return dt
+
+    def run_calibration() -> float:
+        # fixed-cost synthetic probe, independent of SF_DIR and of any
+        # operator: hash + sum over a generated range saturates all cores
+        # exactly like the real queries do.  Its round-over-round ratio IS
+        # the shared-microVM host-window factor (BENCH_NOTES r9: byte-
+        # identical plans moved 117 -> 198 s within one session) —
+        # tools/bench_guard.py divides per-query ratios by it so the guard
+        # flags operator slides, not host weather.
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 192_000_000, 1, int(CPUS))
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         return time.perf_counter() - t0
 
     # warmup pass over EVERY query: JVM JIT + codegen + parquet footer caches
     # land outside the timed pass (per-query variance otherwise dominates the
     # small queries)
+    run_calibration()
     for name in names:
         run(name)
 
@@ -164,12 +193,17 @@ def main() -> None:
     # arbitrary queries (observed: the same scan-agg at 2.6s and 10.4s in
     # back-to-back runs).  The min of independent passes estimates the
     # machine-unloaded cost; interleaving keeps one burst from hitting the
-    # same query twice.
+    # same query twice.  The calibration probe brackets each pass (start +
+    # end) so the recorded host factor covers the same window as the minima.
     passes: dict[str, list[float]] = {n: [] for n in names}
+    cal_times: list[float] = []
     for _ in range(2):
+        cal_times.append(run_calibration())
         for name in names:
             passes[name].append(run(name))
+        cal_times.append(run_calibration())
     timings = {n: round(min(ts), 4) for n, ts in passes.items()}
+    calibration = round(min(cal_times), 4)
     # the driver keeps only a 2000-byte stdout tail (r5's record was lost to
     # it, and at 84 queries even a 2-decimal full dict is ~2.4 KB): the wire
     # carries the most expensive queries first and stops at a 1900-byte
@@ -182,6 +216,7 @@ def main() -> None:
         len(json.dumps({"metric": "headline_queries_total", "value": 9999.99,
                         "unit": "sec", "queries": {n: wire[n] for n in by_cost},
                         "n_total": len(wire), "n_emitted": len(by_cost),
+                        "calibration_sec": 9999.99,
                         "sf": 0.1}, separators=(",", ":"))) > 1900
         and by_cost
     ):
@@ -207,6 +242,9 @@ def main() -> None:
         "queries": wire,
         "n_total": len(timings),
         "n_emitted": n_emitted,
+        # NOT part of value: the fixed-cost host-speed probe for
+        # tools/bench_guard.py's cross-round normalization
+        "calibration_sec": calibration,
         "sf": sf_val,
     }
     # The driver records only a bounded tail of stdout; at 54 queries the

@@ -58,25 +58,25 @@ def _ranked(
     df: DataFrame, order: list[Column], alias: str, num_partitions: int | None
 ) -> tuple[DataFrame, DataFrame]:
     """(df + global row_number ``alias``, per-partition counts frame)."""
+    from daq_3i_spark.cache import shared
+
     spark = df.sparkSession
     # the counts branch and the rank branch both consume the range exchange,
     # but column pruning specializes each branch's scan projection, so the
     # two exchanges canonicalize DIFFERENTLY and ReuseExchange never fires —
     # without a cache the entire upstream plan runs twice (measured: the
-    # vocab aggregate's document scan + explode executed 4x).  A lazy
-    # persist() makes the sorted, mid-stamped frame compute once; the conf
-    # lets AQE still re-partition joins that feed the cache (the
-    # op_graph_pagerank lesson, measured 9x there).
-    spark.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-    )
+    # vocab aggregate's document scan + explode executed 4x).  shared() is
+    # the tracked lazy persist (release via cache.release_shared(); a
+    # recompute after eviction is order-stable — the mid projection sits
+    # above the sort, see module docstring) and sets the AQE conf that lets
+    # joins feeding the cache still re-partition (the op_graph_pagerank
+    # lesson, measured 9x there).
     p = num_partitions or spark.sparkContext.defaultParallelism
-    rp = (
+    rp = shared(
         df.repartitionByRange(p, *order)
         .sortWithinPartitions(*order)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(_PID, F.shiftright(F.col(_MID), _MID_BITS))
-        .persist()
     )
     counts = rp.groupBy(_PID).agg(F.count("*").alias(_CNT))
     # offsets: rows in all lower-pid partitions.  The window is global but

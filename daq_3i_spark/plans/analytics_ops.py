@@ -44,8 +44,8 @@ Scale notes (100 TB):
 * PageRank's per-iteration cost is one shuffle join on src + one aggregate
   on dst (the textbook distributed formulation); ranks are scaled integers
   with total mass ~1e12 split over n nodes, so products stay < 2^63 at ANY
-  node count, and the edge+degree frame is localCheckpointed once and
-  reused by all iterations;
+  node count, and the edge+degree frame is lazily cached once (cache.shared)
+  and reused by all iterations;
 * domain mix broadcasts the per-language count table (languages are a
   dozens-sized dimension at any corpus size); the corpus side is a pure
   hash-threshold filter — no shuffle at all.
@@ -56,6 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from daq_3i_spark.cache import shared
 from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_table
@@ -314,7 +315,7 @@ _PR_ITERS = 3
     "(the portable way to hash-oracle an iterative float algorithm; a "
     "float PageRank's sums are order-nondeterministic).  Every node of "
     "the symmetric graph has outdeg >= 1, so there is no dangling-mass "
-    "term.  Plan: edges+degree built once and localCheckpointed (every "
+    "term.  Plan: edges+degree built once and lazily cached (every "
     "iteration reuses the materialized frame instead of re-deriving the "
     "distinct), then per iteration ONE shuffle join on src + ONE "
     "aggregate on dst — the textbook distributed PageRank step; the "
@@ -337,15 +338,12 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned plan is ever executed.  A lazy cache marks the frame for
     # reuse with zero jobs now; the first action computes it once and all
     # iterations hit the cached InMemoryRelation.
-    # Without this conf a vanilla session plans every join against the
-    # cached frame at the static shuffle-partition count (AQE refuses to
-    # re-partition plans that feed a cache) — measured 67.8 s vs 7.3 s at
-    # sf0.1/local[32] under the 200-partition default.  Safe to enable
-    # globally: it only ALLOWS AQE to coalesce around InMemoryRelations.
-    spark.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-    )
-    ed = edges.join(deg, "src").persist()
+    # Without the AQE-around-caches conf (set by shared()) a vanilla session
+    # plans every join against the cached frame at the static
+    # shuffle-partition count (AQE refuses to re-partition plans that feed a
+    # cache) — measured 67.8 s vs 7.3 s at sf0.1/local[32] under the
+    # 200-partition default.
+    ed = shared(edges.join(deg, "src"))
     # node count and teleport term as one-row broadcast aggregates, carried
     # through the iterations as a constant column (max() in each aggregate
     # is map-side combined) — no driver-side scalar anywhere.  Integral SQL
@@ -868,14 +866,12 @@ def op_timeseries_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("med")
     )
     # dev feeds two aggregates (MAD and the final gate census) — materialize
-    # the scan + broadcast-med join once (the two-consumer convention used
-    # by pagerank/phash in this module)
-    dev = (
-        cd.join(F.broadcast(med), "channel_id")
-        .select(
+    # the scan + broadcast-med join once (shared(): the lazy two-consumer
+    # convention, zero jobs until the first action)
+    dev = shared(
+        cd.join(F.broadcast(med), "channel_id").select(
             "channel_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
         )
-        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy("channel_id").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
@@ -970,14 +966,13 @@ def op_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # g sits above the full per-user sessionization window and feeds both
     # the day-carry branch and the stitched output — materialize it once so
     # the window sort does not execute twice
-    g = (
+    g = shared(
         deltas.groupBy("t")
         .agg(
             F.sum("a").cast("bigint").alias("a"),
             F.sum("b").cast("bigint").alias("b"),
         )
         .withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
-        .localCheckpoint(eager=True)
     )
     # two-level prefix sum: per-day nets -> cumulative carry over the tiny
     # day frame -> within-day running sums join the carry back
@@ -1199,9 +1194,7 @@ def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two consumers (band blocking + the final mapping join) — materialize
     # the decode+hash pass once instead of running the Arrow kernel twice
-    h = packed.mapInPandas(
-        hash_batches, "doc_id long, hi long, lo long"
-    ).localCheckpoint(eager=True)
+    h = shared(packed.mapInPandas(hash_batches, "doc_id long, hi long, lo long"))
     blocks = h.select(
         "doc_id", "hi", "lo", F.explode(F.expr("sequence(0, 3)")).alias("j")
     ).withColumn(
@@ -1564,7 +1557,7 @@ def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached purchaser aggregate, then score frames equi-join on user_id —
     # chaining the ntiles instead stacks each layer's range exchange on the
     # full previous output (measured 2x the plan depth for the same result)
-    p = p.persist()
+    p = shared(p)
     scores = [
         global_ntile(
             p.select("user_id", metric),
@@ -1662,14 +1655,16 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same _duck_sig_cte), materialized once
     from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
 
-    th = _spark_th_of(docs).localCheckpoint(eager=True)
+    th = shared(_spark_th_of(docs))
     sigs = _spark_sigs_from_th(th)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
-            "band_idx", "band_val"
-        ),
-    ).localCheckpoint(eager=True)
+    bands = shared(
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
+                "band_idx", "band_val"
+            ),
+        )
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand0 = (
         a.join(
@@ -1685,22 +1680,19 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
     lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
-    cand = (
+    cand = shared(
         cand0.join(F.broadcast(la), "doc_a")
         .join(F.broadcast(lb), "doc_b")
         .filter(F.col("lang_a") == F.col("lang_b"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
 
-    shp = (
+    shp = shared(
         th.select(
             "doc_id",
             "lang",
             F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
     sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa, sb = shp.alias("sa"), shp.alias("sb")
@@ -1718,7 +1710,7 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    truth = (
+    truth = shared(
         inter.join(F.broadcast(za), "doc_a")
         .join(F.broadcast(zb), "doc_b")
         .filter(
@@ -1727,7 +1719,6 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _MHEVAL_TAU
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
 
     nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from daq_3i_spark.cache import shared
 from daq_3i_spark.functions.text import DUCK, SPARK
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_spread
@@ -277,10 +278,9 @@ def op_corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the gated set ONCE: it feeds both the shingle branch and
     # the dedup branch, and the O(tokens x distinct-tokens) repetition gate
     # would otherwise re-run per branch (no subtree reuse across DataFrame
-    # references) — measured ~40% off the op at sf0.1.  On a cluster,
-    # reliable checkpoint/Delta materialization replaces localCheckpoint
-    # (same note as the LSH ops, SCALE.md).
-    q = q.localCheckpoint(eager=True)
+    # references) — measured ~40% off the op at sf0.1.  In a production
+    # pipeline the gated set is a materialized Delta stage (SCALE.md).
+    q = shared(q)
     esh = (
         docs.filter(
             (F.col("doc_id") % 97 == 0)
@@ -726,10 +726,14 @@ def op_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.plans.extension_ops import _spark_sigs_of
 
     sigs = _spark_sigs_of(load_spread(spark, sf_dir, "documents"))
-    bands = sigs.select(
-        "doc_id", "sig",
-        F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias("band_idx", "band_val"),
-    ).localCheckpoint(eager=True)  # one signature-chain run feeds both sides
+    bands = shared(
+        sigs.select(
+            "doc_id", "sig",
+            F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
+                "band_idx", "band_val"
+            ),
+        )
+    )  # one signature-chain run feeds both sides
     hist = bands.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("h")
     batch = bands.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).alias("b")
     return (
@@ -1093,13 +1097,18 @@ def op_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor((score/max)*1e6): both operands are the same correctly-rounded "
     "doubles in both engines, so the integer comparison is exact.  Scale "
     "shape: the one-row max rides as a broadcast crossJoin and the filter "
-    "is pure codegen; the scored sub-plan feeds two consumers here — a "
+    "is pure codegen; the scored sub-plan feeds two consumers and is "
+    "lazily cached (cache.shared) so it derives exactly once — a "
     "production deployment materializes op_corpus_dsir_weights' output "
     "once and runs selection over the stored table (this op composes the "
     "two stages declaratively for the single-query surface)",
 )
 def op_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _dsir_scored(spark, sf_dir)
+    # the scored sub-plan (two corpus passes + a broadcast join) feeds BOTH
+    # the one-row max aggregate and the filtered scan — without the shared
+    # cache the whole derivation executes once per consumer (two extra full
+    # corpus passes at 100 TB; VERDICT r9 #2)
+    scored = shared(_dsir_scored(spark, sf_dir))
     m = scored.agg(F.max("dsir_score").alias("mx"))
     coin = _lcg_coin(F.col("doc_id"))
     return (

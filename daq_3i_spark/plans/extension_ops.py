@@ -45,6 +45,7 @@ from daq_3i_spark.functions.vectors import (
     duckdb_norm2_fold,
     sign_buckets_np,
 )
+from daq_3i_spark.cache import shared
 from daq_3i_spark.functions.numeric import fx_sum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_spread, load_table
@@ -154,7 +155,7 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both self-join sides would re-run the full MinHash signature chain
     # (interpreted HOF hashing) — materialize the banded signatures once
-    bands = bands.localCheckpoint(eager=True)
+    bands = shared(bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -200,7 +201,7 @@ def minhash_capped_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFra
     # chain must not re-run per branch.  min(struct(doc_id, sig)) orders by
     # the unique doc_id, so it is exactly arg_min(sig, doc_id).
     w = Window.partitionBy("band_idx", "band_val")
-    bb = (
+    bb = shared(
         bands.withColumn("n", F.count("*").over(w))
         .withColumn("rs", F.min(F.struct("doc_id", "sig")).over(w))
         .select(
@@ -208,7 +209,6 @@ def minhash_capped_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFra
             F.col("rs.doc_id").alias("rep"),
             F.col("rs.sig").alias("rep_sig"),
         )
-        .localCheckpoint(eager=True)
     )
     small = bb.filter(F.col("n") <= cap)
     a, b = small.alias("a"), small.alias("b")
@@ -367,7 +367,7 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides + sizes) and the shingle hashing is interpreted HOF arithmetic —
     # without this the plan re-evaluates it per branch (no exchange reuse
     # across the self-join); measured ~30% off the op at sf0.1
-    sh = sh.localCheckpoint(eager=True)
+    sh = shared(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -460,12 +460,11 @@ def ngram_capped_pairs(docs: DataFrame, cap: int = _NGRAM_DF_CAP) -> DataFrame:
     # df annotation + stop-shingle filter in one window pass, then materialize
     # ONCE: the filtered postings feed three consumers (both self-join sides +
     # sizes) and the shingle hashing is interpreted HOF arithmetic (same
-    # rationale as the uncapped op's checkpoint)
-    sh = (
+    # rationale as the uncapped op's shared cache)
+    sh = shared(
         shd.withColumn("df", F.count("*").over(Window.partitionBy("lang", "h")))
         .filter(F.col("df") <= cap)
         .drop("df")
-        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -555,8 +554,14 @@ def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_spread(spark, sf_dir, "embeddings")
+    # parameter probe off the RAW scan: the vec_id filter pushes into the
+    # parquet scan (one stage, a handful of rows) — collecting through the
+    # spread frame would pay its round-robin exchange at plan-build time
     qrows = sorted(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -598,8 +603,14 @@ def op_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_spread(spark, sf_dir, "embeddings")
+    # parameter probe off the RAW scan: the vec_id filter pushes into the
+    # parquet scan (one stage, a handful of rows) — collecting through the
+    # spread frame would pay its round-robin exchange at plan-build time
     qrows = sorted(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -671,8 +682,14 @@ def op_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.text import MINHASH_PERMS
 
     emb = load_spread(spark, sf_dir, "embeddings")
+    # parameter probe off the RAW scan: the vec_id filter pushes into the
+    # parquet scan (one stage, a handful of rows) — collecting through the
+    # spread frame would pay its round-robin exchange at plan-build time
     qrows = sorted(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)

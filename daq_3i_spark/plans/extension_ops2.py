@@ -38,6 +38,7 @@ from daq_3i_spark.plans.extension_ops import (
     _duck_sig_cte,
     op_dedup_minhash,
 )
+from daq_3i_spark.cache import shared
 from daq_3i_spark.functions.numeric import fx_sum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_spread, load_table
@@ -175,13 +176,23 @@ def op_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import SCORES_SCHEMA
 
     emb = load_spread(spark, sf_dir, "embeddings")
+    # centroid probe off the RAW scan (same one-stage rationale as qrows)
     crows = sorted(
-        emb.filter(F.col("vec_id") < _IVF_C).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _IVF_C)
+        .select("vec_id", "embedding")
+        .collect()
     )
     C = np.array([r["embedding"] for r in crows], dtype=np.float64)
     cn2 = dim_seq_norm2(C)
+    # parameter probe off the RAW scan: the vec_id filter pushes into the
+    # parquet scan (one stage, a handful of rows) — collecting through the
+    # spread frame would pay its round-robin exchange at plan-build time
     qrows = sorted(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -679,10 +690,15 @@ def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import DEC_DOT
 
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = emb.localCheckpoint(eager=True)  # two assignment passes + a join
+    emb = shared(emb)  # two assignment passes + a join; cached by the collect
 
+    # centroid seed off the RAW scan (one pushed-down stage; the shared emb
+    # cache stays lazy until the first real action)
     crows = sorted(
-        emb.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", "embedding")
+        .collect()
     )
     C = np.array([r["embedding"] for r in crows], dtype=np.float64)
     cids = [int(r["vec_id"]) for r in crows]
@@ -781,11 +797,16 @@ def op_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import SCORES_SCHEMA, DEC_DOT
 
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = emb.localCheckpoint(eager=True)
+    emb = shared(emb)  # training collect + two assignment passes + a join
 
     # --- train (same arithmetic as op_sim_kmeans_assign) --------------------
+    # centroid seed off the RAW scan (one pushed-down stage; the shared emb
+    # cache stays lazy until the first real action)
     crows = sorted(
-        emb.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", "embedding")
+        .collect()
     )
     C = np.array([r["embedding"] for r in crows], dtype=np.float64)
     cids = [int(r["vec_id"]) for r in crows]
@@ -829,8 +850,14 @@ def op_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1n2 = dim_seq_norm2(C1)
 
     # --- probe + search against the trained index ---------------------------
+    # parameter probe off the RAW scan: the vec_id filter pushes into the
+    # parquet scan (one stage, a handful of rows) — collecting through the
+    # spread frame would pay its round-robin exchange at plan-build time
     qrows = sorted(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -935,14 +962,14 @@ def _pq_frames(spark: SparkSession, sf_dir: str):
             F.array(*[F.slice("embedding", s * _PQ_D + 1, _PQ_D) for s in range(_PQ_M)])
         ).alias("s", "sub"),
     )
-    subs = subs.localCheckpoint(eager=True)  # feeds dist twice (corpus + codebook)
+    subs = shared(subs)  # feeds dist twice (corpus + codebook)
     cws = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("code"), "s", F.col("sub").alias("cvec")
     )
     dist = subs.join(F.broadcast(cws), "s").select(
         "vec_id", "s", "code", l2_fold(F.col("sub"), F.col("cvec")).alias("d")
     )
-    dist = dist.localCheckpoint(eager=True)  # interpreted HOF: run it once
+    dist = shared(dist)  # interpreted HOF: run it once
     w_asg = Window.partitionBy("vec_id", "s").orderBy("d", "code")
     asg = (
         dist.withColumn("rn", F.row_number().over(w_asg))
@@ -1081,7 +1108,7 @@ def op_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", l2_fold(F.col("embedding"), F.col("ce")).alias("dfull")
     )
-    cd = cd.localCheckpoint(eager=True)  # feeds cells + probes; fold runs once
+    cd = shared(cd)  # feeds cells + probes; fold runs once
     w_cell = Window.partitionBy("vec_id").orderBy("dfull", "cid")
     cells = (
         cd.withColumn("rn", F.row_number().over(w_cell))

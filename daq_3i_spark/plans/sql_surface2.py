@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from daq_3i_spark.cache import shared
 from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql as FX
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_table, spread
@@ -815,7 +816,7 @@ def op_sql_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    counts = counts.localCheckpoint(eager=True)  # feeds bt + top
+    counts = shared(counts)  # feeds bt + top
     # hash-row fan-out as an explode, not a cross join (a 4-row generator
     # per token needs no join machinery, and the no-cartesian plan gate
     # stays meaningful registry-wide)

@@ -216,16 +216,21 @@ def op_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-column sort prunes only its own column; tests measure the "
     "file-hit counts for both predicate shapes).  The interleave is pure "
     "Catalyst bit arithmetic (sources/sink.py:morton_code) — whole-stage "
-    "codegen, one range shuffle.  Oracle = the full table: clustering "
-    "must be content-neutral",
+    "codegen, one range shuffle.  The interleave width comes from the "
+    "channel CONFIG dimension (driver-side metadata), not a fact-table "
+    "max aggregate — the steady-state writer path.  Oracle = the full "
+    "table: clustering must be content-neutral",
 )
 def op_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.sources.daq_dims import channel_data_df, channels_rows
     from daq_3i_spark.sources.sink import write_channel_data_zordered
 
     work = _workdir("op_sink_zorder")
     path = os.path.join(work, "channel_data_z")
-    write_channel_data_zordered(channel_data_df(spark, sf_dir), path)
+    # channel ids are config metadata (the reference's channels table) — the
+    # interleave width is known without a fact-table pass (VERDICT r9 #1)
+    ch_bits = max(int(r[0]) for r in channels_rows()).bit_length()
+    write_channel_data_zordered(channel_data_df(spark, sf_dir), path, ch_bits=ch_bits)
     return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
 
 

@@ -178,30 +178,57 @@ class ModbusTcpClient:
 
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._tid = 0
+        self.broken = False
+
+    def _fail(self, msg: str) -> None:
+        """Framing violation: the byte stream is (or may be) desynchronized —
+        a later transaction could consume this frame's remainder as its own
+        response.  Mark the connection broken and close it so every
+        subsequent call fails fast instead of returning stale registers.
+        (Device EXCEPTION responses do NOT come here: they are well-framed,
+        the stream stays in sync, and polling continues — the reference's
+        error-row semantics.)"""
+        self.broken = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        raise ModbusProtocolError(msg)
 
     def read_holding_registers(self, unit: int, address: int, count: int) -> list[int]:
         import struct
 
+        if self.broken:
+            raise ModbusProtocolError("connection marked broken by a prior framing error")
         self._tid = (self._tid + 1) % 65536
         req = struct.pack(">HHHBBHH", self._tid, 0, 6, unit, 3, address, count)
         self._sock.sendall(req)
         rtid, proto, length, runit = struct.unpack(">HHHB", _recv_exact(self._sock, 7))
         if rtid != self._tid or proto != 0:
-            raise ModbusProtocolError(
+            self._fail(
                 f"MBAP mismatch: tid {rtid} (sent {self._tid}), protocol {proto}"
             )
         if length < 3:
             # length counts unit id + PDU; a function-3 PDU is >= 2 bytes
             # (func + byte count / exception code) — anything shorter cannot
             # be indexed and is a framing violation, not an IndexError
-            raise ModbusProtocolError(f"MBAP length {length} too short for a PDU")
+            self._fail(f"MBAP length {length} too short for a PDU")
         body = _recv_exact(self._sock, length - 1)
         func = body[0]
         if func == 0x83:
             raise ModbusProtocolError(f"device exception code {body[1]} (unit {runit})")
         if func != 3 or body[1] != 2 * count:
-            raise ModbusProtocolError(
+            self._fail(
                 f"malformed response: function {func}, byte count {body[1]}"
+            )
+        if len(body) < 2 + 2 * count:
+            # the byte-count FIELD said 2*count but the MBAP length did not
+            # deliver that many bytes — unpacking would raise struct.error
+            # and leave the stream desynchronized (the declared-vs-delivered
+            # mismatch ADVICE r9 flagged)
+            self._fail(
+                f"MBAP length {length} delivers {len(body) - 2} data bytes, "
+                f"byte-count field declared {2 * count}"
             )
         return list(struct.unpack(f">{count}H", body[2 : 2 + 2 * count]))
 
@@ -228,19 +255,37 @@ def _live_poll_rows(host: str, port: int, bus_id: int, poll_ts: int, tick: int):
     over ONE connection (the per-bus sweep the reference runs per thread,
     daq-3i.py:341-345, minus its per-read reconnects).  The channel list is
     resolved BEFORE connecting, so a bus with nothing to poll never costs a
-    connect (or a connect timeout when that idle bus is also offline)."""
+    connect (or a connect timeout when that idle bus is also offline).
+
+    Error side-channel (bus.py:85-101, modbus.py:48-55): a failed read —
+    device exception OR framing violation — yields the channel's row with
+    NULL registers instead of killing the sweep; downstream these NULLs
+    decode to NULL and land in the dead-letter aggregate
+    (op_error_handling).  A framing violation additionally desynchronized
+    the connection (the client closed it), so the sweep reconnects once
+    for the remaining channels."""
     todo = [
         c for c in channels_rows()
         if c[9] and c[2] == bus_id and c[7] == 3
     ]
     if not todo:
         return
-    with ModbusTcpClient(host, port) as client:
+    client = ModbusTcpClient(host, port)
+    try:
         for c in todo:
             cid, _name, _cbus, device_id, address, _t, _conv, _func, fmt = c[:9]
             count = FORMAT_REGS.get(fmt, 1)
-            regs = client.read_holding_registers(device_id, address, count)
+            regs: list[int] | None
+            try:
+                regs = client.read_holding_registers(device_id, address, count)
+            except ModbusProtocolError:
+                regs = None  # dead-letter row; polling continues
+                if client.broken:
+                    client.close()
+                    client = ModbusTcpClient(host, port)
             yield (cid, bus_id, device_id, address, fmt, regs, poll_ts + tick, tick)
+    finally:
+        client.close()
 
 
 class _LiveBatchReader(DataSourceReader):

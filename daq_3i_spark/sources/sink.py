@@ -510,6 +510,105 @@ def write_channel_data_jdbc(
     )
 
 
+def upsert_status_jdbc(
+    updates: DataFrame, url: str, table: str = "daq_status"
+) -> int:
+    """Live JDBC twin of the daq_status upsert: latest update per
+    ``parameter`` wins, MERGEd into the status table as batched
+    UPDATE-then-INSERT (the reference's SELECT -> INSERT-or-UPDATE loop,
+    daq_status.py:36-68, minus its one-transaction-per-parameter shape).
+
+    The distributed part is the snapshot reduction (one shuffle on the key,
+    operators/core.py:status_snapshot); the collected snapshot is
+    PARAMETER-sized — one row per status key (heartbeat + per-channel
+    flags), bounded by config cardinality, never by data volume — the same
+    class as the module's day-list collects.  The merge itself runs on one
+    JDBC connection as two executeBatch round trips (UPDATE all keys, INSERT
+    the misses), which is dialect-neutral: Derby (exercised in
+    tests/test_sink_services.py::test_status_upsert_roundtrip_derby), MySQL
+    (the reference's production dialect — untested here, no server in the
+    sandbox; see DIVERGENCES.md), and Postgres all take this shape.
+    Returns the number of keys merged.
+    """
+    from daq_3i_spark.operators.core import status_snapshot
+
+    snap = status_snapshot(updates).select("parameter", "status", "ts").collect()
+    if not snap:
+        return 0
+    spark = updates.sparkSession
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        meta = conn.getMetaData()
+        # table probe via DatabaseMetaData (dialect-neutral; Derby folds
+        # unquoted identifiers to upper case, MySQL keeps case)
+        rs = meta.getTables(None, None, table.upper(), None)
+        exists = rs.next()
+        rs.close()
+        if not exists:
+            rs = meta.getTables(None, None, table, None)
+            exists = rs.next()
+            rs.close()
+        if not exists:
+            # ANSI-quoted column identifiers so the engine keeps the exact
+            # lower-case names the Spark JDBC reader expects (Derby folds
+            # unquoted identifiers to UPPER; MySQL needs ANSI_QUOTES for
+            # double quotes — DIVERGENCES.md records the dialect gap)
+            st = conn.createStatement()
+            st.executeUpdate(
+                f'CREATE TABLE {table} ("parameter" VARCHAR(128) PRIMARY KEY, '
+                '"status" INTEGER, "ts" TIMESTAMP)'
+            )
+            st.close()
+
+        def _bind(ps, row, order):
+            for i, fld in enumerate(order, start=1):
+                if fld == "parameter":
+                    ps.setString(i, row["parameter"])
+                elif fld == "status":
+                    ps.setInt(i, int(row["status"]))
+                else:
+                    # wall-clock binding (Timestamp.valueOf), NOT epoch math:
+                    # collect() returns naive session-tz datetimes and
+                    # datetime.timestamp() would reinterpret them in the
+                    # HOST timezone — valueOf round-trips the wall clock
+                    # through JDBC with no tz conversion on either side
+                    ps.setTimestamp(
+                        i,
+                        jvm.java.sql.Timestamp.valueOf(
+                            row["ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+                        ),
+                    )
+
+        upd = conn.prepareStatement(
+            f'UPDATE {table} SET "status" = ?, "ts" = ? WHERE "parameter" = ?'
+        )
+        for row in snap:
+            _bind(upd, row, ("status", "ts", "parameter"))
+            upd.addBatch()
+        counts = list(upd.executeBatch())
+        upd.close()
+        missing = [row for row, c in zip(snap, counts) if c == 0]
+        if missing:
+            ins = conn.prepareStatement(
+                f'INSERT INTO {table} ("parameter", "status", "ts") '
+                "VALUES (?, ?, ?)"
+            )
+            for row in missing:
+                _bind(ins, row, ("parameter", "status", "ts"))
+                ins.addBatch()
+            ins.executeBatch()
+            ins.close()
+        conn.commit()
+        return len(snap)
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
 # --- Z-order (Morton) clustering — multi-dimensional pruning layout ----------
 
 
@@ -539,7 +638,9 @@ def morton_code(a, b, bits: int = 10):
 _HOUR_BITS = 10
 
 
-def write_channel_data_zordered(df: DataFrame, path: str, nfiles: int = 8) -> None:
+def write_channel_data_zordered(
+    df: DataFrame, path: str, nfiles: int = 8, ch_bits: int | None = None
+) -> None:
     """channel_data laid out for BOTH per-channel and per-time-range reads:
     rows range-partitioned and sorted by the Morton interleave of
     (channel_id, hour-of-month), so each of the ``nfiles`` output files owns
@@ -554,13 +655,19 @@ def write_channel_data_zordered(df: DataFrame, path: str, nfiles: int = 8) -> No
     # above every bit of the narrower one — degenerating into a
     # single-dimension sort with zero pruning on the other (measured before
     # alignment: a channel predicate admitted all 8 files).  The channel
-    # width is DERIVED from the data (one tiny max aggregate, answerable
-    # from parquet footer stats) rather than hard-coded: a fixed shift of 4
-    # silently aliased distinct channels into the same z-range for any
-    # deployment with >= 64 channels, turning the layout into a time-only
-    # sort exactly where two-dimensional pruning matters most.
-    max_ch = df.agg(F.max("channel_id")).first()[0] or 0
-    ch_bits = max(1, int(max_ch).bit_length())
+    # width must match the DATA rather than a hard-coded constant: a fixed
+    # shift of 4 silently aliased distinct channels into the same z-range
+    # for any deployment with >= 64 channels, turning the layout into a
+    # time-only sort exactly where two-dimensional pruning matters most.
+    # Steady-state writers pass ``ch_bits`` (the channel dimension is config
+    # metadata — its id width is known without touching the fact table, and
+    # a too-wide value only pads the interleave, never aliases); with None
+    # the width is derived by one max aggregate over the input (the r9
+    # fallback, one extra job per write — BENCH_NOTES r10 adjudication).
+    if ch_bits is None:
+        max_ch = df.agg(F.max("channel_id")).first()[0] or 0
+        ch_bits = int(max_ch).bit_length()
+    ch_bits = max(1, ch_bits)
     bits = min(31, max(ch_bits, _HOUR_BITS))  # 2*31 interleaved bits < 63
     z = morton_code(
         F.shiftleft(F.col("channel_id").cast("long"), max(0, bits - ch_bits)),

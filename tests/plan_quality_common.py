@@ -45,10 +45,12 @@ _BNL_ALLOWED = {
     "op_sql_q22_idle_rich",
     "op_text_bm25",
     # 16-row centroid table broadcast against the corpus for cell assignment
-    # (the op_sim_ivf* shape; those ops hide the same BNL behind an eager
-    # localCheckpoint of the distance frame, this op keeps it lazy because
-    # the distances feed exactly one consumer):
+    # (the op_sim_ivf* shape):
     "op_dedup_semantic",
+    # same 16-row coarse-centroid crossJoin, visible in the plan since the
+    # r10 lazy-cache conversion (the eager localCheckpoint used to hide it
+    # behind a LogicalRDD scan):
+    "op_sim_ivfpq_topk",
     # same 16-row centroid broadcast as op_dedup_semantic (cell assignment
     # for the kNN-graph blocking):
     "op_sim_knn_graph",
@@ -83,6 +85,67 @@ _BNL_ALLOWED = {
 }
 
 _PLANNABLE = sorted(set(QUERIES) - _EXECUTING)
+
+# ops whose CONSTRUCTION legitimately runs multi-stage Spark jobs, with the
+# reason pinned (everything else must build lazily — VERDICT r9 #3: eager
+# work at build is an extra pass at 100 TB, and localCheckpoint blocks are
+# not fault-tolerant on a cluster).  op_stream_*/sink round-trips are
+# already out of _PLANNABLE via _EXECUTING.
+_BUILD_EXECUTES = {
+    # table services / format round-trips: the WRITE is the op's semantics
+    "op_sink_zorder": "clustered rewrite runs at build by design",
+    "op_sink_merge_upsert": "MERGE service pass runs at build by design",
+    "op_sink_compaction": "compaction service pass runs at build by design",
+    "op_sink_retention_time": "retention delete pass runs at build",
+    "op_sink_time_travel": "versioned writes run at build",
+    "op_sink_change_feed": "CDC feed derivation writes at build",
+    "op_sink_delete_retention": "retention rewrite runs at build",
+    "op_sink_truncate_status": "truncate+reload writes at build",
+    "op_sink_upsert_status": "status upsert writes at build",
+    "op_sink_append_channel_data": "append writes at build",
+    "op_source_csv_roundtrip": "format round-trip writes at build",
+    "op_source_json_roundtrip": "format round-trip writes at build",
+    "op_source_orc_roundtrip": "format round-trip writes at build",
+    "op_source_schema_evolution": "two-generation writes at build",
+    "op_source_modbus_poll": "socket poll + createDataFrame at build",
+    # iterative algorithms: the loop must materialize per round
+    "op_dedup_components": "star-contraction loop iterates at build",
+    # driver-side distributed training at build: one real k-means step
+    # (assign + per-cluster mean aggregate, a full corpus pass) must run
+    # before the returned plan exists — the trained centroids ship in the
+    # task closure.  The parameter-sized query/centroid PROBES elsewhere
+    # are single-stage raw-scan collects and need no entry here.
+    "op_sim_kmeans_assign": "k-means mean aggregate trains centroids at build",
+    "op_sim_ivf_trained_topk": "k-means mean aggregate trains the index at build",
+}
+
+
+def check_lazy_construction(spark, sf_dir, name) -> None:
+    """Building a registered plan must fire no MULTI-stage Spark job: a
+    shuffle executed at construction time (the eager localCheckpoint /
+    .count() class) is a full extra data pass at 100 TB before the returned
+    DataFrame is ever acted on.  Single-stage jobs are allowed — parquet
+    footer probes (schema normalization in load_table) and createDataFrame
+    of driver-side dims are metadata-sized.  Ops whose semantics ARE work
+    at build carry a pinned reason in _BUILD_EXECUTES."""
+    if name in _BUILD_EXECUTES:
+        return
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = f"lazy-build-{name}"
+    sc.setJobGroup(group, "plan construction must fire no shuffle jobs")
+    try:
+        df = QUERIES[name].spark(spark, sf_dir)
+        for j in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(j)
+            stages = list(info.stageIds) if info else []
+            assert len(stages) <= 1, (
+                f"{name} ran a {len(stages)}-stage job at plan construction "
+                "— shuffle work executed before any action"
+            )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert df.columns  # still a real, analyzable DataFrame
 
 
 def _plan(spark, sf_dir, name) -> str:

@@ -157,3 +157,127 @@ def test_live_streaming_polls_per_tick(spark, modbus_server):
         r["registers"] == [(r["address"] + i) % 65536 for i in range(len(r["registers"]))]
         for r in rows
     )
+
+
+class _ShortFrameHandler(socketserver.BaseRequestHandler):
+    """Adversarial device: the byte-count FIELD declares 2*count data bytes
+    but the MBAP length delivers two fewer — the declared-vs-delivered
+    mismatch ADVICE r9 flagged (struct.error + silent desync before r10)."""
+
+    def handle(self):
+        while True:
+            buf = b""
+            while len(buf) < 7:
+                chunk = self.request.recv(7 - len(buf))
+                if not chunk:
+                    return
+                buf += chunk
+            tid, proto, length, unit = struct.unpack(">HHHB", buf)
+            body = b""
+            while len(body) < length - 1:
+                chunk = self.request.recv(length - 1 - len(body))
+                if not chunk:
+                    return
+                body += chunk
+            func, address, count = struct.unpack(">BHH", body)
+            regs = [(address + i) % 65536 for i in range(count - 1)]  # one SHORT
+            pdu = struct.pack(f">BB{count - 1}H", 3, 2 * count, *regs)
+            self.request.sendall(
+                struct.pack(">HHHB", tid, proto, len(pdu) + 1, unit) + pdu
+            )
+
+
+def test_short_frame_is_protocol_error_and_breaks_connection():
+    """A frame whose byte-count field exceeds the bytes the MBAP length
+    delivered must raise ModbusProtocolError (never struct.error), and the
+    desynchronized connection must refuse further transactions instead of
+    serving a stale frame (sources/modbus_source.py:_fail)."""
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _ShortFrameHandler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        c = ModbusTcpClient(host, port)
+        with pytest.raises(ModbusProtocolError, match="delivers"):
+            c.read_holding_registers(1, 10, 4)
+        # the stream is desynchronized — the client must fail FAST, not recv
+        with pytest.raises(ModbusProtocolError, match="broken"):
+            c.read_holding_registers(1, 10, 4)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_device_exception_keeps_connection_usable(modbus_server):
+    """Exception responses are well-framed: polling continues on the same
+    connection (the reference's error-row-then-keep-polling semantics) —
+    only FRAMING violations break the connection."""
+    host, port = modbus_server
+    with ModbusTcpClient(host, port) as c:
+        with pytest.raises(ModbusProtocolError, match="exception code 2"):
+            c.read_holding_registers(1, ILLEGAL_FROM, 1)
+        assert c.read_holding_registers(1, 5, 2) == [5, 6]
+
+
+class _FaultyAt35Handler(_Handler):
+    """The register-map server, except address 35 (channel 5's block)
+    responds ILLEGAL DATA ADDRESS mid-sweep — the reference's pymodbus
+    error path (modbus.py:48-55) injected over the real socket."""
+
+    def handle(self):
+        while True:
+            try:
+                hdr = self._recv(7)
+            except ConnectionError:
+                return
+            if hdr is None:
+                return
+            tid, proto, length, unit = struct.unpack(">HHHB", hdr)
+            body = self._recv(length - 1)
+            if body is None:
+                return
+            func, address, count = struct.unpack(">BHH", body)
+            if func != 3 or address == 35:
+                pdu = struct.pack(">BB", func | 0x80, 2)
+            else:
+                regs = [(address + i) % 65536 for i in range(count)]
+                pdu = struct.pack(f">BB{count}H", 3, 2 * count, *regs)
+            self.request.sendall(
+                struct.pack(">HHHB", tid, proto, len(pdu) + 1, unit) + pdu
+            )
+
+
+def test_live_device_exception_yields_dead_letter_row(spark):
+    """Error injection on the LIVE stream: one channel's register block
+    responds with a device exception mid-sweep.  The sweep must SURVIVE
+    (every other channel delivers values on the same connection) and the
+    failed channel must surface as a NULL-registers dead-letter row — the
+    op_error_handling semantics over the real socket (VERDICT r9 task 8)."""
+    from daq_3i_spark.sources.modbus_source import ModbusTcpDataSource
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _FaultyAt35Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        spark.dataSource.register(ModbusTcpDataSource)
+        rows = (
+            spark.read.format("modbus_tcp")
+            .option("host", host)
+            .option("port", port)
+            .option("poll_ts", 1234)
+            .load()
+            .collect()
+        )
+        by_ch = {r["channel_id"]: r for r in rows}
+        assert len(rows) == 18  # the FULL sweep: no channel lost to the fault
+        assert by_ch[5]["registers"] is None  # address-35 block dead-lettered
+        ok = [r for r in rows if r["channel_id"] != 5]
+        assert all(r["registers"] is not None for r in ok)
+        # spot-check a value row polled on the SAME connection after the fault
+        assert by_ch[9]["registers"][0] == 63
+    finally:
+        srv.shutdown()
+        srv.server_close()

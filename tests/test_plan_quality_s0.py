@@ -9,6 +9,7 @@ import pytest
 
 from tests.plan_quality_common import (
     check_driver_hashable_schema,
+    check_lazy_construction,
     check_no_cartesian,
     plannable_slice,
 )
@@ -24,3 +25,8 @@ def test_no_cartesian_product(spark, sf_dir, name):
 @pytest.mark.parametrize("name", NAMES)
 def test_result_schema_is_driver_hashable(spark, sf_dir, name):
     check_driver_hashable_schema(spark, sf_dir, name)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_construction_is_lazy(spark, sf_dir, name):
+    check_lazy_construction(spark, sf_dir, name)

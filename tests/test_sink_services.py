@@ -440,3 +440,68 @@ def test_jdbc_sink_roundtrip_derby(spark):
     # append mode accumulates (the reference's per-poll INSERT semantics)
     write_channel_data_jdbc(df, url, table="channel_data_it")
     assert back.count() == 6
+
+
+def test_status_upsert_roundtrip_derby(spark):
+    """upsert_status_jdbc against embedded Derby — the LIVE twin of
+    op_sink_upsert_status (the reference's daq_status SELECT ->
+    INSERT-or-UPDATE, daq_status.py:36-68, batched): first merge creates the
+    table and inserts every key; a second merge with newer rows UPDATES in
+    place (no duplicate keys); stale keys keep their prior values."""
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.sources.sink import upsert_status_jdbc
+
+    url = "jdbc:derby:memory:daq_status_upsert;create=true"
+
+    def updates(rows):
+        return spark.createDataFrame(
+            rows, "parameter string, status int, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # batch 1: duplicate updates for one key — latest-per-key must win
+    n = upsert_status_jdbc(
+        updates(
+            [
+                ("heartbeat", 1, "2024-01-01 00:00:00"),
+                ("heartbeat", 0, "2023-12-31 23:00:00"),  # older, must lose
+                ("chl_1", 1, "2024-01-01 00:00:00"),
+            ]
+        ),
+        url,
+    )
+    assert n == 2  # two distinct keys merged
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "daq_status")
+        .load()
+    )
+    got = {r["parameter"]: (r["status"], str(r["ts"])) for r in back.collect()}
+    assert got == {
+        "heartbeat": (1, "2024-01-01 00:00:00"),
+        "chl_1": (1, "2024-01-01 00:00:00"),
+    }
+
+    # batch 2: one update + one new key -> UPDATE in place + INSERT the miss
+    n = upsert_status_jdbc(
+        updates(
+            [
+                ("heartbeat", 0, "2024-01-01 00:05:00"),
+                ("chl_2", -1, "2024-01-01 00:05:00"),
+            ]
+        ),
+        url,
+    )
+    assert n == 2
+    got = {r["parameter"]: (r["status"], str(r["ts"])) for r in back.collect()}
+    assert got == {
+        "heartbeat": (0, "2024-01-01 00:05:00"),  # updated, not duplicated
+        "chl_1": (1, "2024-01-01 00:00:00"),      # untouched key retained
+        "chl_2": (-1, "2024-01-01 00:05:00"),     # inserted
+    }
+    assert back.count() == 3  # primary key held: no duplicate parameter rows
+
+    # empty batch is a no-op
+    assert upsert_status_jdbc(updates([]), url) == 0

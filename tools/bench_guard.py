@@ -17,9 +17,14 @@ Exit codes: 0 = clean or fully explained, 1 = unexplained regression(s),
 
 Cross-round caveat (see BENCH_NOTES.md): whole-run offsets where EVERY query
 shifts by a similar factor are the signature of a slow host window, not an
-operator regression.  The guard therefore also prints the median ratio; when
-the median itself exceeds the threshold the per-query failures are reported
-but tagged "whole-run offset" so the adjudication targets the right cause.
+operator regression.  Since r10 bench.py times a fixed-cost synthetic
+calibration probe ("calibration_sec") alongside the queries; when BOTH
+records carry it, per-query ratios are DIVIDED by the probe's own ratio (the
+measured host factor) before the threshold test, so the guard flags operator
+slides, not host weather.  Without it the guard falls back to the median
+heuristic: it prints the median ratio, and when the median itself exceeds
+the threshold the per-query failures are tagged "whole-run offset" so the
+adjudication targets the right cause.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ import statistics
 import sys
 
 
-def load_times(path: str) -> dict[str, float]:
+def load_times(path: str) -> tuple[dict[str, float], float | None]:
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc:  # driver wrapper
@@ -39,7 +44,10 @@ def load_times(path: str) -> dict[str, float]:
     q = doc.get("queries")
     if not isinstance(q, dict) or not q:
         raise ValueError(f"{path}: no per-query times found")
-    return {k: float(v) for k, v in q.items()}
+    cal = doc.get("calibration_sec")
+    return {k: float(v) for k, v in q.items()}, (
+        float(cal) if isinstance(cal, (int, float)) and cal > 0 else None
+    )
 
 
 def main() -> int:
@@ -54,7 +62,7 @@ def main() -> int:
     args = ap.parse_args()
 
     try:
-        prev, new = load_times(args.prev), load_times(args.new)
+        (prev, cal_prev), (new, cal_new) = load_times(args.prev), load_times(args.new)
     except (OSError, ValueError, json.JSONDecodeError) as exc:
         print(f"bench_guard: {exc}", file=sys.stderr)
         return 2
@@ -69,6 +77,10 @@ def main() -> int:
         print("bench_guard: no common queries between the two benches", file=sys.stderr)
         return 2
 
+    host = None
+    if cal_prev is not None and cal_new is not None:
+        host = cal_new / cal_prev
+
     ratios = {q: new[q] / prev[q] if prev[q] > 0 else float("inf") for q in common}
     median = statistics.median(ratios.values())
     total_prev = sum(prev[q] for q in common)
@@ -77,16 +89,25 @@ def main() -> int:
         f"common queries: {len(common)}  total {total_prev:.2f}s -> {total_new:.2f}s "
         f"({total_new / total_prev:.2f}x)  median per-query ratio {median:.2f}x"
     )
+    if host is not None:
+        print(
+            f"calibration probe: {cal_prev:.2f}s -> {cal_new:.2f}s — host factor "
+            f"{host:.2f}x (per-query ratios normalized by it)"
+        )
+    else:
+        print("calibration probe: absent in one record — raw ratios (median heuristic)")
 
-    regressions = [(q, r) for q, r in ratios.items() if r > args.threshold]
+    norm = {q: (r / host if host else r) for q, r in ratios.items()}
+    regressions = [(q, norm[q]) for q in norm if norm[q] > args.threshold]
     regressions.sort(key=lambda t: -t[1])
     unexplained = []
     for q, r in regressions:
-        tag = " [whole-run offset]" if median > args.threshold else ""
+        tag = " [whole-run offset]" if host is None and median > args.threshold else ""
+        raw = f" raw {ratios[q]:.2f}x" if host is not None else ""
         if q in notes:
-            print(f"  EXPLAINED  {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x){tag}")
+            print(f"  EXPLAINED  {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x{raw}){tag}")
         else:
-            print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x){tag}")
+            print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x{raw}){tag}")
             unexplained.append(q)
 
     if unexplained:
