@@ -132,6 +132,8 @@ HEADLINE = [
     "op_embed_centroids",
     "op_events_dau_wau",
     "op_orders_market_basket",
+    "op_dedup_containment",
+    "op_dedup_cluster_keep",
 ]
 
 
@@ -172,9 +174,14 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         (
-            spark.range(0, 192_000_000, 1, int(CPUS))
+            # ~1 s of saturated hashing at local[32] — long enough that the
+            # measured ratio reflects sustained host speed, short enough to
+            # add ~5 s to the whole bench (warmup + 4 bracketing runs)
+            spark.range(0, 3_200_000_000, 1, int(CPUS))
             .select(F.xxhash64("id").alias("h"))
-            .agg(F.sum("h"))
+            # avg, not sum: 3.2G 64-bit hashes overflow a BIGINT sum under
+            # ANSI mode; the double average does the same per-row work
+            .agg(F.avg("h"))
             .write.format("noop")
             .mode("overwrite")
             .save()

@@ -489,6 +489,89 @@ def ngram_capped_pairs(docs: DataFrame, cap: int = _NGRAM_DF_CAP) -> DataFrame:
     )
 
 
+#: containment threshold: |A∩B| / min(|A|,|B|) — a short document quoted
+#: verbatim inside a long one scores ~1.0 here while its Jaccard is tiny
+#: (|A∩B| / |A∪B| is diluted by the long doc's extra shingles), so this is
+#: the dedup lens that catches SUBSET duplication (boilerplate blocks,
+#: quoted passages, page-in-page wrappers) that the Jaccard family misses.
+_CONTAIN_TAU = 0.6
+
+
+@register(
+    "op_dedup_containment",
+    f"""WITH th AS (
+      SELECT doc_id, lang, {DUCK.token_hashes('text')} AS th FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh0 AS (
+      SELECT doc_id, lang, unnest({DUCK.shingle_hashes('th')}) AS h FROM th
+    ), sh AS (SELECT DISTINCT doc_id, lang, h FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+          >= {_CONTAIN_TAU}""",
+    doc="shingle CONTAINMENT pairs (Broder's containment coefficient, "
+    "'On the resemblance and containment of documents', SEQUENCES'97): "
+    f"|A∩B| / min(|A|,|B|) >= {_CONTAIN_TAU} over the same (lang, shingle) "
+    "inverted-posting blocking as op_dedup_ngram_jaccard — the subset-"
+    "duplication lens (a quoted passage or boilerplate block contained in "
+    "a longer page scores ~1 here while its Jaccard is diluted toward 0 "
+    "by the container's extra shingles).  Same scale shape as the Jaccard "
+    "twin: candidate pairs share >=1 shingle so pair work is posting-list-"
+    "bounded, the min() denominator is one extra broadcast-free column, "
+    "and the division is a single exact-int op — bit-identical across "
+    "engines.  At 100 TB apply the df cap exactly as op_dedup_ngram_capped",
+)
+def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    return containment_pairs(docs)
+
+
+def containment_pairs(docs: DataFrame, tau: float = _CONTAIN_TAU) -> DataFrame:
+    """Shingle-containment pairs >= tau over (lang, shingle) postings."""
+    sh = shared(
+        docs.select(
+            "doc_id", "lang", F.expr(SPARK.token_hashes("text")).alias("th")
+        )
+        .select(
+            "doc_id", "lang",
+            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
+        )
+        .distinct()
+    )  # three consumers (both self-join sides + sizes); HOF hashing runs once
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= tau)
+    )
+
+
 @register(
     "op_dedup_embedding",
     f"""WITH e AS (

@@ -50,9 +50,9 @@ from daq_3i_spark.sources.tables import load_spread, load_table
 
 
 
-@register(
-    "op_dedup_components",
-    f"""WITH RECURSIVE {_duck_sig_cte()},
+#: the MinHash pair graph -> (node, component) labels as a recursive CTE —
+#: shared by the components census and the keep/drop manifest oracles
+_DUCK_COMP_CTE = f"""{_duck_sig_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sa, b.sig AS sb
@@ -74,7 +74,12 @@ from daq_3i_spark.sources.tables import load_spread, load_table
       UNION
       SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
     ),
-    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)"""
+
+
+@register(
+    "op_dedup_components",
+    f"""WITH RECURSIVE {_DUCK_COMP_CTE},
     sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
     SELECT comp.node AS doc_id, comp.component,
            CAST(sizes.n AS BIGINT) AS comp_size
@@ -88,6 +93,14 @@ from daq_3i_spark.sources.tables import load_spread, load_table
     "reachable doc_id).  Oracle: recursive CTE min-reachable-label",
 )
 def op_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("comp_size"))
+    return labels.join(sizes, "component").select("doc_id", "component", "comp_size")
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) labels over the MinHash pair graph — the shared
+    front half of op_dedup_components and op_dedup_cluster_keep."""
     from daq_3i_spark.operators.graph import star_components
 
     # materialize the pair list ONCE (the contraction loop would otherwise
@@ -105,8 +118,58 @@ def op_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    sizes = labels.groupBy("component").agg(F.count("*").alias("comp_size"))
-    return labels.join(sizes, "component").select("doc_id", "component", "comp_size")
+    return labels
+
+
+@register(
+    "op_dedup_cluster_keep",
+    f"""WITH RECURSIVE {_DUCK_COMP_CTE},
+    q AS (SELECT doc_id, length(text) AS qlen FROM documents),
+    ranked AS (
+      SELECT comp.node, comp.component, q.qlen,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.qlen DESC, comp.node ASC) AS rn
+      FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT node AS doc_id, component,
+           first_value(node) OVER (PARTITION BY component
+                                   ORDER BY rn ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS keep_doc,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action
+    FROM ranked""",
+    doc="duplicate clusters -> the KEEP/DROP manifest (the step a dedup "
+    "pipeline actually consumes): within each connected component of the "
+    "MinHash pair graph (op_dedup_components' labels) the canonical "
+    "survivor is the longest document, doc_id as the deterministic "
+    "tiebreaker — the standard 'keep the most complete copy' policy "
+    "(RefinedWeb/Gopher keep one representative per cluster); every other "
+    "member is marked drop with a pointer to its survivor.  Scale shape: "
+    "the label frame joins document lengths (one broadcast-free equi "
+    "join), then ONE window partitioned by component — cluster-sized "
+    "frames, never corpus-sized (the largest plausible cluster is the "
+    "viral-dup cap, not |docs|).  Docs outside any cluster never appear: "
+    "they are implicitly kept, exactly as in op_dedup_components",
+)
+def op_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    qlen = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("qlen")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("qlen"), F.asc("doc_id"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        labels.join(qlen, "doc_id")
+        .withColumn("keep_doc", F.first("doc_id").over(w_full))
+        .select(
+            "doc_id",
+            "component",
+            "keep_doc",
+            F.when(F.col("doc_id") == F.col("keep_doc"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

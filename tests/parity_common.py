@@ -32,8 +32,15 @@ def check_parity(spark, sf_dir, name) -> None:
     """One registry entry vs its DuckDB oracle — a local reproduction of
     the driver's correctness gate (at sf0.001 for speed; the driver runs
     sf0.01)."""
+    from daq_3i_spark.cache import release_shared
+
     q = QUERIES[name]
-    df = q.spark(spark, sf_dir)
-    tbl = run_oracle(q.oracle, sf_dir)
-    problems = compare(df, tbl)
-    assert not problems, f"{name}: " + "; ".join(problems)
+    try:
+        df = q.spark(spark, sf_dir)
+        tbl = run_oracle(q.oracle, sf_dir)
+        problems = compare(df, tbl)
+        assert not problems, f"{name}: " + "; ".join(problems)
+    finally:
+        # drop this op's tracked shared() caches so a ~48-op sweep module
+        # doesn't accumulate every multi-consumer frame for the session
+        release_shared()

@@ -110,6 +110,7 @@ _BUILD_EXECUTES = {
     "op_source_modbus_poll": "socket poll + createDataFrame at build",
     # iterative algorithms: the loop must materialize per round
     "op_dedup_components": "star-contraction loop iterates at build",
+    "op_dedup_cluster_keep": "star-contraction loop iterates at build",
     # driver-side distributed training at build: one real k-means step
     # (assign + per-cluster mean aggregate, a full corpus pass) must run
     # before the returned plan exists — the trained centroids ship in the

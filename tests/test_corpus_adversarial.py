@@ -28,6 +28,8 @@ OPS = [
     "op_text_fingerprint",
     "op_dedup_minhash",
     "op_dedup_ngram_jaccard",
+    "op_dedup_containment",
+    "op_dedup_cluster_keep",
     "op_pack_sequences",
     "op_text_repetition",
 ]

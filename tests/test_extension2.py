@@ -351,3 +351,54 @@ def test_anomaly_rank_bucketed_hot_channel_skew(spark):
     # the integer prefilter actually prunes: ~1% of rows reach the window
     flagged_superset_frac = len(got) / total
     assert flagged_superset_frac < 0.05
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The lens distinction that justifies op_dedup_containment existing
+    beside the Jaccard family: a short passage quoted verbatim inside a much
+    longer page has containment 1.0 (every passage shingle appears in the
+    page) but Jaccard far below the 0.2 family threshold (diluted by the
+    page's extra shingles)."""
+    from daq_3i_spark.plans.extension_ops import containment_pairs, ngram_capped_pairs
+
+    quote = " ".join(f"tok{i}" for i in range(10))
+    page = quote + " " + " ".join(f"filler{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, "en", page), (2, "en", quote), (3, "en", "unrelated words entirely here")],
+        "doc_id long, lang string, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, tau=0.6).collect()}
+    assert cont.get((1, 2)) == 1.0  # every quote shingle is in the page
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_capped_pairs(docs, cap=10**6).collect()}
+    assert (1, 2) not in jac  # Jaccard 8/206 ~= 0.04 — below the 0.2 gate
+    assert all(p == (1, 2) for p in cont), f"false positives: {cont}"
+
+
+def test_cluster_keep_survivor_is_longest(spark, sf_dir):
+    """op_dedup_cluster_keep contract on the live corpus: exactly one keep
+    per component; the keep is the component's longest doc (doc_id
+    tiebreak); every drop points at its own component's keep; membership
+    equals op_dedup_components'."""
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.sources.tables import load_table
+
+    rows = QUERIES["op_dedup_cluster_keep"].spark(spark, sf_dir).collect()
+    comp = {r["doc_id"]: r["component"]
+            for r in QUERIES["op_dedup_components"].spark(spark, sf_dir).collect()}
+    assert {r["doc_id"]: r["component"] for r in rows} == comp
+    lens = {r["doc_id"]: r["qlen"] for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.length("text").alias("qlen")).collect()}
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for c, members in by_comp.items():
+        keeps = [r for r in members if r["action"] == "keep"]
+        assert len(keeps) == 1, f"component {c}: {len(keeps)} keeps"
+        keep = keeps[0]
+        assert keep["doc_id"] == keep["keep_doc"]
+        best = min(members, key=lambda r: (-lens[r["doc_id"]], r["doc_id"]))
+        assert keep["doc_id"] == best["doc_id"], f"component {c} kept a shorter doc"
+        assert all(r["keep_doc"] == keep["doc_id"] for r in members)

@@ -76,3 +76,24 @@ def test_rank_is_parallel_not_single_partition(spark):
     assert "__rank_pid" in plan  # the big sort is keyed by partition stamp
     # exactly one SinglePartition exchange: the bounded offsets cumsum
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_shared_cache_tracks_and_releases(spark):
+    """cache.shared() contract: lazy (no jobs at mark time), materialized
+    once by the first action, and release_shared() empties the tracker and
+    uncaches the frame (the ADVICE r9 CacheManager-leak fix)."""
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.cache import _LIVE, release_shared, shared
+
+    release_shared()  # clean slate whatever earlier tests left behind
+    df = shared(spark.range(1000).select(F.col("id") % 7))
+    assert len(_LIVE) == 1
+    assert df.storageLevel.useMemory  # marked for caching...
+    assert not df._jdf.queryExecution().executedPlan().toString().startswith(
+        "CollectLimit"
+    )
+    assert df.count() == 1000  # ...materialized by the first action
+    n = release_shared()
+    assert n == 1 and not _LIVE
+    assert not df.storageLevel.useMemory  # uncached, not just untracked

@@ -57,6 +57,8 @@ REPRESENTATIVES = [
     ("op_timeseries_ema", "one channel_id exchange: 8-row framed window collect + codegen HOF arithmetic, no self-join"),
     ("op_join_bloom_prefilter", "HOF bitmap aggregate -> one-row broadcast -> map-side bit tests before the exact semi join"),
     ("op_events_concurrency", "two-level prefix sum: day rollup + tiny carry window + per-day partitioned running sums"),
+    ("op_dedup_containment", "(lang, shingle) posting self-join with min-size denominator — the subset-duplication lens"),
+    ("op_corpus_dsir_select", "shared scored sub-plan (InMemoryRelation) feeding the one-row max broadcast + codegen filter"),
 ]
 
 

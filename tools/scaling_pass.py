@@ -95,8 +95,10 @@ OPS = [
     "op_dedup_simhash",
     "op_dedup_ngram_jaccard",
     "op_dedup_ngram_capped",
+    "op_dedup_containment",
     "op_dedup_substring",
     "op_dedup_components",
+    "op_dedup_cluster_keep",
     "op_text_stats",
     "op_text_quality",
     "op_text_scrub",
@@ -239,11 +241,15 @@ def main() -> None:
     spark = get_spark("scaling_pass", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
+    from daq_3i_spark.cache import release_shared
+
     def run(name: str, sf_dir: str) -> float:
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        release_shared()  # drop tracked shared() caches; keep runs cold + memory flat
+        return dt
 
     only = set(sys.argv[1:])
     results = {}

@@ -70,6 +70,11 @@ def main() -> int:
         if not ok:
             fails.append(name)
         print(f"{name:34s} {time.time() - t0:6.1f}s {status}", flush=True)
+        # drop this op's tracked shared() caches — a 193-op session would
+        # otherwise accumulate every multi-consumer frame until exit
+        from daq_3i_spark.cache import release_shared
+
+        release_shared()
     print("FAILS:", fails)
     spark.stop()
     return 1 if fails else 0
