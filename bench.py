@@ -134,6 +134,7 @@ HEADLINE = [
     "op_orders_market_basket",
     "op_dedup_containment",
     "op_dedup_cluster_keep",
+    "op_timeseries_trend",
 ]
 
 

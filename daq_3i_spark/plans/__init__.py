@@ -42,7 +42,7 @@ _CHECK_PRIORITY = [
     "op_sql_q19_disjunction", "op_sql_q12_lateships", "op_sql_q14_promo",
     "op_sql_q15_topsupplier",
     # -- (2) NEW in r10 (never driver-checked), then touched in r10 -----------
-    "op_dedup_containment", "op_dedup_cluster_keep",
+    "op_dedup_containment", "op_dedup_cluster_keep", "op_timeseries_trend",
     "op_sink_zorder", "op_corpus_dsir_select", "op_corpus_dsir_weights",
     "op_timeseries_outlier_mad", "op_events_concurrency",
     "op_multimodal_phash", "op_corpus_minhash_eval",
@@ -59,8 +59,9 @@ _CHECK_PRIORITY = [
     "op_dedup_substring", "op_dedup_semantic", "op_dedup_exact",
     "op_contamination_check", "op_corpus_clean_pipeline", "op_pack_sequences",
     "op_multimodal_resize", "op_sink_upsert_status",
-    "op_sink_append_channel_data", "op_sink_delete_retention",
+    "op_sink_append_channel_data",
     # -- spill: r6 rows past the 50-entry window — r11 leads with these -------
+    "op_sink_delete_retention",
     "op_source_modbus_poll", "op_sql_approx_sketches",
     "op_sql_histogram_quantile", "op_sql_kmv_sketch", "op_sql_q17_smallqty",
     "op_sql_q20_dominant", "op_count_per_channel", "op_filter_due",

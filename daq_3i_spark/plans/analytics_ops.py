@@ -813,6 +813,85 @@ def op_timeseries_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trend_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    p AS (
+      SELECT channel_id, CAST(ts AS DATE) AS trend_date,
+             CAST(hour(ts) AS BIGINT) AS x,
+             CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS y
+      FROM channel_data
+    ),
+    s AS (
+      SELECT channel_id, trend_date,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY 1, 2
+    )
+    SELECT channel_id, trend_date, n AS n_samples,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             / 1e3 AS slope_per_hour,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1e3 AS intercept
+    FROM s WHERE n * sxx - sx * sx > 0"""
+
+
+@register(
+    "op_timeseries_trend",
+    _trend_oracle(),
+    doc="per-(channel, day) least-squares linear trend — the sensor-drift "
+    "detector (is this channel creeping up?): ordinary least squares of "
+    "value against hour-of-day, computed from the FIVE classical integer "
+    "sufficient statistics (n, Σx, Σy, Σxy, Σx²) so slope = "
+    "(nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is two exact BIGINT sums divided once "
+    "as doubles — bit-identical across engines, no order-dependent float "
+    "accumulation anywhere.  Exactness is provable by construction: "
+    "x ∈ [0,23], y is milli-fixed-point (≤ ~5.6e5 here), and a channel-day "
+    "group at the 1 Hz design cadence holds ≤ 86 400 rows, so n·Σxy tops "
+    "out ~1e17 with 90x headroom under 2^63 (ANSI mode would raise, not "
+    "wrap, if a deployment ever exceeded it).  Degenerate groups (all "
+    "samples in one hour → zero variance denominator) are filtered, not "
+    "NaN'd.  Plan: ONE map-side-combined aggregate on (channel_id, date) — "
+    "one shuffle of five longs per group, the cheapest possible regression "
+    "at any scale; daily grouping also bounds every group by wall-clock, "
+    "so no hot channel can concentrate a corpus-sized partition",
+)
+def op_timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    p = cd.select(
+        "channel_id",
+        F.to_date("ts").alias("trend_date"),
+        F.hour("ts").cast("bigint").alias("x"),
+        F.expr("CAST(floor(value * 1e3 + 0.5) AS BIGINT)").alias("y"),
+    )
+    s = p.groupBy("channel_id", "trend_date").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_fx = num.cast("double") / den.cast("double")
+    return s.filter(den > 0).select(
+        "channel_id",
+        "trend_date",
+        F.col("n").alias("n_samples"),
+        (slope_fx / F.lit(1e3)).alias("slope_per_hour"),
+        (
+            (F.col("sy").cast("double") - slope_fx * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1e3)
+        ).alias("intercept"),
+    )
+
+
 #: MAD outlier gate: |v - median| > _MAD_SIGMA * 1.4826 * MAD (the normal-
 #: consistency constant), the robust z-score every monitoring stack ships
 _MAD_SIGMA = 3.0

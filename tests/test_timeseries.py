@@ -195,3 +195,38 @@ def test_gapfill_duplicate_ts_oracle_parity(spark, sf_dir, tmp_path):
         q = QUERIES[name]
         problems = compare(q.spark(spark, d), run_oracle(q.oracle, d))
         assert not problems, f"{name} on duplicate-ts data: {problems}"
+
+
+def test_trend_recovers_exact_slope(spark):
+    """op_timeseries_trend's least-squares kernel on constructed data: a
+    perfectly linear channel (value = 2.5 + 0.25/hr) recovers slope and
+    intercept EXACTLY (integer sufficient statistics, one double division);
+    a constant channel gets slope 0; a channel whose samples all share one
+    hour (zero x-variance) is filtered, not NaN'd."""
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.plans.analytics_ops import op_timeseries_trend
+
+    rows = []
+    for h in range(24):
+        rows.append((100 + h, 1, f"2024-01-05 {h:02d}:30:00", 2.5 + 0.25 * h))
+        rows.append((200 + h, 2, f"2024-01-05 {h:02d}:30:00", 7.0))
+    for k in range(10):
+        rows.append((300 + k, 3, f"2024-01-05 11:{k:02d}:00", float(k)))
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    # drive the registered plan body directly on the constructed frame
+    from unittest import mock
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {r["channel_id"]: r for r in op_timeseries_trend(spark, "unused").collect()}
+    assert set(out) == {1, 2}, "zero-variance channel 3 must be filtered"
+    assert out[1]["slope_per_hour"] == 0.25
+    assert out[1]["intercept"] == 2.5
+    assert out[1]["n_samples"] == 24
+    assert out[2]["slope_per_hour"] == 0.0
+    assert out[2]["intercept"] == 7.0
