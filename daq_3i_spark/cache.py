@@ -20,8 +20,9 @@ That has two costs the lazy cache avoids:
   lineage.
 
 ``shared()`` is the converged convention (the op_graph_pagerank pattern,
-VERDICT r9 #3): lazy ``persist()`` so construction fires ZERO jobs (pinned
-registry-wide by tests/test_plan_quality.py::test_zero_jobs_at_construction),
+VERDICT r9 #3): lazy ``persist()`` so construction fires ZERO multi-stage
+jobs (pinned registry-wide by
+tests/test_plan_quality_s{0..2}.py::test_construction_is_lazy),
 the first action computes the sub-plan exactly once, every later consumer
 hits the InMemoryRelation, and AQE may still re-partition joins that feed
 the cache (``canChangeCachedPlanOutputPartitioning`` — without it every

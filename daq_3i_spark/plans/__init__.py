@@ -33,9 +33,11 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 #     (VERDICT #1); ranks.py's persist moved onto the tracked helper
 #     (op_events_rfm, op_text_vocab) as did PageRank's edge frame and
 #     dedup components' pair frame;
-# (3) 20 of the 43-op round-6 cohort, intricate/stateful first.  The
-#     remaining 23 r6 rows (simple scans/filters/dim joins + the
-#     interpolate/locf sextet) spill and MUST LEAD the r11 rotation.
+# (3) 17 of the 43-op round-6 cohort, intricate/stateful first (the three
+#     NEW ops took three of this section's window slots).  The remaining
+#     26 r6 rows (simple scans/filters/dim joins + the interpolate/locf
+#     sextet + op_sink_delete_retention/modbus_poll/approx_sketches)
+#     spill and MUST LEAD the r11 rotation.
 _CHECK_PRIORITY = [
     # -- (1) latest check is round 5 ------------------------------------------
     "op_sql_q6_forecast", "op_sql_q2_mincost", "op_sql_q21_waiting",

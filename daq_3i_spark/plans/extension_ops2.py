@@ -753,7 +753,7 @@ def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import DEC_DOT
 
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = shared(emb)  # two assignment passes + a join; cached by the collect
+    emb = shared(emb)  # two assignment passes + a join share one derivation
 
     # centroid seed off the RAW scan (one pushed-down stage; the shared emb
     # cache stays lazy until the first real action)
@@ -860,7 +860,7 @@ def op_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import SCORES_SCHEMA, DEC_DOT
 
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = shared(emb)  # training collect + two assignment passes + a join
+    emb = shared(emb)  # the training aggregate + assignment passes + a join
 
     # --- train (same arithmetic as op_sim_kmeans_assign) --------------------
     # centroid seed off the RAW scan (one pushed-down stage; the shared emb

@@ -202,8 +202,17 @@ class ModbusTcpClient:
             raise ModbusProtocolError("connection marked broken by a prior framing error")
         self._tid = (self._tid + 1) % 65536
         req = struct.pack(">HHHBBHH", self._tid, 0, 6, unit, 3, address, count)
-        self._sock.sendall(req)
-        rtid, proto, length, runit = struct.unpack(">HHHB", _recv_exact(self._sock, 7))
+        try:
+            self._sock.sendall(req)
+            hdr = _recv_exact(self._sock, 7)
+        except OSError as e:
+            # dead socket (BrokenPipe/ConnectionReset) or peer closed
+            # mid-frame (_recv_exact's ModbusProtocolError is an IOError):
+            # both are definitionally desyncs — mark broken so the sweep's
+            # reconnect path engages instead of the next channel dying on
+            # an uncaught transport error
+            self._fail(f"transport failure mid-transaction: {e}")
+        rtid, proto, length, runit = struct.unpack(">HHHB", hdr)
         if rtid != self._tid or proto != 0:
             self._fail(
                 f"MBAP mismatch: tid {rtid} (sent {self._tid}), protocol {proto}"
@@ -213,7 +222,10 @@ class ModbusTcpClient:
             # (func + byte count / exception code) — anything shorter cannot
             # be indexed and is a framing violation, not an IndexError
             self._fail(f"MBAP length {length} too short for a PDU")
-        body = _recv_exact(self._sock, length - 1)
+        try:
+            body = _recv_exact(self._sock, length - 1)
+        except OSError as e:
+            self._fail(f"transport failure mid-frame: {e}")
         func = body[0]
         if func == 0x83:
             raise ModbusProtocolError(f"device exception code {body[1]} (unit {runit})")

@@ -581,15 +581,30 @@ def upsert_status_jdbc(
                         ),
                     )
 
-        upd = conn.prepareStatement(
-            f'UPDATE {table} SET "status" = ?, "ts" = ? WHERE "parameter" = ?'
-        )
-        for row in snap:
-            _bind(upd, row, ("status", "ts", "parameter"))
-            upd.addBatch()
-        counts = list(upd.executeBatch())
-        upd.close()
-        missing = [row for row, c in zip(snap, counts) if c == 0]
+        # split updates/inserts from an existing-keys probe, NOT from
+        # executeBatch update counts: the JDBC spec lets drivers return
+        # SUCCESS_NO_INFO (-2) per statement (MySQL does under
+        # rewriteBatchedStatements), which would silently drop the INSERT
+        # half.  The key probe is one metadata-sized SELECT — the status
+        # table holds one row per parameter by design.
+        existing = set()
+        st = conn.createStatement()
+        rs = st.executeQuery(f'SELECT "parameter" FROM {table}')
+        while rs.next():
+            existing.add(rs.getString(1))
+        rs.close()
+        st.close()
+        updates_b = [row for row in snap if row["parameter"] in existing]
+        missing = [row for row in snap if row["parameter"] not in existing]
+        if updates_b:
+            upd = conn.prepareStatement(
+                f'UPDATE {table} SET "status" = ?, "ts" = ? WHERE "parameter" = ?'
+            )
+            for row in updates_b:
+                _bind(upd, row, ("status", "ts", "parameter"))
+                upd.addBatch()
+            upd.executeBatch()
+            upd.close()
         if missing:
             ins = conn.prepareStatement(
                 f'INSERT INTO {table} ("parameter", "status", "ts") '

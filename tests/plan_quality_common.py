@@ -131,9 +131,14 @@ def check_lazy_construction(spark, sf_dir, name) -> None:
     at build carry a pinned reason in _BUILD_EXECUTES."""
     if name in _BUILD_EXECUTES:
         return
+    from daq_3i_spark.cache import release_shared
+
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    group = f"lazy-build-{name}"
+    # job-group name distinct from test_plan_quality.py's pinned
+    # 'lazy-build-*' groups: the shards share one SparkSession per process,
+    # and a reused group name would pool both tests' jobs in the tracker
+    group = f"lazy-sweep-{name}"
     sc.setJobGroup(group, "plan construction must fire no shuffle jobs")
     try:
         df = QUERIES[name].spark(spark, sf_dir)
@@ -144,14 +149,23 @@ def check_lazy_construction(spark, sf_dir, name) -> None:
                 f"{name} ran a {len(stages)}-stage job at plan construction "
                 "— shuffle work executed before any action"
             )
+        assert df.columns  # still a real, analyzable DataFrame
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    assert df.columns  # still a real, analyzable DataFrame
+        release_shared()  # drop this plan's tracked shared() caches
 
 
 def _plan(spark, sf_dir, name) -> str:
-    df = QUERIES[name].spark(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        df = QUERIES[name].spark(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        # the sweep builds ~160 plans per module on one shared session;
+        # un-released shared() entries would make every later plan build
+        # pay CacheManager matching against the ever-growing list
+        release_shared()
 
 N_SLICES = 3
 
@@ -177,7 +191,10 @@ def check_driver_hashable_schema(spark, sf_dir, name) -> None:
     cell values — array/map/struct cells crash it (round-1 lesson:
     op_text_fingerprint and op_multimodal_features errored with 'unhashable
     type: list').  Every registry entry must project scalar columns only."""
+    from daq_3i_spark.cache import release_shared
+
     df = QUERIES[name].spark(spark, sf_dir)
+    release_shared()  # schema is already resolved; drop the tracked caches
     from pyspark.sql import types as T
 
     for f in df.schema.fields:

@@ -281,3 +281,39 @@ def test_live_device_exception_yields_dead_letter_row(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+class _DieMidHeaderHandler(socketserver.BaseRequestHandler):
+    """Adversarial device: sends 3 of the 7 MBAP header bytes, then closes
+    — the peer-closed-mid-frame desync class."""
+
+    def handle(self):
+        buf = b""
+        while len(buf) < 12:  # the full 12-byte request
+            chunk = self.request.recv(12 - len(buf))
+            if not chunk:
+                return
+            buf += chunk
+        self.request.sendall(b"\x00\x00\x00")  # partial header, then FIN
+
+
+def test_mid_frame_eof_marks_connection_broken():
+    """A peer close mid-frame must surface as ModbusProtocolError AND mark
+    the connection broken (it is definitionally a desync), so the sweep's
+    reconnect path engages instead of the next channel dying on an uncaught
+    BrokenPipeError (self-review r10 finding)."""
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _DieMidHeaderHandler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        c = ModbusTcpClient(host, port)
+        with pytest.raises(ModbusProtocolError, match="transport failure"):
+            c.read_holding_registers(1, 10, 2)
+        assert c.broken
+        with pytest.raises(ModbusProtocolError, match="broken"):
+            c.read_holding_registers(1, 10, 2)
+    finally:
+        srv.shutdown()
+        srv.server_close()
