@@ -135,6 +135,7 @@ HEADLINE = [
     "op_dedup_containment",
     "op_dedup_cluster_keep",
     "op_timeseries_trend",
+    "op_timeseries_seasonal_outlier",
 ]
 
 

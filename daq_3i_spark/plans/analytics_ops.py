@@ -1468,6 +1468,103 @@ def op_timeseries_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: seasonal z-gate width (in standard deviations of the minute-of-day group)
+_SEASONAL_K = 3
+
+
+def _seasonal_outlier_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    b AS (
+      SELECT channel_id,
+             CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
+                  AS BIGINT) AS mod,
+             CAST(FLOOR(value * 1e3 + 0.5) AS BIGINT) AS y
+      FROM channel_data
+    ),
+    base AS (
+      SELECT channel_id, mod, CAST(count(*) AS BIGINT) AS n,
+             sum(y) AS s1, sum(y * y) AS s2
+      FROM b GROUP BY 1, 2
+    ),
+    gated AS (
+      SELECT b.channel_id,
+             CASE WHEN base.n > 1 AND
+               CAST(base.n * b.y - base.s1 AS DOUBLE)
+                 * CAST(base.n * b.y - base.s1 AS DOUBLE)
+               > {_SEASONAL_K * _SEASONAL_K}.0
+                 * CAST(base.n * base.s2 - base.s1 * base.s1 AS DOUBLE)
+             THEN 1 ELSE 0 END AS is_out
+      FROM b JOIN base ON b.channel_id = base.channel_id AND b.mod = base.mod
+    )
+    SELECT channel_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers
+    FROM gated GROUP BY channel_id"""
+
+
+@register(
+    "op_timeseries_seasonal_outlier",
+    _seasonal_outlier_oracle(),
+    doc="time-of-day-conditioned outlier census: a sample is anomalous when "
+    f"it sits more than {_SEASONAL_K} standard deviations from ITS OWN "
+    "minute-of-day population (op_timeseries_outlier_mad gates against a "
+    "global center and misses anomalies that are normal at 14:00 but wild "
+    "at 03:00 — this is the seasonal complement, the pair every "
+    "monitoring stack ships).  The gate is division- and sqrt-free "
+    "integer cross-multiplication: (n·y − Σy)² > k²·(n·Σy² − (Σy)²) in "
+    "milli-fixed-point, so both sides are exact BIGINTs cast once to "
+    "double (correctly rounded identically in both engines) — no float "
+    "accumulation, no NaN path (a zero-variance minute gates nothing, "
+    "n=1 groups are excluded as varianceless).  Overflow bound by "
+    "construction: y ≤ ~5.6e5 fx3, n per (channel, minute-of-day) = days "
+    "of history, so n·y and the variance core stay under 2^63 out to "
+    "~10 years of 1 Hz data per channel — past that, rebase y or widen "
+    "to the histogram sketch.  Plan: ONE map-side-combined aggregate to "
+    "the 1440-bucket baseline, joined back on (channel, minute) — the "
+    "baseline side is dimension-sized, so at 100 TB it broadcasts and "
+    "the census is a second map-side-combined aggregate",
+)
+def op_timeseries_seasonal_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    mod = (F.hour("ts") * 60 + F.minute("ts")).cast("bigint")
+    b = cd.select(
+        "channel_id",
+        mod.alias("mod"),
+        F.expr("CAST(floor(value * 1e3 + 0.5) AS BIGINT)").alias("y"),
+    )
+    base = b.groupBy("channel_id", "mod").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("y") - F.col("s1")
+    var_core = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    # square the deviation in DOUBLE: dev is an exact int well under 2^53
+    # (n·y_max ~ 2e9 at a decade of history), so the double product is
+    # exact and identical cross-engine, while an int64 square would
+    # overflow first of all the terms
+    is_out = F.when(
+        (F.col("n") > 1)
+        & (
+            dev.cast("double") * dev.cast("double")
+            > F.lit(float(_SEASONAL_K * _SEASONAL_K)) * var_core.cast("double")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        b.join(F.broadcast(base), ["channel_id", "mod"])
+        .select("channel_id", is_out.alias("is_out"))
+        .groupBy("channel_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum("is_out").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 # --- burst detection on event rates (integer cross-multiplied gate) ----------
 
 

@@ -230,3 +230,87 @@ def test_trend_recovers_exact_slope(spark):
     assert out[1]["n_samples"] == 24
     assert out[2]["slope_per_hour"] == 0.0
     assert out[2]["intercept"] == 7.0
+
+
+def test_seasonal_outlier_flags_planted_anomaly(spark):
+    """op_timeseries_seasonal_outlier on constructed data: channel 1 reads
+    ~10.0 at minute 00:05 across 31 days except ONE wild 500.0 spike, which
+    must be the only flagged sample; channel 2 is constant (zero variance →
+    gate closed); single-sample minutes are varianceless and never flag."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_timeseries_seasonal_outlier
+
+    rows = []
+    for d in range(1, 32):
+        v = 500.0 if d == 15 else 10.0 + (d % 3) * 0.01  # tiny benign wiggle
+        rows.append((d, 1, f"2024-01-{d:02d} 00:05:00", v))
+        rows.append((100 + d, 2, f"2024-01-{d:02d} 00:05:00", 7.0))
+    rows.append((999, 3, "2024-01-01 09:09:00", 123.4))  # lone sample
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {
+            r["channel_id"]: r
+            for r in op_timeseries_seasonal_outlier(spark, "unused").collect()
+        }
+    assert out[1]["n_outliers"] == 1 and out[1]["n_samples"] == 31
+    assert out[2]["n_outliers"] == 0 and out[2]["n_samples"] == 31
+    assert out[3]["n_outliers"] == 0 and out[3]["n_samples"] == 1
+
+
+def test_seasonal_outlier_cross_engine_on_spiked_corpus(spark, sf_dir, tmp_path):
+    """Cross-engine branch coverage for the seasonal gate: the shipped
+    corpus fires zero outliers (per-minute groups are too small for any
+    sample to exceed 3 sigma of its own group — max attainable z is
+    (n-1)/sqrt(n)), so this builds an events table with a DENSE minute
+    (31 days at 00:05, one 50x spike) and re-runs the FULL Spark-vs-DuckDB
+    hash comparison on it — the is_out=1 arm of both dialects must agree,
+    not just the quiet census."""
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.schemas import ALL_TABLES
+    from parity_common import check_parity
+
+    d = str(tmp_path / "spiked_sf")
+    os.makedirs(d)
+    base = sf_dir.replace("sf0.01", "sf0.001")
+    for t in ALL_TABLES:
+        src_f = os.path.join(base, f"{t}.parquet")
+        if t != "events" and os.path.exists(src_f):
+            shutil.copy(src_f, os.path.join(d, f"{t}.parquet"))
+    rows = []
+    for day in range(1, 32):
+        v = 500.0 if day == 15 else 10.0 + (day % 3) * 0.01
+        # user_id 0 -> channel 1; a second quiet user on channel 2
+        rows.append((day, f"2024-01-{day:02d} 00:05:00", 0, "sample", v, "{}"))
+        rows.append((100 + day, f"2024-01-{day:02d} 00:05:00", 1, "sample", 7.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.coalesce(1).write.parquet(str(tmp_path / "ev_out"))
+    part = glob.glob(str(tmp_path / "ev_out" / "*.parquet"))[0]
+    shutil.move(part, os.path.join(d, "events.parquet"))
+
+    for name in ("op_timeseries_seasonal_outlier", "op_timeseries_trend",
+                 "op_timeseries_outlier_mad"):
+        check_parity(spark, d, name)
+    # and the spike actually fires the gate, on its channel only
+    from daq_3i_spark.plans import QUERIES
+
+    out = {
+        r["channel_id"]: r["n_outliers"]
+        for r in QUERIES["op_timeseries_seasonal_outlier"].spark(spark, d).collect()
+    }
+    assert out == {1: 1, 2: 0}
