@@ -136,6 +136,7 @@ HEADLINE = [
     "op_dedup_cluster_keep",
     "op_timeseries_trend",
     "op_timeseries_seasonal_outlier",
+    "op_timeseries_autocorr",
 ]
 
 

@@ -1468,6 +1468,94 @@ def op_timeseries_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _autocorr_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    b AS (
+      SELECT channel_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+             CAST(FLOOR(value * 1e3 + 0.5) AS BIGINT) AS y, ts, id
+      FROM channel_data
+    ),
+    pairs AS (
+      SELECT channel_id, hour_bucket, y,
+             lag(y) OVER (PARTITION BY channel_id, hour_bucket
+                          ORDER BY ts, id) AS x
+      FROM b
+    ),
+    s AS (
+      SELECT channel_id, hour_bucket, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs WHERE x IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT channel_id, epoch_us(hour_bucket) AS hour_us, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r1
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
+
+
+@register(
+    "op_timeseries_autocorr",
+    _autocorr_oracle(),
+    doc="lag-1 autocorrelation per (channel, hour) — the serial-correlation "
+    "diagnostic that completes the drift trio (op_timeseries_trend: "
+    "deterministic drift; op_timeseries_seasonal_outlier: time-of-day "
+    "deviation; this: is the residual white noise or sticky?).  Pearson "
+    "r between consecutive samples from the SEVEN integer sufficient "
+    "statistics over (y_prev, y) pairs — exact BIGINT sums, then only "
+    "cast/multiply/sqrt/divide, all correctly rounded, so r1 is "
+    "bit-identical cross-engine (sqrt is in the registry's blessed "
+    "primitive set; libm pow is not).  Hour-bucketed pairs bound the "
+    "integer range: n <= 3600 at the 1 Hz design cadence puts n*Σxy "
+    "under 2^63 with 2x headroom (ANSI raises, not wraps, beyond); "
+    "pairs never span bucket boundaries — documented, and exactly how "
+    "a mergeable deployment would shard the statistic.  Zero-variance "
+    "sides are filtered (no 0/0 NaN path).  Plan: ONE shuffle on "
+    "(channel, hour): the lag window and the aggregate share the same "
+    "partitioning key, so the sums reuse the window's exchange",
+)
+def op_timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    b = cd.select(
+        "channel_id",
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        F.expr("CAST(floor(value * 1e3 + 0.5) AS BIGINT)").alias("y"),
+        "ts",
+        "id",
+    )
+    w = Window.partitionBy("channel_id", "hour_bucket").orderBy("ts", "id")
+    pairs = b.withColumn("x", F.lag("y").over(w)).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("channel_id", "hour_bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select(
+            "channel_id",
+            F.unix_micros("hour_bucket").alias("hour_us"),
+            F.col("n").alias("n_pairs"),
+            (
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+            ).alias("r1"),
+        )
+    )
+
+
 #: seasonal z-gate width (in standard deviations of the minute-of-day group)
 _SEASONAL_K = 3
 

@@ -314,3 +314,34 @@ def test_seasonal_outlier_cross_engine_on_spiked_corpus(spark, sf_dir, tmp_path)
         for r in QUERIES["op_timeseries_seasonal_outlier"].spark(spark, d).collect()
     }
     assert out == {1: 1, 2: 0}
+
+
+def test_autocorr_exact_extremes(spark):
+    """op_timeseries_autocorr on constructed series: a perfect ramp
+    (y = x + c) gives r1 exactly 1.0, a perfect alternation gives exactly
+    -1.0 (milli-fixed-point values chosen so the variance cores' squares
+    stay under 2^53 — the division and sqrt are then exact); a constant
+    hour (zero variance) is filtered."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_timeseries_autocorr
+
+    rows = []
+    for i in range(1, 21):  # channel 1: ramp 0.001 .. 0.020
+        rows.append((i, 1, f"2024-01-01 10:00:{i:02d}", i * 0.001))
+    for i in range(1, 21):  # channel 2: alternation 0.001 / 0.002
+        rows.append((100 + i, 2, f"2024-01-01 10:00:{i:02d}", (1 + i % 2) * 0.001))
+    for i in range(1, 21):  # channel 3: constant
+        rows.append((200 + i, 3, f"2024-01-01 10:00:{i:02d}", 5.0))
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {r["channel_id"]: r for r in op_timeseries_autocorr(spark, "unused").collect()}
+    assert set(out) == {1, 2}, "zero-variance channel 3 must be filtered"
+    assert out[1]["r1"] == 1.0 and out[1]["n_pairs"] == 19
+    assert out[2]["r1"] == -1.0 and out[2]["n_pairs"] == 19
