@@ -37,13 +37,16 @@ from pyspark.sql import functions as F
 FX_SCALE = 1e6
 
 
-def fx_unscaled(col: Column) -> Column:
-    """``col`` quantized to exact 6-decimal fixed point as BIGINT.
+def fx_unscaled(col: Column, scale: float = FX_SCALE) -> Column:
+    """``col`` quantized to exact fixed point as BIGINT (default 6 decimals).
 
     Spark's ``floor(double)`` already returns LongType; the arithmetic
-    (``* 1e6 + 0.5``) is plain double math, identical to the DuckDB twin.
+    (``* scale + 0.5``) is plain double math, identical to the DuckDB twin.
+    The sufficient-statistics ops (trend / seasonal outlier / autocorr)
+    pass ``scale=1e3``: milli precision buys the integer headroom their
+    squared/cross-multiplied sums need.
     """
-    return F.floor(col * F.lit(FX_SCALE) + F.lit(0.5))
+    return F.floor(col * F.lit(scale) + F.lit(0.5))
 
 
 def fx_sum(col: Column) -> Column:
@@ -51,10 +54,10 @@ def fx_sum(col: Column) -> Column:
     return F.sum(fx_unscaled(col)).cast("double") / F.lit(FX_SCALE)
 
 
-def fx_unscaled_sql(expr: str) -> str:
+def fx_unscaled_sql(expr: str, scale: str = "1e6") -> str:
     """DuckDB twin of :func:`fx_unscaled` (explicit BIGINT cast: DuckDB's
     ``floor`` keeps DOUBLE; the cast of an exact-integer double is exact)."""
-    return f"CAST(FLOOR(({expr}) * 1e6 + 0.5) AS BIGINT)"
+    return f"CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)"
 
 
 def fx_sum_sql(expr: str) -> str:

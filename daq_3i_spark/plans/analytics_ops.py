@@ -813,6 +813,22 @@ def op_timeseries_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: milli fixed-point quantizer shared by the sufficient-statistics trio
+#: (trend / autocorr / seasonal outlier) — ONE definition per dialect so the
+#: scale and rounding cannot fork between ops (the fx_unscaled convention
+#: at 1e3: milli precision buys the integer headroom squared sums need)
+def _fx3(col):
+    from daq_3i_spark.functions.numeric import fx_unscaled
+
+    return fx_unscaled(col, scale=1e3)
+
+
+def _fx3_sql(expr: str) -> str:
+    from daq_3i_spark.functions.numeric import fx_unscaled_sql
+
+    return fx_unscaled_sql(expr, scale="1e3")
+
+
 def _trend_oracle() -> str:
     from daq_3i_spark.sources.daq_dims import dims_cte_sql
 
@@ -820,7 +836,7 @@ def _trend_oracle() -> str:
     p AS (
       SELECT channel_id, CAST(ts AS DATE) AS trend_date,
              CAST(hour(ts) AS BIGINT) AS x,
-             CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS y
+             {_fx3_sql('value')} AS y
       FROM channel_data
     ),
     s AS (
@@ -830,11 +846,13 @@ def _trend_oracle() -> str:
       FROM p GROUP BY 1, 2
     )
     SELECT channel_id, trend_date, n AS n_samples,
-           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
              / 1e3 AS slope_per_hour,
-           (CAST(sy AS DOUBLE)
-             - (CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           (CAST(CAST(sy AS BIGINT) AS DOUBLE)
+             - (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+               * CAST(CAST(sx AS BIGINT) AS DOUBLE))
              / CAST(n AS DOUBLE) / 1e3 AS intercept
     FROM s WHERE n * sxx - sx * sx > 0"""
 
@@ -867,7 +885,7 @@ def op_timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel_id",
         F.to_date("ts").alias("trend_date"),
         F.hour("ts").cast("bigint").alias("x"),
-        F.expr("CAST(floor(value * 1e3 + 0.5) AS BIGINT)").alias("y"),
+        _fx3(F.col("value")).alias("y"),
     )
     s = p.groupBy("channel_id", "trend_date").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -1475,7 +1493,7 @@ def _autocorr_oracle() -> str:
     b AS (
       SELECT channel_id,
              CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
-             CAST(FLOOR(value * 1e3 + 0.5) AS BIGINT) AS y, ts, id
+             {_fx3_sql('value')} AS y, ts, id
       FROM channel_data
     ),
     pairs AS (
@@ -1491,9 +1509,9 @@ def _autocorr_oracle() -> str:
       FROM pairs WHERE x IS NOT NULL GROUP BY 1, 2
     )
     SELECT channel_id, epoch_us(hour_bucket) AS hour_us, n AS n_pairs,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r1
+           CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+             / sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(n * syy - sy * sy AS BIGINT) AS DOUBLE)) AS r1
     FROM s
     WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
 
@@ -1525,7 +1543,7 @@ def op_timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cd.select(
         "channel_id",
         F.date_trunc("hour", "ts").alias("hour_bucket"),
-        F.expr("CAST(floor(value * 1e3 + 0.5) AS BIGINT)").alias("y"),
+        _fx3(F.col("value")).alias("y"),
         "ts",
         "id",
     )
@@ -1568,7 +1586,7 @@ def _seasonal_outlier_oracle() -> str:
       SELECT channel_id,
              CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
                   AS BIGINT) AS mod,
-             CAST(FLOOR(value * 1e3 + 0.5) AS BIGINT) AS y
+             {_fx3_sql('value')} AS y
       FROM channel_data
     ),
     base AS (
@@ -1579,10 +1597,10 @@ def _seasonal_outlier_oracle() -> str:
     gated AS (
       SELECT b.channel_id,
              CASE WHEN base.n > 1 AND
-               CAST(base.n * b.y - base.s1 AS DOUBLE)
-                 * CAST(base.n * b.y - base.s1 AS DOUBLE)
+               CAST(CAST(base.n * b.y - base.s1 AS BIGINT) AS DOUBLE)
+                 * CAST(CAST(base.n * b.y - base.s1 AS BIGINT) AS DOUBLE)
                > {_SEASONAL_K * _SEASONAL_K}.0
-                 * CAST(base.n * base.s2 - base.s1 * base.s1 AS DOUBLE)
+                 * CAST(CAST(base.n * base.s2 - base.s1 * base.s1 AS BIGINT) AS DOUBLE)
              THEN 1 ELSE 0 END AS is_out
       FROM b JOIN base ON b.channel_id = base.channel_id AND b.mod = base.mod
     )
@@ -1602,13 +1620,18 @@ def _seasonal_outlier_oracle() -> str:
     "monitoring stack ships).  The gate is division- and sqrt-free "
     "integer cross-multiplication: (n·y − Σy)² > k²·(n·Σy² − (Σy)²) in "
     "milli-fixed-point, so both sides are exact BIGINTs cast once to "
-    "double (correctly rounded identically in both engines) — no float "
-    "accumulation, no NaN path (a zero-variance minute gates nothing, "
-    "n=1 groups are excluded as varianceless).  Overflow bound by "
-    "construction: y ≤ ~5.6e5 fx3, n per (channel, minute-of-day) = days "
-    "of history, so n·y and the variance core stay under 2^63 out to "
-    "~10 years of 1 Hz data per channel — past that, rebase y or widen "
-    "to the histogram sketch.  Plan: ONE map-side-combined aggregate to "
+    "double (both oracles pin the DuckDB HUGEINT arithmetic back to "
+    "BIGINT before the int64->double conversion, the fx_sum_sql "
+    "convention, so the rounding is the identical conversion in both "
+    "engines) — no float accumulation, no NaN path (a zero-variance "
+    "minute gates nothing, n=1 groups are excluded as varianceless).  "
+    "Overflow envelope, stated honestly: at 1 Hz a (channel, "
+    "minute-of-day) bucket pools 60 samples/DAY, so with y ≤ ~5.6e5 fx3 "
+    "the variance core n·Σy² crosses 2^63 near n ≈ 5 400 — about 90 days "
+    "of history per channel (ANSI raises, never wraps).  Longer horizons "
+    "rebase y against the bucket minimum, drop to centi fixed point, or "
+    "window the baseline to a trailing quarter (the usual seasonal-"
+    "baseline practice anyway).  Plan: ONE map-side-combined aggregate to "
     "the 1440-bucket baseline, joined back on (channel, minute) — the "
     "baseline side is dimension-sized, so at 100 TB it broadcasts and "
     "the census is a second map-side-combined aggregate",
@@ -1621,7 +1644,7 @@ def op_timeseries_seasonal_outlier(spark: SparkSession, sf_dir: str) -> DataFram
     b = cd.select(
         "channel_id",
         mod.alias("mod"),
-        F.expr("CAST(floor(value * 1e3 + 0.5) AS BIGINT)").alias("y"),
+        _fx3(F.col("value")).alias("y"),
     )
     base = b.groupBy("channel_id", "mod").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -1630,10 +1653,11 @@ def op_timeseries_seasonal_outlier(spark: SparkSession, sf_dir: str) -> DataFram
     )
     dev = F.col("n") * F.col("y") - F.col("s1")
     var_core = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
-    # square the deviation in DOUBLE: dev is an exact int well under 2^53
-    # (n·y_max ~ 2e9 at a decade of history), so the double product is
-    # exact and identical cross-engine, while an int64 square would
-    # overflow first of all the terms
+    # square the deviation in DOUBLE: dev fits int64 comfortably inside the
+    # documented envelope, and the int64->double cast + multiply are both
+    # correctly rounded, so BOTH engines compute the identical (possibly
+    # rounded) product — the parity invariant is identical IEEE rounding,
+    # not exactness (dev² can exceed 2^53)
     is_out = F.when(
         (F.col("n") > 1)
         & (
