@@ -137,6 +137,7 @@ HEADLINE = [
     "op_timeseries_trend",
     "op_timeseries_seasonal_outlier",
     "op_timeseries_autocorr",
+    "op_stream_trend",
 ]
 
 

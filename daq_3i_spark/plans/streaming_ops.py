@@ -935,6 +935,77 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_stream_trend",
+    None,  # oracle attached below: the batch op's trend SQL, shared verbatim
+    doc="the per-(channel, day) least-squares drift rate maintained ACROSS "
+    "MICRO-BATCHES — the streaming twin of op_timeseries_trend, and the "
+    "cleanest possible demonstration that sufficient statistics ARE the "
+    "streaming-native form of regression: each batch's partial is the "
+    "five plain BIGINT sums (n, Σx, Σy, Σxy, Σx²) per (channel, date), "
+    "the merge is addition, and slope/intercept are derived from the "
+    "final snapshot with the batch op's exact expression tree — so the "
+    "4-way incremental merge hash-matches the from-scratch DuckDB "
+    "recompute bit-for-bit.  At 100 TB this is how a drift dashboard "
+    "stays current: per-batch partials are (channel × day)-cardinality, "
+    "nothing re-scans sample history, and a late sample folds into its "
+    "day's statistics exactly like an in-order one",
+)
+def op_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.plans.analytics_ops import _fx3
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    work = _workdir("op_stream_trend")
+
+    def partial(df: DataFrame) -> DataFrame:
+        p = df.select(
+            "channel_id",
+            F.to_date("ts").alias("trend_date"),
+            F.hour("ts").cast("bigint").alias("x"),
+            _fx3(F.col("value")).alias("y"),
+        )
+        return p.groupBy("channel_id", "trend_date").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(part)
+            .groupBy("channel_id", "trend_date")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sx").alias("sx"),
+                F.sum("sy").alias("sy"),
+                F.sum("sxy").alias("sxy"),
+                F.sum("sxx").alias("sxx"),
+            )
+        )
+
+    s = _versioned_snapshot_replay(
+        spark, work, channel_data_df(spark, sf_dir), "trend", partial, merge
+    )
+    # identical final expression tree to op_timeseries_trend — the oracle is
+    # shared verbatim, so any drift here is a hash mismatch
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_fx = num.cast("double") / den.cast("double")
+    return s.filter(den > 0).select(
+        "channel_id",
+        "trend_date",
+        F.col("n").alias("n_samples"),
+        (slope_fx / F.lit(1e3)).alias("slope_per_hour"),
+        (
+            (F.col("sy").cast("double") - slope_fx * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1e3)
+        ).alias("intercept"),
+    )
+
+
 # --- small-file compaction of the date-partitioned sink ----------------------
 
 #: fragmentation split: dates before this stay compact (one pre-written
@@ -1282,10 +1353,14 @@ def op_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 import dataclasses  # noqa: E402
 
 from daq_3i_spark.plans.analytics_ops import OHLC_SQL as _OHLC_SQL  # noqa: E402
+from daq_3i_spark.plans.analytics_ops import _trend_oracle  # noqa: E402
 from daq_3i_spark.plans.registry import QUERIES  # noqa: E402
 
 QUERIES["op_stream_ohlc"] = dataclasses.replace(
     QUERIES["op_stream_ohlc"], oracle=_OHLC_SQL
+)
+QUERIES["op_stream_trend"] = dataclasses.replace(
+    QUERIES["op_stream_trend"], oracle=_trend_oracle()
 )
 
 

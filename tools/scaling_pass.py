@@ -87,6 +87,7 @@ OPS = [
     "op_timeseries_trend",
     "op_timeseries_seasonal_outlier",
     "op_timeseries_autocorr",
+    "op_stream_trend",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
