@@ -138,6 +138,7 @@ HEADLINE = [
     "op_timeseries_seasonal_outlier",
     "op_timeseries_autocorr",
     "op_stream_trend",
+    "op_corpus_split_safe",
 ]
 
 

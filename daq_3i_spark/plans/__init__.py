@@ -33,11 +33,12 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 #     (VERDICT #1); ranks.py's persist moved onto the tracked helper
 #     (op_events_rfm, op_text_vocab) as did PageRank's edge frame and
 #     dedup components' pair frame;
-# (3) 14 of the 43-op round-6 cohort, intricate/stateful first (the six
-#     NEW ops took six of this section's window slots).  The remaining
-#     29 r6 rows (simple scans/filters/dim joins + the interpolate/locf
-#     sextet + multimodal_resize/upsert_status/append/delete_retention/
-#     modbus_poll/approx_sketches) spill and MUST LEAD the r11 rotation.
+# (3) 13 of the 43-op round-6 cohort, intricate/stateful first (the seven
+#     NEW ops took seven of this section's window slots).  The remaining
+#     30 r6 rows (simple scans/filters/dim joins + the interpolate/locf
+#     sextet + pack_sequences/multimodal_resize/upsert_status/append/
+#     delete_retention/modbus_poll/approx_sketches) spill and MUST LEAD
+#     the r11 rotation.
 _CHECK_PRIORITY = [
     # -- (1) latest check is round 5 ------------------------------------------
     "op_sql_q6_forecast", "op_sql_q2_mincost", "op_sql_q21_waiting",
@@ -46,7 +47,7 @@ _CHECK_PRIORITY = [
     # -- (2) NEW in r10 (never driver-checked), then touched in r10 -----------
     "op_dedup_containment", "op_dedup_cluster_keep", "op_timeseries_trend",
     "op_timeseries_seasonal_outlier", "op_timeseries_autocorr",
-    "op_stream_trend",
+    "op_stream_trend", "op_corpus_split_safe",
     "op_sink_zorder", "op_corpus_dsir_select", "op_corpus_dsir_weights",
     "op_timeseries_outlier_mad", "op_events_concurrency",
     "op_multimodal_phash", "op_corpus_minhash_eval",
@@ -61,8 +62,9 @@ _CHECK_PRIORITY = [
     "op_stream_latest_per_channel", "op_stream_pipeline",
     "op_stream_stale_monitor", "op_graceful_stop", "op_session_window_batch",
     "op_dedup_substring", "op_dedup_semantic", "op_dedup_exact",
-    "op_contamination_check", "op_corpus_clean_pipeline", "op_pack_sequences",
+    "op_contamination_check", "op_corpus_clean_pipeline",
     # -- spill: r6 rows past the 50-entry window — r11 leads with these -------
+    "op_pack_sequences",
     "op_multimodal_resize",
     "op_sink_upsert_status",
     "op_sink_append_channel_data",

@@ -172,6 +172,55 @@ def op_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "op_corpus_split_safe",
+    f"""WITH RECURSIVE {_DUCK_COMP_CTE},
+    keyed AS (
+      SELECT d.doc_id, d.source,
+             coalesce(comp.component, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    )
+    SELECT doc_id, source, split_key,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id, source, split_key,
+             CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 AS b
+      FROM keyed
+    ) t""",
+    doc="LEAKAGE-SAFE train/val/test split (80/10/10): the split key is the "
+    "document's near-dup CLUSTER (connected component of the MinHash pair "
+    "graph; singletons key on their own doc_id), so every member of a "
+    "duplicate cluster lands in the SAME split — the guard op_corpus_split "
+    "cannot give, because a doc-keyed hash happily puts two near-copies on "
+    "opposite sides of the train/test boundary and silently inflates eval "
+    "(the train-test leakage failure mode every LLM data pipeline must "
+    "close).  Same portable md5 bucket convention as op_corpus_split, "
+    "applied to the cluster key.  Scale shape: the contraction loop is "
+    "op_dedup_components' (O(log² n) bounded rounds); the split itself is "
+    "one LEFT broadcast-or-shuffle join of the label frame (pair-graph-"
+    "cardinality, far smaller than the corpus) plus a codegen projection",
+)
+def op_corpus_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.join(labels.withColumnRenamed("component", "__comp"), "doc_id", "left")
+    split_key = F.coalesce(F.col("__comp"), F.col("doc_id"))
+    b = F.pmod(
+        F.conv(F.substring(F.md5(split_key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(10),
+    )
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return keyed.select(
+        "doc_id",
+        "source",
+        split_key.alias("split_key"),
+        split.alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF approximate nearest neighbor
 # ---------------------------------------------------------------------------

@@ -111,6 +111,7 @@ _BUILD_EXECUTES = {
     # iterative algorithms: the loop must materialize per round
     "op_dedup_components": "star-contraction loop iterates at build",
     "op_dedup_cluster_keep": "star-contraction loop iterates at build",
+    "op_corpus_split_safe": "star-contraction loop iterates at build",
     # driver-side distributed training at build: one real k-means step
     # (assign + per-cluster mean aggregate, a full corpus pass) must run
     # before the returned plan exists — the trained centroids ship in the

@@ -402,3 +402,25 @@ def test_cluster_keep_survivor_is_longest(spark, sf_dir):
         best = min(members, key=lambda r: (-lens[r["doc_id"]], r["doc_id"]))
         assert keep["doc_id"] == best["doc_id"], f"component {c} kept a shorter doc"
         assert all(r["keep_doc"] == keep["doc_id"] for r in members)
+
+
+def test_split_safe_keeps_clusters_together(spark, sf_dir):
+    """op_corpus_split_safe's leakage guard: every member of a near-dup
+    cluster (shared split_key) lands in the SAME split; singletons key on
+    their own doc_id; and the guard actually differs from the doc-keyed
+    op_corpus_split for at least one clustered doc on the live corpus
+    (otherwise the op would be a no-op rename)."""
+    from collections import defaultdict
+
+    rows = QUERIES["op_corpus_split_safe"].spark(spark, sf_dir).collect()
+    by_key = defaultdict(set)
+    for r in rows:
+        by_key[r["split_key"]].add(r["split"])
+    assert all(len(v) == 1 for v in by_key.values()), "cluster straddles splits"
+
+    clustered = [r for r in rows if r["split_key"] != r["doc_id"]]
+    assert clustered, "live corpus has near-dup clusters; none got cluster keys"
+    naive = {r["doc_id"]: r["split"]
+             for r in QUERIES["op_corpus_split"].spark(spark, sf_dir).collect()}
+    moved = [r for r in clustered if naive[r["doc_id"]] != r["split"]]
+    assert moved, "cluster keying never changed any doc's split — guard inert"

@@ -103,6 +103,7 @@ OPS = [
     "op_dedup_substring",
     "op_dedup_components",
     "op_dedup_cluster_keep",
+    "op_corpus_split_safe",
     "op_text_stats",
     "op_text_quality",
     "op_text_scrub",
