@@ -139,6 +139,7 @@ HEADLINE = [
     "op_timeseries_autocorr",
     "op_stream_trend",
     "op_corpus_split_safe",
+    "op_sql_window_range",
 ]
 
 

@@ -303,3 +303,74 @@ def op_sql_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(wf).alias("last_price"),
     )
+
+
+# --- RANGE-frame window: event-anchored trailing moving average ---------------
+
+
+def _window_range_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    b AS (
+      SELECT channel_id, id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR((value) * 1e3 + 0.5) AS BIGINT) AS y
+      FROM channel_data
+    )
+    SELECT channel_id, id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(CAST(sum(y) OVER w AS BIGINT) AS DOUBLE)
+             / (CAST(count(*) OVER w AS DOUBLE) * 1e3) AS avg_1h
+    FROM b
+    WINDOW w AS (PARTITION BY channel_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
+@register(
+    "op_sql_window_range",
+    _window_range_oracle(),
+    doc="the RANGE-frame window pattern (the registry's tumbling/sliding ops "
+    "are bucket-aligned; this is the per-row, event-anchored form): each "
+    "sample's trailing 1-hour moving average over its own channel — the "
+    "'what was this sensor averaging over the last hour AS OF this "
+    "reading' query a bucket window cannot answer without losing "
+    "anchor alignment.  The frame is defined by ORDER-VALUE bounds "
+    "(epoch-micros BIGINT), so timestamp ties get identical frames in "
+    "both engines (peers are included by value, not position) and the "
+    "result is order-insensitive by construction.  Exactness: milli "
+    "fixed-point BIGINT sums (values <1e6 x 3600 one-hertz samples "
+    "x 1e3 scale < 2^62), ONE correctly-rounded double division per "
+    "row.  Plan: one shuffle on channel_id, one Window operator "
+    "serving both frame aggregates (Spark collapses same-frame "
+    "functions); the range frame runs as a single per-partition "
+    "sort + sliding two-pointer pass — linear, spill-safe, and at "
+    "100 TB the partition unit is a channel (bound history per "
+    "channel by rollup/retention before this op if a single channel's "
+    "full history exceeds an executor's sort budget)",
+)
+def op_sql_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    b = cd.select(
+        "channel_id",
+        "id",
+        F.unix_micros("ts").alias("ts_us"),
+        fx_unscaled(F.col("value"), scale=1e3).alias("y"),
+    )
+    w = (
+        Window.partitionBy("channel_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    n = F.count("*").over(w).cast("bigint")
+    return b.select(
+        "channel_id",
+        "id",
+        "ts_us",
+        n.alias("n_1h"),
+        (
+            F.sum("y").over(w).cast("double")
+            / (n.cast("double") * F.lit(1e3))
+        ).alias("avg_1h"),
+    )

@@ -345,3 +345,40 @@ def test_autocorr_exact_extremes(spark):
     assert set(out) == {1, 2}, "zero-variance channel 3 must be filtered"
     assert out[1]["r1"] == 1.0 and out[1]["n_pairs"] == 19
     assert out[2]["r1"] == -1.0 and out[2]["n_pairs"] == 19
+
+
+def test_window_range_frame_semantics(spark):
+    """op_sql_window_range on constructed series: the trailing 1-hour frame
+    is value-defined (inclusive 3600s bound), timestamp TIES are peers (both
+    rows see the identical frame including each other), and the average is
+    the exact milli-fixed-point ratio."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.sql_surface3 import op_sql_window_range
+
+    rows = [
+        # channel 1: 0s, +30min, +61min — the 61min frame drops the 0s sample
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:30:00", 2.0),
+        (3, 1, "2024-01-01 11:01:00", 4.0),
+        # exactly-1h spacing: the bound is INCLUSIVE, so id 5 still sees id 4
+        (4, 1, "2024-01-01 20:00:00", 10.0),
+        (5, 1, "2024-01-01 21:00:00", 20.0),
+        # channel 2: a timestamp tie — peers share one frame
+        (6, 2, "2024-01-01 10:00:00", 1.0),
+        (7, 2, "2024-01-01 10:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {r["id"]: r for r in op_sql_window_range(spark, "unused").collect()}
+    assert [out[i]["n_1h"] for i in range(1, 8)] == [1, 2, 2, 1, 2, 2, 2]
+    assert out[2]["avg_1h"] == 1.5           # (1+2)/2
+    assert out[3]["avg_1h"] == 3.0           # (2+4)/2 — the 0s sample aged out
+    assert out[5]["avg_1h"] == 15.0          # inclusive 1h bound keeps id 4
+    assert out[6]["avg_1h"] == 2.0 and out[7]["avg_1h"] == 2.0  # tie peers
