@@ -140,6 +140,7 @@ HEADLINE = [
     "op_stream_trend",
     "op_corpus_split_safe",
     "op_sql_window_range",
+    "op_events_markov",
 ]
 
 

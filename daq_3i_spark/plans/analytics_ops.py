@@ -2364,3 +2364,61 @@ def op_timeseries_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pts",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov model of user behavior)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_events_markov",
+    """WITH p AS (
+      SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(CAST(sum(n_trans) OVER (PARTITION BY from_type)
+                         AS BIGINT) AS DOUBLE) AS prob
+    FROM c""",
+    doc="first-order Markov transition matrix over user event streams: "
+    "P(next event type | current event type), the behavioral model under "
+    "next-action prediction, anomaly scoring of sessions, and the "
+    "transition-graph view of a product funnel (op_events_topk_paths "
+    "mines full prefix strings; this collapses the same sequences into "
+    "the |types|^2 conditional distribution).  Exactness: transition "
+    "counts are exact BIGINT; prob is ONE correctly-rounded division of "
+    "two exact integers — bit-identical cross-engine.  Plan: one shuffle "
+    "on user_id for the lag (per-user history partitions, bounded by "
+    "user activity not corpus size), one map-side-combined hash "
+    "aggregate down to |event_types|^2 rows, then a window over that "
+    "dimension-sized frame — the row-normalization never touches the "
+    "fact again.  At 100 TB the only data-sized stage is the lag "
+    "shuffle, which any sequence feature over user histories shares",
+)
+def op_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n_trans")
+    )
+    row_total = F.sum("n_trans").over(Window.partitionBy("from_type"))
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / row_total.cast("double")).alias("prob"),
+    )

@@ -478,3 +478,43 @@ def test_downsample_envelope_invariants(spark, sf_dir):
     feed = cd.select("channel_id", "ts", "value")
     missing = df.select("channel_id", "ts", "value").subtract(feed)
     assert missing.count() == 0
+
+
+def test_markov_transitions_constructed(spark):
+    """op_events_markov on a constructed stream: counts match the hand
+    transitions, rows are conditioned on from_type (probs per from_type sum
+    to 1 as exact small-integer ratios), and cross-user boundaries never
+    produce a transition."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_events_markov
+
+    rows = [
+        # user 1: A -> B -> A -> C
+        (1, "2024-01-01 10:00:00", 1, "A"),
+        (2, "2024-01-01 10:01:00", 1, "B"),
+        (3, "2024-01-01 10:02:00", 1, "A"),
+        (4, "2024-01-01 10:03:00", 1, "C"),
+        # user 2: B -> A  (no cross-user C->B edge from user 1's tail)
+        (5, "2024-01-01 09:00:00", 2, "B"),
+        (6, "2024-01-01 09:30:00", 2, "A"),
+        # user 3: single event, no transitions
+        (7, "2024-01-01 08:00:00", 3, "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_events", lambda s, d: ev
+    ):
+        out = {
+            (r["from_type"], r["to_type"]): r
+            for r in op_events_markov(spark, "unused").collect()
+        }
+    assert {k: v["n_trans"] for k, v in out.items()} == {
+        ("A", "B"): 1, ("B", "A"): 2, ("A", "C"): 1,
+    }
+    assert out[("A", "B")]["prob"] == 0.5 and out[("A", "C")]["prob"] == 0.5
+    assert out[("B", "A")]["prob"] == 1.0
