@@ -141,6 +141,7 @@ HEADLINE = [
     "op_corpus_split_safe",
     "op_sql_window_range",
     "op_events_markov",
+    "op_orders_abc_analysis",
 ]
 
 

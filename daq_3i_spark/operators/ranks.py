@@ -135,3 +135,65 @@ def global_ntile(
         .withColumn(alias, bucket.cast("int"))
         .drop(grn, "__N")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value: Column,
+    order: list[Column],
+    alias: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`` as a
+    BIGINT column, computed with P-way parallelism — the running-total twin
+    of :func:`global_row_number` (same scale killer: an unpartitioned window
+    cumsum funnels the world through one task).
+
+    Same two-level construction: range-partition on the (total) order, a
+    per-partition running sum, plus the sum of all lower partitions' totals
+    broadcast back.  The local running sum is a partition-LOCAL mapInPandas
+    pass (carry state across the partition's Arrow batches) rather than a
+    ``Window.partitionBy(pid)`` — the window form would demand hash
+    clustering on pid, i.e. a SECOND data-sized exchange of rows the range
+    shuffle already placed correctly.  ``value`` must already be integral
+    (BIGINT fixed-point by this repo's conventions) so the partial sums are
+    exact and order-insensitive; the int64 envelope is the caller's
+    (numpy cumsum wraps rather than raises past 2^63).
+    """
+    import pyspark.sql.types as T
+
+    from daq_3i_spark.cache import shared
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    val = "__cs_val"
+    local = f"__cs_local_{alias}"
+    rp = shared(
+        df.withColumn(val, value.cast("long"))
+        .repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn(_PID, F.spark_partition_id().cast("long"))
+    )
+    totals = rp.groupBy(_PID).agg(F.sum(val).alias(_CNT))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF)
+    )
+    out_schema = T.StructType(
+        rp.schema.fields + [T.StructField(local, T.LongType())]
+    )
+
+    def running(batches):
+        carried = 0
+        for pdf in batches:
+            c = pdf[val].to_numpy().cumsum() + carried
+            pdf[local] = c
+            carried = int(c[-1]) if len(c) else carried
+            yield pdf
+
+    return (
+        rp.mapInPandas(running, out_schema)
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(alias, (F.col(local) + F.col(_OFF)).cast("long"))
+        .drop(_PID, _OFF, val, local)
+    )

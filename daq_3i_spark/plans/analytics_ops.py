@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daq_3i_spark.cache import shared
-from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql
+from daq_3i_spark.functions.numeric import fx_sum, fx_sum_sql, fx_unscaled_sql
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events, load_table
 
@@ -2421,4 +2421,80 @@ def op_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         "n_trans",
         (F.col("n_trans").cast("double") / row_total.cast("double")).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification of parts by revenue share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_orders_abc_analysis",
+    f"""WITH rev AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM({fx_unscaled_sql('l_extendedprice * (1 - l_discount)', '1e2')})
+                  AS BIGINT) AS rev_fx
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT p_partkey, rev_fx,
+             CAST(sum(rev_fx) OVER (ORDER BY rev_fx DESC, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_fx,
+             CAST(sum(rev_fx) OVER () AS BIGINT) AS total_fx
+      FROM rev
+    )
+    SELECT p_partkey, CAST(rev_fx AS DOUBLE) / 1e2 AS revenue,
+           CAST(cum_fx AS DOUBLE) / CAST(total_fx AS DOUBLE) AS cum_share,
+           CASE WHEN cum_fx * 5 <= total_fx * 4 THEN 'A'
+                WHEN cum_fx * 20 <= total_fx * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c""",
+    doc="ABC (Pareto) inventory classification: parts ranked by discounted "
+    "revenue, class A while the running share stays within 80% of total "
+    "revenue, B to 95%, C after — the cumulative-distribution "
+    "classification shape (the 80/20 cut every ops/inventory stack "
+    "computes).  Exactness: cent fixed-point BIGINT revenue (1e2 scale "
+    "keeps total*20 < 2^63 up to ~5e17 total cents — a ~$5 quadrillion "
+    "corpus; ANSI raises past it), class boundaries compared by integer "
+    "cross-multiplication (cum*5 <= total*4) so no float threshold can "
+    "flake, cum_share ONE correctly-rounded division.  Scale shape: the "
+    "fact collapses to the parts DIMENSION first (map-side-combined hash "
+    "agg); the running total is operators/ranks.py's global_cumsum — "
+    "range-partitioned cumulative sum with a partition-local Arrow pass "
+    "and a P-row offset broadcast, NEVER a single-partition window "
+    "(ranks.py module docstring); total revenue is a one-row broadcast "
+    "read from the same cached range exchange",
+)
+def op_orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.operators.ranks import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            fx_unscaled(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=1e2
+            )
+        ).alias("rev_fx")
+    )
+    cum = global_cumsum(
+        rev, F.col("rev_fx"), [F.desc("rev_fx"), F.asc("p_partkey")], "cum_fx"
+    )
+    total = cum.agg(F.sum("rev_fx").cast("long").alias("__total"))
+    cls = (
+        F.when(F.col("cum_fx") * 5 <= F.col("__total") * 4, "A")
+        .when(F.col("cum_fx") * 20 <= F.col("__total") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "p_partkey",
+            (F.col("rev_fx").cast("double") / F.lit(1e2)).alias("revenue"),
+            (
+                F.col("cum_fx").cast("double") / F.col("__total").cast("double")
+            ).alias("cum_share"),
+            cls.alias("abc_class"),
+        )
     )

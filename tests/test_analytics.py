@@ -518,3 +518,22 @@ def test_markov_transitions_constructed(spark):
     }
     assert out[("A", "B")]["prob"] == 0.5 and out[("A", "C")]["prob"] == 0.5
     assert out[("B", "A")]["prob"] == 1.0
+
+
+def test_abc_classes_partition_by_cumulative_share(spark, sf_dir):
+    """op_orders_abc_analysis invariants: every part classified exactly once,
+    classes are contiguous in cum_share (max A < min B < min C), boundaries
+    honor the 80/95 cuts, and cum_share is monotone ending at exactly 1.0."""
+    from daq_3i_spark.plans import QUERIES
+
+    rows = QUERIES["op_orders_abc_analysis"].spark(spark, sf_dir).collect()
+    by_cls: dict[str, list] = {}
+    for r in rows:
+        by_cls.setdefault(r["abc_class"], []).append(r["cum_share"])
+    assert set(by_cls) <= {"A", "B", "C"} and "A" in by_cls
+    if "B" in by_cls:
+        assert max(by_cls["A"]) <= 0.8 < min(by_cls["B"])
+    if "C" in by_cls:
+        assert max(by_cls.get("B", by_cls["A"])) <= 0.95 < min(by_cls["C"])
+    assert max(r["cum_share"] for r in rows) == 1.0
+    assert len({r["p_partkey"] for r in rows}) == len(rows)

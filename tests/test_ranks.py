@@ -97,3 +97,27 @@ def test_shared_cache_tracks_and_releases(spark):
     n = release_shared()
     assert n == 1 and not _LIVE
     assert not df.storageLevel.useMemory  # uncached, not just untracked
+
+
+@pytest.mark.parametrize("n,skew,parts", [
+    (1000, False, 16),
+    (1000, True, 16),   # heavy ties: boundaries land inside tie runs
+    (5, False, 16),     # more range partitions than rows
+    (1, False, 4),
+    (997, True, 3),
+])
+def test_global_cumsum_matches_window(spark, n, skew, parts):
+    from daq_3i_spark.operators.ranks import global_cumsum
+
+    df = _mkdf(spark, n, skew).withColumn("v", (F.col("k") % 13 + 1).cast("long"))
+    order = [F.col("m").desc(), F.col("k").asc()]
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, F.col("v"), order, "cs", parts).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["cs"]
+        for r in df.withColumn("cs", F.sum("v").over(w).cast("long")).collect()
+    }
+    assert got == want
