@@ -142,6 +142,7 @@ HEADLINE = [
     "op_sql_window_range",
     "op_events_markov",
     "op_orders_abc_analysis",
+    "op_quality_drift",
 ]
 
 

@@ -2498,3 +2498,141 @@ def op_orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             cls.alias("abc_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: first half vs second half of each channel's history
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKETS = 16
+
+
+def _drift_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    nb = _DRIFT_BUCKETS
+    return f"""WITH {dims_cte_sql()},
+    stats AS (
+      SELECT channel_id,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+             min(value) AS v0, max(value) AS v1
+      FROM channel_data GROUP BY 1
+    ),
+    b AS (
+      SELECT d.channel_id,
+             CASE WHEN epoch_us(d.ts) * 2 < s.t0 + s.t1 THEN 1 ELSE 0 END
+               AS is_first,
+             CASE WHEN s.v1 = s.v0 THEN 0
+                  ELSE least(CAST(FLOOR((d.value - s.v0) * {nb}
+                                        / (s.v1 - s.v0)) AS BIGINT),
+                             {nb - 1}) END AS bucket
+      FROM channel_data d JOIN stats s ON d.channel_id = s.channel_id
+    ),
+    h AS (
+      SELECT channel_id, bucket,
+             CAST(SUM(is_first) AS BIGINT) AS n1,
+             CAST(SUM(1 - is_first) AS BIGINT) AS n2
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT channel_id, bucket, n1, n2,
+             CAST(CAST(sum(n1) OVER (PARTITION BY channel_id) AS BIGINT)
+                  AS BIGINT) AS big_n1,
+             CAST(CAST(sum(n2) OVER (PARTITION BY channel_id) AS BIGINT)
+                  AS BIGINT) AS big_n2
+      FROM h
+    )
+    SELECT channel_id, big_n1 AS n_first, big_n2 AS n_second,
+           CAST(CAST(SUM(abs(n1 * big_n2 - n2 * big_n1)) AS BIGINT) AS DOUBLE)
+             / (CAST(big_n1 AS DOUBLE) * CAST(big_n2 AS DOUBLE)) AS drift_l1
+    FROM t
+    WHERE big_n1 > 0 AND big_n2 > 0
+    GROUP BY channel_id, big_n1, big_n2"""
+
+
+@register(
+    "op_quality_drift",
+    _drift_oracle(),
+    doc="distribution-drift monitor: per channel, the L1 distance between "
+    "the value histograms of the FIRST and SECOND half of its history "
+    "(split at the midpoint timestamp; 16 equi-width buckets over the "
+    "channel's own [min, max]) — the 'did this sensor's distribution "
+    "move?' gate a data-quality stack runs beside the point-wise outlier "
+    "ops (MAD gates single samples; this gates the population).  "
+    "Σ|p1 - p2| computed as exact integers: Σ|n1·N2 - n2·N1| / (N1·N2), "
+    "one final correctly-rounded division — bit-identical cross-engine, "
+    "and drift_l1 ∈ [0, 2] by construction (0 identical, 2 disjoint).  "
+    "The halves/buckets derive from the same scan via elementwise double "
+    "arithmetic on broadcast per-channel stats (identical expression "
+    "trees; no float aggregate anywhere).  Envelope: n·N products need "
+    "N1·N2 < 2^63 — ~3e9 samples per half per channel (a century at "
+    "1 Hz); ANSI raises, not wraps, past it.  Plan: one dimension-sized "
+    "stats aggregate broadcast back onto the scan, ONE map-side-combined "
+    "hash aggregate to (channel × 16) rows, then window + final "
+    "aggregate over that dimension-sized frame — the fact is scanned "
+    "twice (stats, histogram) and shuffled never (aggregate partials "
+    "only)",
+)
+def op_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    nb = _DRIFT_BUCKETS
+    cd = channel_data_df(spark, sf_dir)
+    stats = cd.groupBy("channel_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    b = cd.join(F.broadcast(stats), "channel_id").select(
+        "channel_id",
+        F.when(
+            F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_first"),
+        F.when(F.col("v1") == F.col("v0"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("v0"))
+                    * nb
+                    / (F.col("v1") - F.col("v0"))
+                ),
+                F.lit(nb - 1).cast("bigint"),
+            )
+        )
+        .alias("bucket"),
+    )
+    h = b.groupBy("channel_id", "bucket").agg(
+        F.sum("is_first").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("is_first")).cast("bigint").alias("n2"),
+    )
+    wch = Window.partitionBy("channel_id")
+    t = h.select(
+        "channel_id",
+        "n1",
+        "n2",
+        F.sum("n1").over(wch).cast("bigint").alias("big_n1"),
+        F.sum("n2").over(wch).cast("bigint").alias("big_n2"),
+    )
+    return (
+        t.filter((F.col("big_n1") > 0) & (F.col("big_n2") > 0))
+        .groupBy("channel_id", "big_n1", "big_n2")
+        .agg(
+            F.sum(
+                F.abs(F.col("n1") * F.col("big_n2") - F.col("n2") * F.col("big_n1"))
+            )
+            .cast("bigint")
+            .alias("__num")
+        )
+        .select(
+            "channel_id",
+            F.col("big_n1").alias("n_first"),
+            F.col("big_n2").alias("n_second"),
+            (
+                F.col("__num").cast("double")
+                / (F.col("big_n1").cast("double") * F.col("big_n2").cast("double"))
+            ).alias("drift_l1"),
+        )
+    )

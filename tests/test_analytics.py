@@ -537,3 +537,38 @@ def test_abc_classes_partition_by_cumulative_share(spark, sf_dir):
         assert max(by_cls.get("B", by_cls["A"])) <= 0.95 < min(by_cls["C"])
     assert max(r["cum_share"] for r in rows) == 1.0
     assert len({r["p_partkey"] for r in rows}) == len(rows)
+
+
+def test_quality_drift_extremes(spark):
+    """op_quality_drift on constructed channels: disjoint half-histograms
+    give exactly 2.0, identical halves exactly 0.0, and a constant channel
+    (degenerate [min,max]) lands in one bucket with drift 0."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_quality_drift
+
+    rows = []
+    # channel 1: first half near 0.0, second half near 100.0 -> disjoint
+    for i in range(10):
+        rows.append((i, 1, f"2024-01-01 00:00:{i:02d}", 0.1 * i))
+        rows.append((100 + i, 1, f"2024-01-02 00:00:{i:02d}", 100.0 - 0.1 * i))
+    # channel 2: the same 10 values in each half -> identical histograms
+    for i in range(10):
+        rows.append((200 + i, 2, f"2024-01-01 00:00:{i:02d}", float(i)))
+        rows.append((300 + i, 2, f"2024-01-02 00:00:{i:02d}", float(i)))
+    # channel 3: constant value
+    for i in range(10):
+        rows.append((400 + i, 3, f"2024-01-0{1 + i % 2} 00:00:{i:02d}", 7.0))
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {r["channel_id"]: r for r in op_quality_drift(spark, "unused").collect()}
+    assert out[1]["drift_l1"] == 2.0
+    assert out[2]["drift_l1"] == 0.0
+    assert out[3]["drift_l1"] == 0.0
+    assert out[1]["n_first"] == 10 and out[1]["n_second"] == 10
