@@ -143,6 +143,7 @@ HEADLINE = [
     "op_events_markov",
     "op_orders_abc_analysis",
     "op_quality_drift",
+    "op_corpus_softdedup_weights",
 ]
 
 

@@ -1414,3 +1414,43 @@ def op_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.col("dup_of").isNull().alias("is_kept"),
     )
+
+
+@register(
+    "op_corpus_softdedup_weights",
+    f"""WITH RECURSIVE {_DUCK_COMP_CTE},
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n
+              FROM comp GROUP BY component)
+    SELECT d.doc_id,
+           coalesce(s.n, 1) AS comp_size,
+           CAST(1 AS DOUBLE) / CAST(coalesce(s.n, 1) AS DOUBLE) AS weight
+    FROM documents d
+    LEFT JOIN comp ON comp.node = d.doc_id
+    LEFT JOIN sizes s ON s.component = comp.component""",
+    doc="soft deduplication (SoftDeDup / D4-style): instead of DROPPING "
+    "near-duplicates, every document gets sampling weight 1/|its near-dup "
+    "cluster| (singletons weigh 1) — each duplicated content unit "
+    "contributes ~one document's worth of training mass while keeping "
+    "every variant available, the reweight-don't-delete alternative to "
+    "op_dedup_cluster_keep's keep/drop manifest.  Weight is ONE "
+    "correctly-rounded division of exact integers.  Scale shape: the "
+    "contraction loop is op_dedup_components' (O(log² n) bounded "
+    "rounds over the PAIR graph, far smaller than the corpus); sizes is "
+    "a component-cardinality aggregate; the corpus touch is one LEFT "
+    "join of the label frame onto doc_ids — broadcastable whenever the "
+    "duplicate-cluster population is dimension-sized relative to the "
+    "corpus (it is, by the viral-bucket cap)",
+)
+def op_corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("comp_size"))
+    weighted = labels.join(sizes, "component").select("doc_id", "comp_size")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(weighted, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp_size"), F.lit(1)).cast("bigint").alias("comp_size"),
+        (
+            F.lit(1).cast("double")
+            / F.coalesce(F.col("comp_size"), F.lit(1)).cast("double")
+        ).alias("weight"),
+    )

@@ -424,3 +424,26 @@ def test_split_safe_keeps_clusters_together(spark, sf_dir):
              for r in QUERIES["op_corpus_split"].spark(spark, sf_dir).collect()}
     moved = [r for r in clustered if naive[r["doc_id"]] != r["split"]]
     assert moved, "cluster keying never changed any doc's split — guard inert"
+
+
+def test_softdedup_weights_conserve_cluster_mass(spark, sf_dir):
+    """op_corpus_softdedup_weights: every doc appears exactly once; each
+    near-dup cluster's total weight is exactly 1 (sum of 1/n over n
+    members); singletons weigh exactly 1.0; total mass = #content units."""
+    from daq_3i_spark.plans import QUERIES
+
+    rows = QUERIES["op_corpus_softdedup_weights"].spark(spark, sf_dir).collect()
+    comp_rows = QUERIES["op_dedup_components"].spark(spark, sf_dir).collect()
+    in_cluster = {r["doc_id"]: r["comp_size"] for r in comp_rows}
+
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["comp_size"] == in_cluster.get(r["doc_id"], 1)
+        assert r["weight"] == 1.0 / r["comp_size"]
+    n_docs = len(rows)
+    n_clustered = len(in_cluster)
+    n_units = (n_docs - n_clustered) + len({
+        r["component"] for r in comp_rows
+    })
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - n_units) < 1e-9
