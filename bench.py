@@ -144,6 +144,7 @@ HEADLINE = [
     "op_orders_abc_analysis",
     "op_quality_drift",
     "op_corpus_softdedup_weights",
+    "op_timeseries_changepoint",
 ]
 
 

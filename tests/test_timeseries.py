@@ -382,3 +382,40 @@ def test_window_range_frame_semantics(spark):
     assert out[3]["avg_1h"] == 3.0           # (2+4)/2 — the 0s sample aged out
     assert out[5]["avg_1h"] == 15.0          # inclusive 1h bound keeps id 4
     assert out[6]["avg_1h"] == 2.0 and out[7]["avg_1h"] == 2.0  # tie peers
+
+
+def test_changepoint_finds_planted_step(spark):
+    """op_timeseries_changepoint on constructed hours: a planted level step
+    is found at the exact boundary with the exact shift; a pure ramp has a
+    CONSTANT mean gap (exactly n/2 at every split), so the deterministic
+    tie-break picks the earliest split; a single-sample hour (no valid
+    split) is absent."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_timeseries_changepoint
+
+    rows = []
+    # channel 1: 10 samples at 1.0 then 10 at 5.0 -> split after t=10, shift 4
+    for i in range(20):
+        rows.append((i, 1, f"2024-01-01 10:{i:02d}:00", 1.0 if i < 10 else 5.0))
+    # channel 2: ramp 1..20 -> shift is 10 at EVERY split; tie-break -> t=1
+    for i in range(20):
+        rows.append((100 + i, 2, f"2024-01-01 10:{i:02d}:00", float(i + 1)))
+    # channel 3: one sample -> no split exists
+    rows.append((200, 3, "2024-01-01 10:00:00", 9.0))
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {
+            r["channel_id"]: r
+            for r in op_timeseries_changepoint(spark, "unused").collect()
+        }
+    assert set(out) == {1, 2}
+    assert out[1]["split_after"] == 10 and out[1]["mean_shift"] == 4.0
+    assert out[2]["split_after"] == 1 and out[2]["mean_shift"] == 10.0
+    assert out[1]["n_samples"] == 20
