@@ -145,6 +145,7 @@ HEADLINE = [
     "op_quality_drift",
     "op_corpus_softdedup_weights",
     "op_timeseries_changepoint",
+    "op_events_forecast_naive",
 ]
 
 

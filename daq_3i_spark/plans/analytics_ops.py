@@ -2749,3 +2749,74 @@ def op_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_shift") / F.lit(1e3)).alias("mean_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast baseline + in-engine error evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_events_forecast_naive",
+    """WITH c AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    eval AS (
+      SELECT a.event_type, a.y AS actual, b.y AS predicted
+      FROM c a JOIN c b
+        ON a.event_type = b.event_type
+       AND a.h = b.h + INTERVAL 24 HOURS
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(CAST(SUM(abs(actual - predicted)) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mae,
+           CAST(CAST(SUM(actual - predicted) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bias
+    FROM eval GROUP BY event_type""",
+    doc="seasonal-naive forecast benchmark evaluated in-engine: predict each "
+    "event type's hourly volume as its value the same hour YESTERDAY "
+    "(y_hat(t) = y(t-24h), the baseline every real forecaster must beat "
+    "— M-competition convention), then score MAE and signed bias per "
+    "type over all hours observed at both t and t-24h.  Counts are "
+    "exact BIGINT, both error statistics are ONE correctly-rounded "
+    "division of exact integer sums — bit-identical cross-engine.  "
+    "Plan: the fact collapses to the (type × hour) DIMENSION first "
+    "(ONE map-side-combined hash aggregate — the only data-sized "
+    "stage); the 24h-shift self-join and the error aggregate run on "
+    "that dimension frame (hours × types, bounded by calendar not "
+    "data volume; broadcastable at any corpus scale)",
+)
+def op_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    a, b = c.alias("a"), c.alias("b")
+    ev_rows = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") == F.col("b.h") + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("actual"),
+        F.col("b.y").alias("predicted"),
+    )
+    n = F.count("*").cast("bigint")
+    return ev_rows.groupBy("event_type").agg(
+        n.alias("n_eval"),
+        (
+            F.sum(F.abs(F.col("actual") - F.col("predicted")))
+            .cast("bigint")
+            .cast("double")
+            / n.cast("double")
+        ).alias("mae"),
+        (
+            F.sum(F.col("actual") - F.col("predicted"))
+            .cast("bigint")
+            .cast("double")
+            / n.cast("double")
+        ).alias("bias"),
+    )

@@ -572,3 +572,41 @@ def test_quality_drift_extremes(spark):
     assert out[2]["drift_l1"] == 0.0
     assert out[3]["drift_l1"] == 0.0
     assert out[1]["n_first"] == 10 and out[1]["n_second"] == 10
+
+
+def test_forecast_naive_exact_errors(spark):
+    """op_events_forecast_naive on constructed hours: known day-over-day
+    deltas give exact MAE/bias; hours without a same-hour-yesterday base
+    are excluded from evaluation."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_events_forecast_naive
+
+    rows = []
+    eid = 0
+    # type A: day-1 hourly counts [2, 4]; day-2 same hours [5, 1]
+    # -> errors +3, -3: mae 3.0, bias 0.0, n_eval 2
+    for h, n in ((0, 2), (1, 4), (24, 5), (25, 1)):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-01 {h % 24:02d}:30:00" if h < 24
+                         else f"2024-01-02 {h - 24:02d}:30:00", 1, "A", 1.0, ""))
+            eid += 1
+    # type B: only day-1 -> no evaluable hour, absent from output
+    rows.append((eid, "2024-01-01 03:30:00", 2, "B", 1.0, ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_events", lambda s, d: ev
+    ):
+        out = {
+            r["event_type"]: r
+            for r in op_events_forecast_naive(spark, "unused").collect()
+        }
+    assert set(out) == {"A"}
+    assert out["A"]["n_eval"] == 2
+    assert out["A"]["mae"] == 3.0 and out["A"]["bias"] == 0.0
