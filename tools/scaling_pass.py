@@ -88,6 +88,13 @@ OPS = [
     "op_timeseries_seasonal_outlier",
     "op_timeseries_autocorr",
     "op_stream_trend",
+    # r10 additions over the scaled channel_data/events/lineitem tables
+    "op_sql_window_range",
+    "op_events_markov",
+    "op_orders_abc_analysis",
+    "op_quality_drift",
+    "op_timeseries_changepoint",
+    "op_events_forecast_naive",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
@@ -104,6 +111,7 @@ OPS = [
     "op_dedup_components",
     "op_dedup_cluster_keep",
     "op_corpus_split_safe",
+    "op_corpus_softdedup_weights",
     "op_text_stats",
     "op_text_quality",
     "op_text_scrub",
