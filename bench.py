@@ -146,6 +146,7 @@ HEADLINE = [
     "op_corpus_softdedup_weights",
     "op_timeseries_changepoint",
     "op_events_forecast_naive",
+    "op_embed_outliers",
 ]
 
 

@@ -330,3 +330,16 @@ def duckdb_l2_fold(a: str, b: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {diffsq}), "
         f"(__acc, __v) -> __acc + __v)"
     )
+
+
+def sqdist_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Squared L2 distance as a flat arithmetic expression: 0.0 + (a1-b1)^2
+    + ... in element order — the same op sequence as a sequential fold over
+    zip_with (so a DuckDB list_reduce oracle matches bit-for-bit), but
+    whole-stage-codegen'd (see :func:`dot_unrolled`: higher-order functions
+    are interpreted; measured ~5x on the 64-dim corpus for this kernel)."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = F.get(a, i).cast("double") - F.get(b, i).cast("double")
+        acc = acc + d * d
+    return acc

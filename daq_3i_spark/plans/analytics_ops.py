@@ -2820,3 +2820,139 @@ def op_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n.cast("double")
         ).alias("bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space outlier gate: far-from-own-centroid vectors
+# ---------------------------------------------------------------------------
+
+#: outlier gate width in σ: flagged when dist² − mean > _EMB_OUT_K·σ of
+#: the label's dist² population (one-sided — only the FAR tail is an outlier)
+_EMB_OUT_K = 2
+
+
+@register(
+    "op_embed_outliers",
+    f"""WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) * 1000000 AS DOUBLE) AS mean_v
+      FROM e GROUP BY label, dim
+    ),
+    carr AS (
+      SELECT label, list(mean_v ORDER BY dim) AS c FROM cent GROUP BY label
+    ),
+    d AS (
+      SELECT emb.vec_id, emb.label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                 __i -> (CAST(embedding[__i] AS DOUBLE) - c[__i])
+                        * (CAST(embedding[__i] AS DOUBLE) - c[__i]))),
+               (__acc, __v) -> __acc + __v) AS dist2
+      FROM embeddings emb JOIN carr ON emb.label = carr.label
+    ),
+    y AS (
+      SELECT vec_id, label, dist2,
+             CAST(FLOOR(dist2 * 1e3 + 0.5) AS BIGINT) AS yq
+      FROM d
+    ),
+    g AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(yq) AS BIGINT) AS BIGINT) AS s1,
+             CAST(CAST(SUM(yq * yq) AS BIGINT) AS BIGINT) AS s2
+      FROM y GROUP BY label
+    )
+    SELECT y.vec_id, y.label, y.dist2
+    FROM y JOIN g ON y.label = g.label
+    WHERE g.n > 1
+      AND g.n * y.yq - g.s1 > 0
+      AND (g.n * y.yq - g.s1) * (g.n * y.yq - g.s1)
+            > {_EMB_OUT_K * _EMB_OUT_K} * (g.n * g.s2 - g.s1 * g.s1)""",
+    doc="embedding-space outlier gate: flag vectors whose squared distance "
+    "to their OWN label centroid sits more than 2σ above the label's "
+    "mean squared distance (one-sided z-gate — in high dimension dist² "
+    "concentrates hard, so a σ-scaled gate fires on the true tail where "
+    "a mean-ratio gate never would) — the curation filter that catches "
+    "mislabeled / corrupt / off-distribution samples before training "
+    "(SemDeDup prunes duplicates; this prunes the opposite tail).  "
+    "Exactness end to end: centroids are op_embed_centroids' "
+    "fixed-point exact means; dist² is the UNROLLED sequential sum "
+    "over dimensions ((x−c)² accumulated in element order — correctly-"
+    "rounded ops in the same order are bit-identical cross-engine, and "
+    "the flat tree stays in whole-stage codegen where the zip_with "
+    "fold drops to interpreted eval, functions/vectors.py); the gate "
+    "is the division/sqrt-free z-test on milli-quantized dist² "
+    "(op_timeseries_seasonal_outlier's construction): "
+    "(n·y − s1)² > k²·(n·s2 − s1²), every side exact BIGINT.  "
+    "Envelope: the second moment needs n²·y² < 2^63 — ~3e6 vectors "
+    "per label at milli scale (ANSI raises past it); the documented "
+    "production swap is a coarser quantizer (1e2 buys 10x n) or "
+    "per-shard gates against broadcast global (s1, s2, n).  Plan: two "
+    "map-side "
+    "aggregates to label-dimension tables broadcast back (centroid "
+    "arrays assembled once, labels×64 rows); the distance scan is "
+    "shuffle-free codegen'd column math; the scored frame is cached "
+    "once (tracked lazy shared()) and consumed by the census and the "
+    "filter — zero data-sized shuffles anywhere",
+)
+def op_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.numeric import fx_unscaled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("dim0", "v")).select(
+        "label",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = (
+        e.groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(fx_unscaled(F.col("v"))).alias("sum_fx"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("sum_fx").cast("double")
+                / (F.col("n") * F.lit(1_000_000)).cast("double")
+            ).alias("mean_v"),
+        )
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("s"))
+        .select("label", F.transform("s", lambda r: r["mean_v"]).alias("c"))
+    )
+    from daq_3i_spark.functions.vectors import sqdist_unrolled
+
+    d = shared(
+        emb.join(F.broadcast(carr), "label").select(
+            "vec_id",
+            "label",
+            sqdist_unrolled(F.col("embedding"), F.col("c")).alias("dist2"),
+        )
+    )
+    y = d.withColumn("yq", fx_unscaled(F.col("dist2"), scale=1e3))
+    g = y.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yq").cast("bigint").alias("s1"),
+        F.sum(F.col("yq") * F.col("yq")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n") * F.col("yq") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        y.join(F.broadcast(g), "label")
+        .filter(
+            (F.col("n") > 1)
+            & (dev > 0)
+            & (dev * dev > _EMB_OUT_K * _EMB_OUT_K * var_n2)
+        )
+        .select("vec_id", "label", "dist2")
+    )

@@ -44,6 +44,7 @@ _BNL_ALLOWED = {
     "op_sql_q11_topvalue",
     "op_sql_q22_idle_rich",
     "op_text_bm25",
+    "op_orders_abc_analysis",  # one-row total-revenue broadcast
     # 16-row centroid table broadcast against the corpus for cell assignment
     # (the op_sim_ivf* shape):
     "op_dedup_semantic",
@@ -112,6 +113,7 @@ _BUILD_EXECUTES = {
     "op_dedup_components": "star-contraction loop iterates at build",
     "op_dedup_cluster_keep": "star-contraction loop iterates at build",
     "op_corpus_split_safe": "star-contraction loop iterates at build",
+    "op_corpus_softdedup_weights": "star-contraction loop iterates at build",
     # driver-side distributed training at build: one real k-means step
     # (assign + per-cluster mean aggregate, a full corpus pass) must run
     # before the returned plan exists — the trained centroids ship in the

@@ -610,3 +610,38 @@ def test_forecast_naive_exact_errors(spark):
     assert set(out) == {"A"}
     assert out["A"]["n_eval"] == 2
     assert out["A"]["mae"] == 3.0 and out["A"]["bias"] == 0.0
+
+
+def test_embed_outliers_planted(spark):
+    """op_embed_outliers on a constructed label population: a planted
+    far-from-centroid vector is flagged; the tight cluster around the
+    centroid is not; a 2-vector degenerate label yields no flags (each
+    member is exactly 1sigma from the midpoint, under the 2sigma gate)."""
+    from unittest import mock
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from daq_3i_spark.plans.analytics_ops import op_embed_outliers
+
+    dim = 64
+    rows = []
+    # label 1: 20 vectors jittered +-0.01 around a base point, one planted
+    # at +1.0 on every axis
+    for j in range(20):
+        base = [0.1 + (0.01 if j % 2 else -0.01)] * dim
+        rows.append((j, base, 1))
+    rows.append((99, [1.1] * dim, 1))
+    # label 2: two mirrored vectors — dev = 1sigma each, never 2sigma
+    rows.append((200, [0.0] * dim, 2))
+    rows.append((201, [0.5] * dim, 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_table",
+        lambda s, d, t: emb,
+    ):
+        out = op_embed_outliers(spark, "unused").collect()
+    assert {r["vec_id"] for r in out} == {99}
+    assert out[0]["label"] == 1 and out[0]["dist2"] > 50.0

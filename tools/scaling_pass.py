@@ -148,6 +148,7 @@ OPS = [
     # 10x corpus; an unrotated copy stacked identical populations and
     # measured the replication artifact instead of the plan)
     "op_sim_topk",
+    "op_embed_outliers",
     "op_sim_range_search",
     "op_sim_lsh_topk",
     "op_sim_ivf_topk",
