@@ -147,6 +147,7 @@ HEADLINE = [
     "op_timeseries_changepoint",
     "op_events_forecast_naive",
     "op_embed_outliers",
+    "op_stream_forecast_monitor",
 ]
 
 

@@ -2794,6 +2794,15 @@ def op_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").cast("bigint").alias("y"))
+    return _forecast_eval(c)
+
+
+def _forecast_eval(c: DataFrame) -> DataFrame:
+    """(event_type, h, y) hourly counts -> per-type MAE/bias of the
+    seasonal-naive forecast.  ONE definition, shared by the batch op and
+    op_stream_forecast_monitor's incrementally-maintained counts, so the
+    scoring tree cannot fork between them (their oracle is shared
+    verbatim — any drift is a hash mismatch)."""
     a, b = c.alias("a"), c.alias("b")
     ev_rows = a.join(
         b,

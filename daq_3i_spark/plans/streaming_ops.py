@@ -1459,3 +1459,53 @@ def op_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+# --- forecast-error monitor maintained across micro-batches -------------------
+
+
+@register(
+    "op_stream_forecast_monitor",
+    None,  # patched below: shares op_events_forecast_naive's oracle verbatim
+    doc="op_events_forecast_naive's seasonal-naive MAE/bias maintained "
+    "ACROSS MICRO-BATCHES: the event feed replays in 4 micro-batches; "
+    "each batch contributes its (event_type, hour) count partials, "
+    "merged into the versioned snapshot by addition (counts are the "
+    "canonical mergeable partial); the final snapshot feeds the SAME "
+    "scoring tree as the batch op (analytics_ops._forecast_eval — one "
+    "definition, shared).  The oracle is the batch op's verbatim, so "
+    "the 4-way incremental merge is hash-PROVEN equal to the "
+    "from-scratch evaluation — the monitoring loop a deployment runs "
+    "against live ingest without ever re-scanning history.  Scale "
+    "shape: per-batch partials are (type × hours-in-batch)-sized; the "
+    "snapshot grows with the calendar, not the data; scoring runs on "
+    "the dimension frame",
+)
+def op_stream_forecast_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.plans.analytics_ops import _forecast_eval
+    from daq_3i_spark.sources.tables import load_events
+
+    work = _workdir("op_stream_forecast_monitor")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count("*").cast("bigint").alias("y"))
+
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(part)
+            .groupBy("event_type", "h")
+            .agg(F.sum("y").cast("bigint").alias("y"))
+        )
+
+    s = _versioned_snapshot_replay(
+        spark, work, load_events(spark, sf_dir), "fcst", partial, merge
+    )
+    return _forecast_eval(s)
+
+
+QUERIES["op_stream_forecast_monitor"] = dataclasses.replace(
+    QUERIES["op_stream_forecast_monitor"],
+    oracle=QUERIES["op_events_forecast_naive"].oracle,
+)

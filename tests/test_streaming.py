@@ -682,3 +682,21 @@ def test_snapshot_refresh_replay_convergence(spark, sf_dir):
     assert run([0, 1, 1, 2], "snap_replay_b") == straight
     assert run([0, 0, 1, 2, 2], "snap_replay_c") == straight
     assert run([0, 1, 2, 2], "snap_replay_d") == straight
+
+
+def test_stream_forecast_monitor_equals_batch(spark, sf_dir):
+    """op_stream_forecast_monitor (4 incremental micro-batches merging
+    hourly-count partials) must reproduce op_events_forecast_naive's
+    from-scratch evaluation exactly — counts are integers and the scoring
+    tree is shared, so equality is ==, not approx."""
+    from daq_3i_spark.plans import QUERIES
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["op_stream_forecast_monitor"].spark(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["op_events_forecast_naive"].spark(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

@@ -95,6 +95,7 @@ OPS = [
     "op_quality_drift",
     "op_timeseries_changepoint",
     "op_events_forecast_naive",
+    "op_stream_forecast_monitor",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
