@@ -148,6 +148,8 @@ HEADLINE = [
     "op_events_forecast_naive",
     "op_embed_outliers",
     "op_stream_forecast_monitor",
+    "op_quality_profile",
+    "op_text_code_detect",
 ]
 
 

@@ -2965,3 +2965,71 @@ def op_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-column profiling census (the DESCRIBE/profile staple, exact)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _profile_oracle() -> str:
+    stats = ",\n             ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nn_{c},\n             "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_null,"
+        f" nd_{c} AS n_distinct FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"""WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {stats}
+      FROM events
+    )
+    {rows}"""
+
+
+@register(
+    "op_quality_profile",
+    _profile_oracle(),
+    doc="per-column profiling census over the event feed — the "
+    "DESCRIBE-at-scale staple every warehouse exposes (row count, null "
+    "count, EXACT distinct cardinality per column), unpivoted to one "
+    "row per column so downstream completeness monitors diff profiles "
+    "across loads.  All three statistics are exact integers — "
+    "hash-stable by construction.  Plan: ONE aggregate over the scan; "
+    "multiple exact DISTINCTs make Catalyst plan an Expand "
+    "(|columns|x row multiplication before partial aggregation) — "
+    "correct but deliberately the exact path; at 100 TB swap "
+    "count_distinct for approx_count_distinct (HLL++, mergeable, "
+    "error-bound-gated in op_sql_approx_sketches) and the Expand "
+    "disappears; the unpivot is a 1-row -> 6-row projection",
+)
+def op_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.isnull(c).cast("long")).cast("bigint").alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
+    s = ev.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return s.select(F.explode(per_col).alias("p")).select(
+        "p.column_name", "p.n_rows", "p.n_null", "p.n_distinct"
+    )

@@ -2564,3 +2564,91 @@ def op_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose detection (corpus routing for code-aware pipelines)
+# ---------------------------------------------------------------------------
+
+#: code-density gate in per-mille: is_code when signal chars exceed
+#: _CODE_DENSITY_PM per 1000 characters (integer cross-multiplication)
+_CODE_DENSITY_PM = 5
+
+
+def _occ_sql(pat: str, n: int) -> str:
+    """Occurrences of a literal in ``text`` via the replace-count identity
+    (replace is all-occurrences in both engines; no regex dialect risk)."""
+    lit = pat.replace("'", "''")
+    return f"(length(text) - length(replace(text, '{lit}', ''))) // {n}"
+
+
+@register(
+    "op_text_code_detect",
+    f"""WITH f AS (
+      SELECT doc_id, length(text) AS n_chars,
+             {_occ_sql('{', 1)} + {_occ_sql('}', 1)} AS n_braces,
+             {_occ_sql(';', 1)} AS n_semicolons,
+             {_occ_sql(chr(10) + '    ', 5)} AS n_indents,
+             {_occ_sql('==', 2)} AS n_eqeq
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(n_braces AS BIGINT) AS n_braces,
+           CAST(n_semicolons AS BIGINT) AS n_semicolons,
+           CAST(n_indents AS BIGINT) AS n_indents,
+           CAST(n_eqeq AS BIGINT) AS n_eqeq,
+           CAST(n_braces + n_semicolons + n_indents + n_eqeq AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS code_density,
+           (n_braces + n_semicolons + n_indents + n_eqeq) * 1000
+             >= n_chars * {_CODE_DENSITY_PM} AS is_code
+    FROM f WHERE n_chars > 0""",
+    doc="code-vs-prose routing signal: per-document counts of the four "
+    "strongest code markers (braces, semicolons, 4-space-indented line "
+    "starts, '==') via the replace-count identity — counting by "
+    "length(text) − length(replace(text, marker, '')) uses only "
+    "all-occurrence literal replace, so there is NO regex dialect to "
+    "reconcile between engines (the PII-scrub lesson).  is_code fires "
+    "when signal chars ≥ 5 per mille of the document, decided by "
+    "integer cross-multiplication; code_density is the one "
+    "correctly-rounded division.  A code-aware training pipeline "
+    "routes is_code docs to code-specific cleaning/tokenization "
+    "(the quality heuristics for prose — stopword ratios, sentence "
+    "shape — actively misjudge source code).  Plan: pure per-row "
+    "codegen projection over the scan, NO shuffle, NO join — the "
+    "cheapest possible operator shape at any corpus size",
+)
+def op_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+
+    def occ(pat: str) -> F.Column:
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(pat))))
+            / F.lit(len(pat))
+        ).cast("long")
+
+    f = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (occ("{") + occ("}")).alias("n_braces"),
+        occ(";").alias("n_semicolons"),
+        occ("\n    ").alias("n_indents"),
+        occ("==").alias("n_eqeq"),
+    )
+    signal = (
+        F.col("n_braces")
+        + F.col("n_semicolons")
+        + F.col("n_indents")
+        + F.col("n_eqeq")
+    )
+    return f.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.col("n_braces").cast("bigint").alias("n_braces"),
+        F.col("n_semicolons").cast("bigint").alias("n_semicolons"),
+        F.col("n_indents").cast("bigint").alias("n_indents"),
+        F.col("n_eqeq").cast("bigint").alias("n_eqeq"),
+        (signal.cast("double") / F.col("n_chars").cast("double")).alias(
+            "code_density"
+        ),
+        (signal * 1000 >= F.col("n_chars") * _CODE_DENSITY_PM).alias("is_code"),
+    )

@@ -645,3 +645,35 @@ def test_embed_outliers_planted(spark):
         out = op_embed_outliers(spark, "unused").collect()
     assert {r["vec_id"] for r in out} == {99}
     assert out[0]["label"] == 1 and out[0]["dist2"] > 50.0
+
+
+def test_quality_profile_constructed(spark):
+    """op_quality_profile on a constructed feed: exact null counts, exact
+    distinct counts (nulls excluded from DISTINCT per SQL), one row per
+    column, shared n_rows."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_quality_profile
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "A", 1.0, "x"),
+        (2, "2024-01-01 00:00:00", 10, "B", None, None),
+        (3, "2024-01-02 00:00:00", None, "A", 2.0, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_events", lambda s, d: ev
+    ):
+        out = {r["column_name"]: r for r in op_quality_profile(spark, "unused").collect()}
+    assert set(out) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["user_id"]["n_null"] == 1 and out["user_id"]["n_distinct"] == 1
+    assert out["value"]["n_null"] == 1 and out["value"]["n_distinct"] == 2
+    assert out["ts"]["n_null"] == 0 and out["ts"]["n_distinct"] == 2
+    assert out["props"]["n_distinct"] == 1

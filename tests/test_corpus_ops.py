@@ -322,3 +322,28 @@ def test_dsir_select_is_weight_proportional_subset(spark, sf_dir):
     # weight bias: the kept set's mean score exceeds the dropped set's
     dropped = [scored[d] for d in scored if d not in kept]
     assert sum(kept.values()) / len(kept) > sum(dropped) / len(dropped)
+
+
+def test_code_detect_constructed(spark):
+    """op_text_code_detect on constructed docs: a code snippet (braces,
+    semicolons, indentation) fires the gate, prose does not, and the
+    marker counts are exact."""
+    from unittest import mock
+
+    from daq_3i_spark.plans.extension_ops import op_text_code_detect
+
+    code = "int main() {\n    int x = 1;\n    if (x == 1) {\n    }\n}"
+    prose = "The quick brown fox jumps over the lazy dog. " * 4
+    docs = spark.createDataFrame(
+        [(1, code, "en", "web", len(code)), (2, prose, "en", "web", len(prose))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch(
+        "daq_3i_spark.plans.extension_ops.load_spread", lambda s, d, t: docs
+    ):
+        out = {r["doc_id"]: r for r in op_text_code_detect(spark, "unused").collect()}
+    c = out[1]
+    assert c["n_braces"] == 4 and c["n_semicolons"] == 1
+    assert c["n_indents"] == 3 and c["n_eqeq"] == 1
+    assert c["is_code"] and not out[2]["is_code"]
+    assert out[2]["n_braces"] == 0 and out[2]["code_density"] == 0.0

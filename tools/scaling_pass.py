@@ -96,6 +96,7 @@ OPS = [
     "op_timeseries_changepoint",
     "op_events_forecast_naive",
     "op_stream_forecast_monitor",
+    "op_quality_profile",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
     "op_dedup_exact",
@@ -113,6 +114,7 @@ OPS = [
     "op_dedup_cluster_keep",
     "op_corpus_split_safe",
     "op_corpus_softdedup_weights",
+    "op_text_code_detect",
     "op_text_stats",
     "op_text_quality",
     "op_text_scrub",
