@@ -145,9 +145,29 @@ def global_cumsum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`` as a
+    BIGINT column — see :func:`global_cumsum_and_total` (this is its thin
+    wrapper for callers that don't need the grand total)."""
+    out, _ = global_cumsum_and_total(df, value, order, alias, num_partitions)
+    return out
+
+
+def global_cumsum_and_total(
+    df: DataFrame,
+    value: Column,
+    order: list[Column],
+    alias: str = "cumsum",
+    num_partitions: int | None = None,
+    total_alias: str = "total",
+) -> tuple[DataFrame, DataFrame]:
+    """``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`` as a
     BIGINT column, computed with P-way parallelism — the running-total twin
     of :func:`global_row_number` (same scale killer: an unpartitioned window
-    cumsum funnels the world through one task).
+    cumsum funnels the world through one task).  Returns ``(df + alias,
+    one-row grand-total frame)`` — the total comes from the P-row
+    per-partition totals the pass already aggregates for its offsets, so
+    callers needing cumsum AND total (cumulative-share classifiers) don't
+    re-run the data pass for one number (the :func:`global_ntile`
+    precedent: its N rides the counts frame, never a second scan).
 
     Same two-level construction: range-partition on the (total) order, a
     per-partition running sum, plus the sum of all lower partitions' totals
@@ -158,7 +178,12 @@ def global_cumsum(
     shuffle already placed correctly.  ``value`` must already be integral
     (BIGINT fixed-point by this repo's conventions) so the partial sums are
     exact and order-insensitive; the int64 envelope is the caller's
-    (numpy cumsum wraps rather than raises past 2^63).
+    (numpy cumsum wraps rather than raises past 2^63).  NULL values
+    contribute 0 (coalesced before the pass — the fixed-point conventions
+    produce no NULL partials; without the coalesce, Arrow promotes the
+    batch to float64/NaN and poisons the rest of the partition).  The one
+    divergence from SQL window-SUM semantics: rows before the first
+    non-null read 0, not NULL.
     """
     import pyspark.sql.types as T
 
@@ -169,7 +194,7 @@ def global_cumsum(
     val = "__cs_val"
     local = f"__cs_local_{alias}"
     rp = shared(
-        df.withColumn(val, value.cast("long"))
+        df.withColumn(val, F.coalesce(value.cast("long"), F.lit(0)))
         .repartitionByRange(p, *order)
         .sortWithinPartitions(*order)
         .withColumn(_PID, F.spark_partition_id().cast("long"))
@@ -191,9 +216,11 @@ def global_cumsum(
             carried = int(c[-1]) if len(c) else carried
             yield pdf
 
-    return (
+    out = (
         rp.mapInPandas(running, out_schema)
         .join(F.broadcast(offsets), _PID)
         .withColumn(alias, (F.col(local) + F.col(_OFF)).cast("long"))
         .drop(_PID, _OFF, val, local)
     )
+    total = totals.agg(F.sum(_CNT).cast("long").alias(total_alias))
+    return out, total

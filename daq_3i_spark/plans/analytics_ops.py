@@ -2105,9 +2105,17 @@ def op_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate)",
 )
 def op_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _centroid_cells(emb)
+
+
+def _centroid_cells(emb: DataFrame) -> DataFrame:
+    """(label, dim, n, mean_v) exact fixed-point centroid cells — ONE
+    definition shared by op_embed_centroids and op_embed_outliers' centroid
+    arrays, so a quantizer/mean change cannot fork between them (the
+    _forecast_eval convention)."""
     from daq_3i_spark.functions.numeric import fx_unscaled
 
-    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label", F.posexplode("embedding").alias("dim0", "v")
     ).select(
@@ -2468,7 +2476,7 @@ def op_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.numeric import fx_unscaled
-    from daq_3i_spark.operators.ranks import global_cumsum
+    from daq_3i_spark.operators.ranks import global_cumsum_and_total
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
@@ -2478,10 +2486,16 @@ def op_orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev_fx")
     )
-    cum = global_cumsum(
-        rev, F.col("rev_fx"), [F.desc("rev_fx"), F.asc("p_partkey")], "cum_fx"
+    # the grand total rides the P-row per-partition totals the cumsum pass
+    # aggregates anyway — summing the cum frame instead would re-run the
+    # Arrow pass + offsets join over the whole parts dimension for 1 number
+    cum, total = global_cumsum_and_total(
+        rev,
+        F.col("rev_fx"),
+        [F.desc("rev_fx"), F.asc("p_partkey")],
+        "cum_fx",
+        total_alias="__total",
     )
-    total = cum.agg(F.sum("rev_fx").cast("long").alias("__total"))
     cls = (
         F.when(F.col("cum_fx") * 5 <= F.col("__total") * 4, "A")
         .when(F.col("cum_fx") * 20 <= F.col("__total") * 19, "B")
@@ -2790,11 +2804,17 @@ def op_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data volume; broadcastable at any corpus scale)",
 )
 def op_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
-    c = ev.groupBy(
+    return _forecast_eval(_hourly_counts(load_events(spark, sf_dir)))
+
+
+def _hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, h, y) hourly volumes — ONE bucketing definition shared
+    by the batch evaluation and op_stream_forecast_monitor's per-batch
+    partials (counts merge by addition, so the same tree per batch +
+    merge == the tree over the union)."""
+    return ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").cast("bigint").alias("y"))
-    return _forecast_eval(c)
 
 
 def _forecast_eval(c: DataFrame) -> DataFrame:
@@ -2914,26 +2934,7 @@ def op_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.numeric import fx_unscaled
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("label", F.posexplode("embedding").alias("dim0", "v")).select(
-        "label",
-        (F.col("dim0") + 1).cast("bigint").alias("dim"),
-        F.col("v").cast("double").alias("v"),
-    )
-    cent = (
-        e.groupBy("label", "dim")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum(fx_unscaled(F.col("v"))).alias("sum_fx"),
-        )
-        .select(
-            "label",
-            "dim",
-            (
-                F.col("sum_fx").cast("double")
-                / (F.col("n") * F.lit(1_000_000)).cast("double")
-            ).alias("mean_v"),
-        )
-    )
+    cent = _centroid_cells(emb).select("label", "dim", "mean_v")
     carr = (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("s"))

@@ -1482,15 +1482,13 @@ def op_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the dimension frame",
 )
 def op_stream_forecast_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.plans.analytics_ops import _forecast_eval
+    from daq_3i_spark.plans.analytics_ops import _forecast_eval, _hourly_counts
     from daq_3i_spark.sources.tables import load_events
 
     work = _workdir("op_stream_forecast_monitor")
 
     def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            "event_type", F.date_trunc("hour", "ts").alias("h")
-        ).agg(F.count("*").cast("bigint").alias("y"))
+        return _hourly_counts(df)
 
     def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
         return (

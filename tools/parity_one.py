@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__.strip().splitlines()[2])
+        return 2
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
@@ -24,6 +27,10 @@ def main() -> int:
     from daq_3i_spark.session import get_spark
     from tests.oracle_check import compare, run_oracle
 
+    if name not in QUERIES:
+        near = [n for n in QUERIES if name.lstrip("op_") in n]
+        print(f"unknown op {name!r}" + (f"; close: {near[:5]}" if near else ""))
+        return 2
     q = QUERIES[name]
     spark = get_spark("parity_one")
     t0 = time.monotonic()
