@@ -121,3 +121,21 @@ def test_global_cumsum_matches_window(spark, n, skew, parts):
         for r in df.withColumn("cs", F.sum("v").over(w).cast("long")).collect()
     }
     assert got == want
+
+
+def test_global_cumsum_null_values_contribute_zero(spark):
+    """NULL values must not poison the running sum (Arrow promotes an int64
+    batch with nulls to float64/NaN; un-coalesced, cumsum NaN-poisons the
+    rest of the partition and the carry crashes).  Contract: nulls
+    contribute 0."""
+    from daq_3i_spark.operators.ranks import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 1)],
+        "k long, v long",
+    )
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, F.col("v"), [F.asc("k")], "cs", 3).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 15, 4: 15, 5: 16}
