@@ -150,6 +150,7 @@ HEADLINE = [
     "op_stream_forecast_monitor",
     "op_quality_profile",
     "op_text_code_detect",
+    "op_sim_ivf_recall_eval",
 ]
 
 

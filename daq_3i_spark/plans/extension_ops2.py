@@ -1454,3 +1454,57 @@ def op_corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.coalesce(F.col("comp_size"), F.lit(1)).cast("double")
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measured in-engine: IVF recall vs the exact baseline
+# ---------------------------------------------------------------------------
+
+from daq_3i_spark.plans.extension_ops import _TOP_K as _RK  # noqa: E402
+from daq_3i_spark.plans.extension_ops import op_sim_topk  # noqa: E402
+from daq_3i_spark.plans.registry import QUERIES as _Q  # noqa: E402
+
+
+@register(
+    "op_sim_ivf_recall_eval",
+    f"""WITH exact AS ( {_Q['op_sim_topk'].oracle} ),
+    approx AS ( {_Q['op_sim_ivf_topk'].oracle} )
+    SELECT e.query_id,
+           CAST({_RK} AS BIGINT) AS k,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(a.vec_id) AS DOUBLE) / {_RK} AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id""",
+    doc="ANN quality measured IN-ENGINE: per-query recall@10 of the IVF "
+    "index against the exact brute-force baseline — the similarity-"
+    "family sibling of op_corpus_minhash_eval (LSH banding quality) and "
+    "the gate a vector pipeline runs before trusting its index: an "
+    "nprobe/centroid regression surfaces as a recall drop in a driver-"
+    "hashed column, not as silent retrieval decay.  Both sides are the "
+    "REGISTERED ops' own plans and oracles verbatim (composed, not "
+    "re-derived — a scoring change there flows here by construction); "
+    "hits are exact integers, recall is ONE division by the constant "
+    "k.  Plan: the exact and IVF pipelines each run once (the eval is "
+    "BY DESIGN the expensive exact pass — run it on a sampled query "
+    "set, as here with 8 probes); the final join + census aggregate "
+    "operate on (queries × k)-sized frames — parameter-sized at any "
+    "corpus scale",
+)
+def op_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = op_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = op_sim_ivf_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_RK).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(_RK)
+            ).alias("recall_at_k"),
+        )
+    )

@@ -447,3 +447,16 @@ def test_softdedup_weights_conserve_cluster_mass(spark, sf_dir):
     })
     total = sum(r["weight"] for r in rows)
     assert abs(total - n_units) < 1e-9
+
+
+def test_ivf_recall_eval_invariants(spark, sf_dir):
+    """op_sim_ivf_recall_eval: one row per query vector, hits bounded by k,
+    recall is exactly n_hits/k, and the probe-everything degenerate bound
+    holds (recall cannot exceed 1)."""
+    from daq_3i_spark.plans import QUERIES
+
+    rows = QUERIES["op_sim_ivf_recall_eval"].spark(spark, sf_dir).collect()
+    assert len(rows) == 8 and len({r["query_id"] for r in rows}) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"] == 10
+        assert r["recall_at_k"] == r["n_hits"] / 10

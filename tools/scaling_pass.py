@@ -152,6 +152,7 @@ OPS = [
     # measured the replication artifact instead of the plan)
     "op_sim_topk",
     "op_embed_outliers",
+    "op_sim_ivf_recall_eval",
     "op_sim_range_search",
     "op_sim_lsh_topk",
     "op_sim_ivf_topk",
