@@ -151,6 +151,8 @@ HEADLINE = [
     "op_quality_profile",
     "op_text_code_detect",
     "op_sim_ivf_recall_eval",
+    "op_events_srm",
+    "op_timeseries_gap_census",
 ]
 
 

@@ -3034,3 +3034,144 @@ def op_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(per_col).alias("p")).select(
         "p.column_name", "p.n_rows", "p.n_null", "p.n_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# experiment guardrail: sample-ratio mismatch (SRM) check
+# ---------------------------------------------------------------------------
+
+#: chi-square critical value at p=0.05, df=1, scaled by 1e4 (3.8415)
+_SRM_CHI2_X1E4 = 38415
+
+
+@register(
+    "op_events_srm",
+    f"""WITH v AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM v
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS chi2,
+           (n_a - n_b) * (n_a - n_b) * 10000
+             > {_SRM_CHI2_X1E4} * (n_a + n_b) AS srm_detected
+    FROM c""",
+    doc="sample-ratio-mismatch guardrail for the A/B surface: chi-square "
+    "test of the observed variant split against the designed 50/50 — THE "
+    "first validity check an experimentation platform runs, because a "
+    "skewed split (a bucketing bug, a bot filter hitting one arm) "
+    "invalidates op_events_ab_lift's read no matter how significant the "
+    "lift looks.  Same portable md5 user bucketing as ab_lift (one "
+    "convention, shared).  For an even split, chi² = (nA−nB)²/(nA+nB); "
+    "the detector fires by integer cross-multiplication against "
+    "3.8415·1e4 (p=0.05, df=1) — exact, no float threshold; chi² "
+    "itself is the one correctly-rounded division.  Envelope: "
+    "(nA−nB)²·1e4 < 2^63 needs |nA−nB| < ~9.6e6 — and a split THAT "
+    "broken fails eyeball inspection first; ANSI raises, not wraps.  "
+    "Plan: one distinct projection on user_id (the same exchange every "
+    "per-user op shares) + one scalar aggregate — output is ONE row",
+)
+def op_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(2),
+    )
+    v = ev.select(
+        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
+    ).distinct()
+    c = v.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    tot = F.col("n_a") + F.col("n_b")
+    return c.select(
+        "n_a",
+        "n_b",
+        (diff2.cast("double") / tot.cast("double")).alias("chi2"),
+        (diff2 * 10000 > _SRM_CHI2_X1E4 * tot).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# acquisition gap census: where did the feed lose data?
+# ---------------------------------------------------------------------------
+
+#: gap threshold in micros: an inter-sample interval above this counts as
+#: an acquisition gap (1 hour — far above any sane polling cadence)
+_GAP_US = 3_600_000_000
+
+
+def _gap_census_oracle() -> str:
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    d AS (
+      SELECT channel_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY channel_id ORDER BY ts, id) AS delta_us
+      FROM channel_data
+    )
+    SELECT channel_id,
+           CAST(count(delta_us) AS BIGINT) AS n_intervals,
+           CAST(sum(CASE WHEN delta_us > {_GAP_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN delta_us > {_GAP_US} THEN delta_us END)
+                AS BIGINT) AS max_gap_us,
+           CAST(CAST(sum(CASE WHEN delta_us > {_GAP_US} THEN delta_us
+                         ELSE 0 END) AS BIGINT) AS BIGINT) AS gap_us_total
+    FROM d
+    WHERE delta_us IS NOT NULL
+    GROUP BY channel_id"""
+
+
+@register(
+    "op_timeseries_gap_census",
+    _gap_census_oracle(),
+    doc="acquisition-gap census per channel: count/max/total of "
+    "inter-sample intervals exceeding 1 hour — 'where did the feed lose "
+    "data?', the first question against an acquisition daemon (the "
+    "reference's whole job is not losing samples; this op measures it; "
+    "op_timeseries_interpolate/locf FILL gaps, this one REPORTS them "
+    "for the pipeline's SLA dashboard).  All statistics are exact "
+    "BIGINT micros from timestamp differences.  max_gap_us is NULL for "
+    "channels with no gap (both engines agree: MAX over an empty CASE "
+    "set).  Plan: ONE shuffle on channel_id shared by the lag window "
+    "and the census aggregate; output is channel-dimension-sized",
+)
+def op_timeseries_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    cd = channel_data_df(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("ts", "id")
+    d = cd.select(
+        "channel_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "delta_us"
+        ),
+    ).filter(F.col("delta_us").isNotNull())
+    is_gap = F.col("delta_us") > _GAP_US
+    return d.groupBy("channel_id").agg(
+        F.count("delta_us").cast("bigint").alias("n_intervals"),
+        F.sum(F.when(is_gap, 1).otherwise(0)).cast("bigint").alias("n_gaps"),
+        F.max(F.when(is_gap, F.col("delta_us"))).cast("bigint").alias("max_gap_us"),
+        F.sum(F.when(is_gap, F.col("delta_us")).otherwise(0))
+        .cast("bigint")
+        .alias("gap_us_total"),
+    )

@@ -419,3 +419,41 @@ def test_changepoint_finds_planted_step(spark):
     assert out[1]["split_after"] == 10 and out[1]["mean_shift"] == 4.0
     assert out[2]["split_after"] == 1 and out[2]["mean_shift"] == 10.0
     assert out[1]["n_samples"] == 20
+
+
+def test_gap_census_constructed(spark):
+    """op_timeseries_gap_census on constructed feeds: a planted 2h hole is
+    counted once with the exact width; a gap-free channel reports zero
+    gaps and NULL max; a single-sample channel (no intervals) is absent."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_timeseries_gap_census
+
+    rows = []
+    # channel 1: minutely samples, one 2-hour hole between 10:05 and 12:05
+    for i, t in enumerate(
+        ["10:00", "10:01", "10:02", "10:03", "10:04", "10:05", "12:05", "12:06"]
+    ):
+        rows.append((i, 1, f"2024-01-01 {t}:00", 1.0))
+    # channel 2: three samples, one minute apart — no gaps
+    for i, t in enumerate(["09:00", "09:01", "09:02"]):
+        rows.append((100 + i, 2, f"2024-01-01 {t}:00", 1.0))
+    # channel 3: single sample
+    rows.append((200, 3, "2024-01-01 08:00:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: df
+    ):
+        out = {
+            r["channel_id"]: r
+            for r in op_timeseries_gap_census(spark, "unused").collect()
+        }
+    assert set(out) == {1, 2}
+    assert out[1]["n_intervals"] == 7 and out[1]["n_gaps"] == 1
+    assert out[1]["max_gap_us"] == 7_200_000_000
+    assert out[1]["gap_us_total"] == 7_200_000_000
+    assert out[2]["n_gaps"] == 0 and out[2]["max_gap_us"] is None

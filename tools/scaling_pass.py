@@ -94,6 +94,8 @@ OPS = [
     "op_orders_abc_analysis",
     "op_quality_drift",
     "op_timeseries_changepoint",
+    "op_timeseries_gap_census",
+    "op_events_srm",
     "op_events_forecast_naive",
     "op_stream_forecast_monitor",
     "op_quality_profile",
