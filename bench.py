@@ -153,6 +153,7 @@ HEADLINE = [
     "op_sim_ivf_recall_eval",
     "op_events_srm",
     "op_timeseries_gap_census",
+    "op_graph_triangles",
 ]
 
 

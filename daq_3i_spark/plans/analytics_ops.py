@@ -3175,3 +3175,75 @@ def op_timeseries_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_us_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_graph_triangles",
+    """WITH bp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM bp a JOIN bp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node""",
+    doc="triangle counting on the part co-purchase graph — the clustering "
+    "primitive behind community detection and recommendation diversity "
+    "(PageRank ranks influence, components find groups; triangles "
+    "measure cohesion): per part, in how many closed part-triples does "
+    "it co-occur?  Edges are DISTINCT same-basket pairs with src < dst; "
+    "each triangle {x<y<z} is enumerated exactly once as "
+    "(x,y)+(y,z)+(x,z), so counts are exact integers with no "
+    "de-duplication epsilon.  Plan: basket pair generation is the "
+    "market-basket generator (work Σ basket², never all-parts); the "
+    "edge list is built once and lazily cached (tracked shared()) for "
+    "its THREE join consumers; the triangle enumeration is two shuffle "
+    "equi-joins on edge endpoints — the standard distributed algorithm "
+    "(compact-forward).  At real scale the id orientation is swapped "
+    "for DEGREE orientation (low-degree node first) which bounds "
+    "per-key join fan-out by the arboricity instead of the max degree "
+    "— same output, documented swap; the final explode+count is "
+    "3 rows per triangle into a part-dimension aggregate",
+)
+def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = bp.alias("a"), bp.alias("b")
+    e = shared(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(
+                "p_partkey"
+            )
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

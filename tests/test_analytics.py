@@ -677,3 +677,34 @@ def test_quality_profile_constructed(spark):
     assert out["value"]["n_null"] == 1 and out["value"]["n_distinct"] == 2
     assert out["ts"]["n_null"] == 0 and out["ts"]["n_distinct"] == 2
     assert out["props"]["n_distinct"] == 1
+
+
+def test_triangles_constructed_graph(spark):
+    """op_graph_triangles on a hand-built graph: K4 in one basket gives
+    every member C(3,2)=3 triangles; a path (no closure) gives none; a
+    triangle spread across TWO baskets still closes (edges dedup across
+    baskets)."""
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_graph_triangles
+
+    rows = []
+    # basket 1: parts 1,2,3,4 (K4 -> 4 triangles, each node in 3)
+    for p in (1, 2, 3, 4):
+        rows.append((100, p))
+    # baskets 2+3: edges (10,11),(11,12) then (10,12) -> one triangle
+    for o, pair in ((200, (10, 11)), (201, (11, 12)), (202, (10, 12))):
+        rows.append((o, pair[0]))
+        rows.append((o, pair[1]))
+    # basket 4: a path 20-21, 21-22 only -> no triangle
+    rows.append((300, 20))
+    rows.append((300, 21))
+    rows.append((301, 21))
+    rows.append((301, 22))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_table", lambda s, d, t: li
+    ):
+        out = {r["p_partkey"]: r["n_triangles"] for r in op_graph_triangles(spark, "unused").collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
