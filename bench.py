@@ -154,6 +154,7 @@ HEADLINE = [
     "op_events_srm",
     "op_timeseries_gap_census",
     "op_graph_triangles",
+    "op_events_funnel_time",
 ]
 
 

@@ -3247,3 +3247,76 @@ def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion latency: how long from signup to first purchase?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_events_funnel_time",
+    """WITH s AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, s.t0, min(e.ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT epoch_us(t1) - epoch_us(t0) AS lat_us FROM c)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signups,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(lat_us, 0.25) AS p25_us,
+           quantile_cont(lat_us, 0.50) AS p50_us,
+           quantile_cont(lat_us, 0.75) AS p75_us
+    FROM l""",
+    doc="conversion-latency distribution: exact p25/p50/p75 of the time "
+    "from a user's FIRST signup to their first purchase at/after it — "
+    "the 'how long does the funnel take' companion to "
+    "op_events_funnel's 'how many convert' (a step that converts "
+    "everyone after 60 days and one that converts half in an hour need "
+    "different product responses; counts alone can't tell them apart).  "
+    "Latencies are exact BIGINT micros; both engines use exact "
+    "linear-interpolation percentiles over them (the op_sql_quantiles "
+    "portability precedent) — bit-identical.  Plan: one signup "
+    "aggregate to the user DIMENSION (lazily cached for its two "
+    "consumers), one semi-shaped join + min aggregate for first "
+    "conversions, then a single-row percentile aggregate; the exact "
+    "percentile is the deliberate exact path — the 100 TB swap is the "
+    "mergeable t-digest gated in op_sql_approx_sketches",
+)
+def op_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    s = shared(
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        p.join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lat = conv.select(
+        (F.unix_micros("t1") - F.unix_micros("t0")).alias("lat_us")
+    )
+    pct = F.expr("percentile(lat_us, array(0.25, 0.5, 0.75))")
+    n_signups = s.agg(F.count("*").cast("bigint").alias("n_signups"))
+    return (
+        lat.agg(
+            F.count("*").cast("bigint").alias("n_converted"), pct.alias("__p")
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            "n_signups",
+            "n_converted",
+            F.get("__p", 0).alias("p25_us"),
+            F.get("__p", 1).alias("p50_us"),
+            F.get("__p", 2).alias("p75_us"),
+        )
+    )

@@ -708,3 +708,41 @@ def test_triangles_constructed_graph(spark):
     ):
         out = {r["p_partkey"]: r["n_triangles"] for r in op_graph_triangles(spark, "unused").collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_funnel_time_constructed(spark):
+    """op_events_funnel_time on constructed journeys: latency measured
+    from the FIRST signup to the first purchase at/after it;
+    pre-signup purchases don't count; never-converting signups appear in
+    n_signups only; exact interpolated quartiles over the two latencies."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_events_funnel_time
+
+    rows = [
+        # user 1: signup 10:00, purchases 11:00 (+3600s) and 12:00 (first wins)
+        (1, "2024-01-01 10:00:00", 1, "signup"),
+        (2, "2024-01-01 11:00:00", 1, "purchase"),
+        (3, "2024-01-01 12:00:00", 1, "purchase"),
+        # user 2: purchase BEFORE signup (ignored), then +7200s after
+        (4, "2024-01-01 08:00:00", 2, "purchase"),
+        (5, "2024-01-01 09:00:00", 2, "signup"),
+        (6, "2024-01-01 11:00:00", 2, "purchase"),
+        # user 3: signup only — counted in n_signups, no latency row
+        (7, "2024-01-01 07:00:00", 3, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "value", F.lit(1.0)
+    ).withColumn("props", F.lit(""))
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_events", lambda s, d: ev
+    ):
+        out = op_events_funnel_time(spark, "unused").collect()[0]
+    assert out["n_signups"] == 3 and out["n_converted"] == 2
+    # latencies: [3600e6, 7200e6] -> p25/p50/p75 by linear interpolation
+    assert out["p50_us"] == 5400e6
+    assert out["p25_us"] == 4500e6 and out["p75_us"] == 6300e6

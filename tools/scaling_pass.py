@@ -97,6 +97,7 @@ OPS = [
     "op_timeseries_gap_census",
     "op_events_srm",
     "op_graph_triangles",
+    "op_events_funnel_time",
     "op_events_forecast_naive",
     "op_stream_forecast_monitor",
     "op_quality_profile",
