@@ -45,6 +45,7 @@ _BNL_ALLOWED = {
     "op_sql_q22_idle_rich",
     "op_text_bm25",
     "op_orders_abc_analysis",  # one-row total-revenue broadcast
+    "op_events_funnel_time",  # one-row signup-count broadcast
     # 16-row centroid table broadcast against the corpus for cell assignment
     # (the op_sim_ivf* shape):
     "op_dedup_semantic",

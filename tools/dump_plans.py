@@ -59,6 +59,10 @@ REPRESENTATIVES = [
     ("op_events_concurrency", "two-level prefix sum: day rollup + tiny carry window + per-day partitioned running sums"),
     ("op_dedup_containment", "(lang, shingle) posting self-join with min-size denominator — the subset-duplication lens"),
     ("op_corpus_dsir_select", "shared scored sub-plan (InMemoryRelation) feeding the one-row max broadcast + codegen filter"),
+    ("op_sql_window_range", "ORDER-VALUE range frame: one channel exchange, one Window serving both frame aggregates"),
+    ("op_orders_abc_analysis", "global_cumsum: cached range exchange -> partition-local Arrow cumsum + P-row offsets broadcast, no single-partition window"),
+    ("op_embed_outliers", "labels x 64 centroid arrays broadcast + unrolled codegen dist^2 + integer z-gate, zero data-sized shuffles"),
+    ("op_graph_triangles", "cached edge list feeding three equi-join consumers, compact-forward orientation"),
 ]
 
 
