@@ -155,6 +155,8 @@ HEADLINE = [
     "op_timeseries_gap_census",
     "op_graph_triangles",
     "op_events_funnel_time",
+    "op_sim_centroid_drift",
+    "op_corpus_curriculum",
 ]
 
 

@@ -2141,6 +2141,21 @@ def _centroid_cells(emb: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_arrays(cells: DataFrame) -> DataFrame:
+    """(label, n, c[64]) centroid arrays assembled from _centroid_cells —
+    dims sorted ascending so element order (and therefore every unrolled
+    distance over them) is deterministic.  Shared by op_embed_outliers and
+    op_sim_centroid_drift."""
+    return (
+        cells.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("s"),
+        )
+        .select("label", "n", F.transform("s", lambda r: r["mean_v"]).alias("c"))
+    )
+
+
 # --- DAU / WAU / stickiness ----------------------------------------------------
 
 
@@ -2934,12 +2949,7 @@ def op_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.numeric import fx_unscaled
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _centroid_cells(emb).select("label", "dim", "mean_v")
-    carr = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("s"))
-        .select("label", F.transform("s", lambda r: r["mean_v"]).alias("c"))
-    )
+    carr = _centroid_arrays(_centroid_cells(emb)).select("label", "c")
     from daq_3i_spark.functions.vectors import sqdist_unrolled
 
     d = shared(
@@ -3318,5 +3328,66 @@ def op_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get("__p", 0).alias("p25_us"),
             F.get("__p", 1).alias("p50_us"),
             F.get("__p", 2).alias("p75_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# centroid drift: is the vector index's training snapshot stale?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_sim_centroid_drift",
+    """WITH e AS (
+      SELECT label, vec_id % 2 AS half, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) * 1000000 AS DOUBLE) AS mean_v
+      FROM e GROUP BY 1, 2, 3
+    ),
+    carr AS (
+      SELECT label, half, max(n) AS n, list(mean_v ORDER BY dim) AS c
+      FROM cent GROUP BY 1, 2
+    )
+    SELECT a.label, CAST(a.n AS BIGINT) AS n_even, CAST(b.n AS BIGINT) AS n_odd,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, len(a.c)),
+               __i -> (a.c[__i] - b.c[__i]) * (a.c[__i] - b.c[__i]))),
+             (__x, __y) -> __x + __y) AS drift2
+    FROM carr a JOIN carr b ON a.label = b.label AND a.half = 0 AND b.half = 1""",
+    doc="centroid drift per label between the two deterministic halves of "
+    "the corpus (vec_id parity): squared L2 distance between each half's "
+    "exact fixed-point centroid — the 'retrain the index?' monitor for "
+    "the vector surface (IVF/PQ cells trained on a stale snapshot "
+    "degrade recall silently; op_sim_ivf_recall_eval measures the "
+    "damage, this op predicts it from distribution movement, the "
+    "embedding-space twin of op_quality_drift).  Exactness: per-half "
+    "centroids are _centroid_cells' fixed-point means (the shared "
+    "definition); drift² is the element-order unrolled sum — "
+    "bit-identical cross-engine.  Plan: ONE map-side aggregate to "
+    "(label × half × 64) cells, two label-dimension array assemblies, "
+    "one 10-row join — zero data-sized shuffles",
+)
+def op_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.vectors import sqdist_unrolled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    a = _centroid_arrays(_centroid_cells(emb.filter(half == 0)))
+    b = _centroid_arrays(_centroid_cells(emb.filter(half == 1)))
+    return (
+        a.alias("a")
+        .join(b.alias("b"), "label")
+        .select(
+            "label",
+            F.col("a.n").alias("n_even"),
+            F.col("b.n").alias("n_odd"),
+            sqdist_unrolled(F.col("a.c"), F.col("b.c")).alias("drift2"),
         )
     )

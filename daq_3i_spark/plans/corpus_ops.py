@@ -1119,3 +1119,36 @@ def op_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_feats", "dsir_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum staging: order the corpus by difficulty for staged training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_corpus_curriculum",
+    """SELECT doc_id, n_chars,
+           CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage
+    FROM documents""",
+    doc="curriculum staging: every document assigned to one of 4 stages by "
+    "length rank (short -> long, the classic sequence-length curriculum; "
+    "swap the order column for a quality or LM score to get "
+    "quality-staged training) with EXACT SQL ntile semantics over a "
+    "total (n_chars, doc_id) order — reproducible across runs and "
+    "cluster sizes where a sampled sort is not.  Plan: "
+    "operators/ranks.py global_ntile — range repartition + per-"
+    "partition rank + P-row offsets broadcast, never the "
+    "single-partition global window (the op_events_rfm/op_text_vocab "
+    "machinery, window-equivalence pinned in tests/test_ranks.py); at "
+    "1e10 documents the stage assignment is still one data-sized "
+    "range shuffle",
+)
+def op_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.ranks import global_ntile
+
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = global_ntile(docs, 4, [F.asc("n_chars"), F.asc("doc_id")], "stage")
+    return staged.select(
+        "doc_id", "n_chars", F.col("stage").cast("bigint").alias("stage")
+    )

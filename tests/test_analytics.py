@@ -746,3 +746,38 @@ def test_funnel_time_constructed(spark):
     # latencies: [3600e6, 7200e6] -> p25/p50/p75 by linear interpolation
     assert out["p50_us"] == 5400e6
     assert out["p25_us"] == 4500e6 and out["p75_us"] == 6300e6
+
+
+def test_centroid_drift_constructed(spark):
+    """op_sim_centroid_drift on constructed halves: identical half
+    populations drift exactly 0; a planted unit offset on one axis drifts
+    exactly 1; labels missing a half are absent (inner join)."""
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_sim_centroid_drift
+
+    dim = 64
+    rows = []
+    # label 1: even and odd halves identical -> drift2 == 0
+    for i in range(8):
+        rows.append((i, [0.25] * dim, 1))
+    # label 2: odd half shifted +1.0 on axis 0 only -> drift2 == 1.0
+    for i in range(100, 108):
+        v = [0.5] * dim
+        if i % 2 == 1:
+            v = [1.5] + [0.5] * (dim - 1)
+        rows.append((i, v, 2))
+    # label 3: only even vec_ids -> no odd half, absent
+    rows.append((200, [0.1] * dim, 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_table", lambda s, d, t: emb
+    ):
+        out = {r["label"]: r for r in op_sim_centroid_drift(spark, "unused").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["drift2"] == 0.0
+    assert out[2]["drift2"] == 1.0
+    assert out[2]["n_even"] == 4 and out[2]["n_odd"] == 4

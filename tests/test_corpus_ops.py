@@ -347,3 +347,29 @@ def test_code_detect_constructed(spark):
     assert c["n_indents"] == 3 and c["n_eqeq"] == 1
     assert c["is_code"] and not out[2]["is_code"]
     assert out[2]["n_braces"] == 0 and out[2]["code_density"] == 0.0
+
+
+def test_curriculum_stages_are_length_ordered(spark, sf_dir):
+    """op_corpus_curriculum invariants: every doc staged exactly once,
+    stages 1..4 with exact-ntile sizes (first N%4 stages get the extra
+    doc), and stage boundaries are length-monotone (max length of stage k
+    <= min length of stage k+1 up to the doc_id tie-break)."""
+    from daq_3i_spark.plans import QUERIES
+
+    rows = QUERIES["op_corpus_curriculum"].spark(spark, sf_dir).collect()
+    n = len(rows)
+    assert len({r["doc_id"] for r in rows}) == n
+    sizes = {}
+    bounds = {}
+    for r in rows:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+        lo, hi = bounds.get(r["stage"], (None, None))
+        key = (r["n_chars"], r["doc_id"])
+        bounds[r["stage"]] = (
+            key if lo is None or key < lo else lo,
+            key if hi is None or key > hi else hi,
+        )
+    q, rem = divmod(n, 4)
+    assert sizes == {k: q + (1 if k <= rem else 0) for k in (1, 2, 3, 4)}
+    for k in (1, 2, 3):
+        assert bounds[k][1] < bounds[k + 1][0]

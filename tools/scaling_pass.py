@@ -98,6 +98,7 @@ OPS = [
     "op_events_srm",
     "op_graph_triangles",
     "op_events_funnel_time",
+    "op_sim_centroid_drift",
     "op_events_forecast_naive",
     "op_stream_forecast_monitor",
     "op_quality_profile",
@@ -119,6 +120,7 @@ OPS = [
     "op_corpus_split_safe",
     "op_corpus_softdedup_weights",
     "op_text_code_detect",
+    "op_corpus_curriculum",
     "op_text_stats",
     "op_text_quality",
     "op_text_scrub",
