@@ -157,6 +157,7 @@ HEADLINE = [
     "op_events_funnel_time",
     "op_sim_centroid_drift",
     "op_corpus_curriculum",
+    "op_events_ab_ci",
 ]
 
 

@@ -3391,3 +3391,117 @@ def op_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             sqdist_unrolled(F.col("a.c"), F.col("b.c")).alias("drift2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B lift significance: Wald confidence interval on the rate difference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_events_ab_ci",
+    """WITH v AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ), c AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT v.variant,
+             CAST(count(*) AS BIGINT) AS users,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converters
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+      GROUP BY v.variant
+    ), w AS (
+      SELECT a.users AS users_a, a.converters AS conv_a,
+             b.users AS users_b, b.converters AS conv_b,
+             CAST(a.converters AS DOUBLE) / CAST(a.users AS DOUBLE) AS pa,
+             CAST(b.converters AS DOUBLE) / CAST(b.users AS DOUBLE) AS pb
+      FROM (SELECT * FROM agg WHERE variant = 'A') a,
+           (SELECT * FROM agg WHERE variant = 'B') b
+    ), m AS (
+      SELECT *, pb - pa AS diff,
+             1.96 * sqrt(pa * (1.0 - pa) / CAST(users_a AS DOUBLE)
+                         + pb * (1.0 - pb) / CAST(users_b AS DOUBLE))
+               AS margin
+      FROM w
+    )
+    SELECT users_a, conv_a, users_b, conv_b, diff,
+           diff - margin AS ci_lo, diff + margin AS ci_hi,
+           (diff - margin > 0.0) OR (diff + margin < 0.0) AS significant
+    FROM m""",
+    doc="significance companion to op_events_ab_lift: the 95% Wald "
+    "confidence interval on the absolute conversion-rate difference "
+    "pB − pA, with a significant flag when the interval excludes zero "
+    "— the read an experimentation stack actually ships (a lift number "
+    "without its interval invites shipping noise; op_events_srm gates "
+    "the split's validity, this gates the effect's).  Portability: "
+    "counts are exact integers from the SAME md5 assignment as "
+    "ab_lift; pa/pb/diff/margin are a fixed tree of correctly-rounded "
+    "doubles (division, multiply, sqrt — the blessed primitive set; "
+    "1.96 parses to the identical double in both engines), so the "
+    "bounds and the boolean are bit-identical.  Plan: identical "
+    "2-row aggregate core as ab_lift; everything after is single-row "
+    "arithmetic",
+)
+def op_events_ab_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(2),
+    )
+    v = ev.select(
+        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
+    ).distinct()
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    agg = (
+        v.join(c, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("users"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0)))
+            .cast("bigint")
+            .alias("converters"),
+        )
+    )
+    a = agg.filter(F.col("variant") == "A").alias("a")
+    b = agg.filter(F.col("variant") == "B").alias("b")
+    w = a.crossJoin(b).select(
+        F.col("a.users").alias("users_a"),
+        F.col("a.converters").alias("conv_a"),
+        F.col("b.users").alias("users_b"),
+        F.col("b.converters").alias("conv_b"),
+        (F.col("a.converters").cast("double") / F.col("a.users").cast("double")).alias("pa"),
+        (F.col("b.converters").cast("double") / F.col("b.users").cast("double")).alias("pb"),
+    )
+    diff = F.col("pb") - F.col("pa")
+    margin = F.lit(1.96) * F.sqrt(
+        F.col("pa") * (F.lit(1.0) - F.col("pa")) / F.col("users_a").cast("double")
+        + F.col("pb") * (F.lit(1.0) - F.col("pb")) / F.col("users_b").cast("double")
+    )
+    m = w.select(
+        "users_a", "conv_a", "users_b", "conv_b",
+        diff.alias("diff"), margin.alias("margin"),
+    )
+    return m.select(
+        "users_a",
+        "conv_a",
+        "users_b",
+        "conv_b",
+        "diff",
+        (F.col("diff") - F.col("margin")).alias("ci_lo"),
+        (F.col("diff") + F.col("margin")).alias("ci_hi"),
+        (
+            (F.col("diff") - F.col("margin") > 0.0)
+            | (F.col("diff") + F.col("margin") < 0.0)
+        ).alias("significant"),
+    )

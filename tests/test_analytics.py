@@ -781,3 +781,50 @@ def test_centroid_drift_constructed(spark):
     assert out[1]["drift2"] == 0.0
     assert out[2]["drift2"] == 1.0
     assert out[2]["n_even"] == 4 and out[2]["n_odd"] == 4
+
+
+def test_ab_ci_constructed(spark):
+    """op_events_ab_ci on constructed variants: a huge real effect is
+    significant with the exact Wald bounds; identical rates are not."""
+    import math
+    from unittest import mock
+
+    import pyspark.sql.functions as F
+
+    from daq_3i_spark.plans.analytics_ops import op_events_ab_ci
+
+    # md5-bucket parity of user ids is fixed; discover each id's variant by
+    # replicating the assignment, then plant conversion rates 0.2 vs 0.8
+    rows, eid = [], 0
+    import hashlib
+
+    def variant(uid: int) -> str:
+        return "A" if int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2 == 0 else "B"
+
+    a_ids = [u for u in range(1000) if variant(u) == "A"][:100]
+    b_ids = [u for u in range(1000) if variant(u) == "B"][:100]
+    for i, u in enumerate(a_ids):
+        rows.append((eid, "2024-01-01 10:00:00", u, "view")); eid += 1
+        if i < 20:  # 20% convert
+            rows.append((eid, "2024-01-01 11:00:00", u, "purchase")); eid += 1
+    for i, u in enumerate(b_ids):
+        rows.append((eid, "2024-01-01 10:00:00", u, "view")); eid += 1
+        if i < 80:  # 80% convert
+            rows.append((eid, "2024-01-01 11:00:00", u, "purchase")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "value", F.lit(1.0)
+    ).withColumn("props", F.lit(""))
+
+    with mock.patch(
+        "daq_3i_spark.plans.analytics_ops.load_events", lambda s, d: ev
+    ):
+        out = op_events_ab_ci(spark, "unused").collect()[0]
+    assert (out["users_a"], out["conv_a"]) == (100, 20)
+    assert (out["users_b"], out["conv_b"]) == (100, 80)
+    diff = 0.8 - 0.2  # IEEE: 0.6000000000000001, matching the engine's tree
+    assert out["diff"] == diff
+    margin = 1.96 * math.sqrt(0.2 * (1.0 - 0.2) / 100.0 + 0.8 * (1.0 - 0.8) / 100.0)
+    assert out["ci_lo"] == diff - margin and out["ci_hi"] == diff + margin
+    assert out["significant"]
