@@ -1331,15 +1331,20 @@ def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- deterministic A/B experiment analysis -----------------------------------
 
-
-@register(
-    "op_events_ab_lift",
-    """WITH v AS (
-      SELECT DISTINCT user_id,
+#: the ONE portable A/B assignment: md5-bucket of user_id, even -> 'A'.
+#: Shared verbatim by ab_lift / srm / ab_ci (srm gates ab_lift's split and
+#: ab_ci gates its effect — the three MUST agree on the assignment, so the
+#: expression lives in exactly one place per dialect).
+_AB_V_SQL = """SELECT DISTINCT user_id,
              CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
                             AS BIGINT) % 2 = 0
                   THEN 'A' ELSE 'B' END AS variant
-      FROM events
+      FROM events"""
+
+#: variant universe + converters + per-variant counts (the 2-row core of
+#: ab_lift and ab_ci) — embed as ``WITH {_AB_AGG_SQL}, more AS (...)``
+_AB_AGG_SQL = f"""v AS (
+      {_AB_V_SQL}
     ), c AS (
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
     ), agg AS (
@@ -1349,7 +1354,50 @@ def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS converters
       FROM v LEFT JOIN c ON v.user_id = c.user_id
       GROUP BY v.variant
-    ), r AS (
+    )"""
+
+
+def _ab_variants(ev: DataFrame) -> DataFrame:
+    """(user_id, variant) universe — the Spark twin of _AB_V_SQL."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(2),
+    )
+    return ev.select(
+        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
+    ).distinct()
+
+
+def _ab_counts(ev: DataFrame) -> DataFrame:
+    """2-row (variant, users, converters) frame — the Spark twin of
+    _AB_AGG_SQL's ``agg``, lazily cached: both consumers (the A and B
+    filters crossJoined to one row) otherwise re-run the events scan and
+    both distinct pipelines for a 2-row result."""
+    from daq_3i_spark.cache import shared as _shared
+
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    return _shared(
+        _ab_variants(ev)
+        .join(c, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("users"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0)))
+            .cast("bigint")
+            .alias("converters"),
+        )
+    )
+
+
+@register(
+    "op_events_ab_lift",
+    f"""WITH {_AB_AGG_SQL}, r AS (
       SELECT variant, users, converters,
              (converters * 1000000) // users AS rate_ppm
       FROM agg
@@ -1376,30 +1424,8 @@ def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(2),
-    )
-    v = ev.select(
-        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
-    ).distinct()
-    c = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id")
-        .distinct()
-        .withColumn("conv", F.lit(1))
-    )
-    agg = (
-        v.join(c, "user_id", "left")
-        .groupBy("variant")
-        .agg(
-            F.count("*").cast("bigint").alias("users"),
-            F.sum(F.coalesce(F.col("conv"), F.lit(0))).cast("bigint").alias(
-                "converters"
-            ),
-        )
-        .withColumn("rate_ppm", F.expr("(converters * 1000000) DIV users"))
+    agg = _ab_counts(ev).withColumn(
+        "rate_ppm", F.expr("(converters * 1000000) DIV users")
     )
     a = agg.filter(F.col("variant") == "A").alias("a")
     b = agg.filter(F.col("variant") == "B").alias("b")
@@ -2109,28 +2135,31 @@ def op_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroid_cells(emb)
 
 
-def _centroid_cells(emb: DataFrame) -> DataFrame:
-    """(label, dim, n, mean_v) exact fixed-point centroid cells — ONE
-    definition shared by op_embed_centroids and op_embed_outliers' centroid
-    arrays, so a quantizer/mean change cannot fork between them (the
+def _centroid_cells(emb: DataFrame, *extra_keys: str) -> DataFrame:
+    """(label, *extra_keys, dim, n, mean_v) exact fixed-point centroid
+    cells — ONE definition shared by op_embed_centroids, op_embed_outliers'
+    centroid arrays, and op_sim_centroid_drift (which passes its half
+    column as an extra grouping key so BOTH halves aggregate in one corpus
+    pass), so a quantizer/mean change cannot fork between them (the
     _forecast_eval convention)."""
     from daq_3i_spark.functions.numeric import fx_unscaled
 
+    keys = ["label", *extra_keys]
     e = emb.select(
-        "label", F.posexplode("embedding").alias("dim0", "v")
+        *keys, F.posexplode("embedding").alias("dim0", "v")
     ).select(
-        "label",
+        *keys,
         (F.col("dim0") + 1).cast("bigint").alias("dim"),
         F.col("v").cast("double").alias("v"),
     )
     return (
-        e.groupBy("label", "dim")
+        e.groupBy(*keys, "dim")
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.sum(fx_unscaled(F.col("v"))).alias("sum_fx"),
         )
         .select(
-            "label",
+            *keys,
             "dim",
             "n",
             (
@@ -3057,11 +3086,7 @@ _SRM_CHI2_X1E4 = 38415
 @register(
     "op_events_srm",
     f"""WITH v AS (
-      SELECT DISTINCT user_id,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 2 = 0
-                  THEN 'A' ELSE 'B' END AS variant
-      FROM events
+      {_AB_V_SQL}
     ),
     c AS (
       SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
@@ -3086,21 +3111,14 @@ _SRM_CHI2_X1E4 = 38415
     "the detector fires by integer cross-multiplication against "
     "3.8415·1e4 (p=0.05, df=1) — exact, no float threshold; chi² "
     "itself is the one correctly-rounded division.  Envelope: "
-    "(nA−nB)²·1e4 < 2^63 needs |nA−nB| < ~9.6e6 — and a split THAT "
+    "(nA−nB)²·1e4 < 2^63 needs |nA−nB| < ~3.0e7 — and a split THAT "
     "broken fails eyeball inspection first; ANSI raises, not wraps.  "
     "Plan: one distinct projection on user_id (the same exchange every "
     "per-user op shares) + one scalar aggregate — output is ONE row",
 )
 def op_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(2),
-    )
-    v = ev.select(
-        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
-    ).distinct()
+    v = _ab_variants(ev)
     c = v.agg(
         F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
         .cast("bigint")
@@ -3144,8 +3162,8 @@ def _gap_census_oracle() -> str:
                 AS BIGINT) AS n_gaps,
            CAST(max(CASE WHEN delta_us > {_GAP_US} THEN delta_us END)
                 AS BIGINT) AS max_gap_us,
-           CAST(CAST(sum(CASE WHEN delta_us > {_GAP_US} THEN delta_us
-                         ELSE 0 END) AS BIGINT) AS BIGINT) AS gap_us_total
+           CAST(sum(CASE WHEN delta_us > {_GAP_US} THEN delta_us
+                    ELSE 0 END) AS BIGINT) AS gap_us_total
     FROM d
     WHERE delta_us IS NOT NULL
     GROUP BY channel_id"""
@@ -3377,10 +3395,14 @@ def op_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import sqdist_unrolled
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    half = F.pmod(F.col("vec_id"), F.lit(2))
-    a = _centroid_arrays(_centroid_cells(emb.filter(half == 0)))
-    b = _centroid_arrays(_centroid_cells(emb.filter(half == 1)))
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "half", F.pmod(F.col("vec_id"), F.lit(2))
+    )
+    # ONE corpus pass: half rides the group key; the dimension-sized cells
+    # frame is cached for its two per-half array assemblies
+    cells = shared(_centroid_cells(emb, "half"))
+    a = _centroid_arrays(cells.filter(F.col("half") == 0).drop("half"))
+    b = _centroid_arrays(cells.filter(F.col("half") == 1).drop("half"))
     return (
         a.alias("a")
         .join(b.alias("b"), "label")
@@ -3400,22 +3422,7 @@ def op_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_events_ab_ci",
-    """WITH v AS (
-      SELECT DISTINCT user_id,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-                            AS BIGINT) % 2 = 0
-                  THEN 'A' ELSE 'B' END AS variant
-      FROM events
-    ), c AS (
-      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-    ), agg AS (
-      SELECT v.variant,
-             CAST(count(*) AS BIGINT) AS users,
-             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS converters
-      FROM v LEFT JOIN c ON v.user_id = c.user_id
-      GROUP BY v.variant
-    ), w AS (
+    f"""WITH {_AB_AGG_SQL}, w AS (
       SELECT a.users AS users_a, a.converters AS conv_a,
              b.users AS users_b, b.converters AS conv_b,
              CAST(a.converters AS DOUBLE) / CAST(a.users AS DOUBLE) AS pa,
@@ -3449,30 +3456,7 @@ def op_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_events_ab_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(2),
-    )
-    v = ev.select(
-        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
-    ).distinct()
-    c = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id")
-        .distinct()
-        .withColumn("conv", F.lit(1))
-    )
-    agg = (
-        v.join(c, "user_id", "left")
-        .groupBy("variant")
-        .agg(
-            F.count("*").cast("bigint").alias("users"),
-            F.sum(F.coalesce(F.col("conv"), F.lit(0)))
-            .cast("bigint")
-            .alias("converters"),
-        )
-    )
+    agg = _ab_counts(ev)
     a = agg.filter(F.col("variant") == "A").alias("a")
     b = agg.filter(F.col("variant") == "B").alias("b")
     w = a.crossJoin(b).select(
