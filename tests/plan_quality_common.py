@@ -69,6 +69,10 @@ _BNL_ALLOWED = {
     "op_graph_pagerank",
     # 1-row x 1-row variant pivot (the A-side and B-side aggregates):
     "op_events_ab_lift",
+    "op_events_ab_ci",
+    # one-row corpus-count aggregate broadcast into the distributed-ntile
+    # stage projection (operators/ranks.py global_ntile, the rfm shape):
+    "op_corpus_curriculum",
     # three one-row scalar count aggregates cross-joined to the result row:
     "op_corpus_minhash_eval",
     # one-row global-min aggregate broadcast over the 5-row language-count
