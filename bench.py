@@ -158,6 +158,7 @@ HEADLINE = [
     "op_sim_centroid_drift",
     "op_corpus_curriculum",
     "op_events_ab_ci",
+    "op_join_interval_overlap",
 ]
 
 

@@ -3489,3 +3489,128 @@ def op_events_ab_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("diff") + F.col("margin") < 0.0)
         ).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: which user sessions hit an acquisition outage?
+# ---------------------------------------------------------------------------
+
+#: hour-bucket width for the overlap blocking (micros)
+_OVL_H_US = 3_600_000_000
+
+
+def _overlap_oracle() -> str:
+    from daq_3i_spark.plans.extension_ops import _SESSION_GAP_S
+    from daq_3i_spark.sources.daq_dims import dims_cte_sql
+
+    return f"""WITH {dims_cte_sql()},
+    ses0 AS (
+      WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {_SESSION_GAP_S} * 1000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM o
+      )
+      SELECT user_id, session_id,
+             epoch_us(min(ts)) AS s0, epoch_us(max(ts)) AS s1
+      FROM s GROUP BY user_id, session_id
+    ),
+    ses AS (
+      SELECT CAST(user_id % 40 + 1 AS INTEGER) AS channel_id,
+             user_id, session_id, s0, s1
+      FROM ses0
+    ),
+    gaps AS (
+      SELECT channel_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY channel_id
+                                     ORDER BY ts, id) AS o0,
+             epoch_us(ts) AS o1
+      FROM channel_data
+    ),
+    outage AS (
+      SELECT channel_id, o0, o1 FROM gaps
+      WHERE o0 IS NOT NULL AND o1 - o0 > {_OVL_H_US}
+    )
+    SELECT s.channel_id, s.user_id, s.session_id,
+           s.s0 AS session_start_us, o.o0 AS outage_start_us,
+           least(s.s1, o.o1) - greatest(s.s0, o.o0) AS overlap_us
+    FROM ses s JOIN outage o
+      ON s.channel_id = o.channel_id AND s.s0 < o.o1 AND o.o0 < s.s1"""
+
+
+@register(
+    "op_join_interval_overlap",
+    _overlap_oracle(),
+    doc="interval-OVERLAP join (the missing sibling of op_range_join's "
+    "point-in-interval): user sessions joined to their channel's "
+    "acquisition outages wherever the two intervals overlap — 'which "
+    "sessions were running while the feed was dark?', the blast-radius "
+    "query an incident review runs.  Sessions are the REGISTERED "
+    "sessionizer's intervals (op_session_window_batch semantics, "
+    "composed not re-derived); outages are inter-sample gaps > 1 h "
+    "(op_timeseries_gap_census's definition).  Spark plan: both "
+    "interval sets explode to covered HOUR buckets and equi-join on "
+    "(channel, bucket) — never the non-equi nested loop — then "
+    "DISTINCT (multi-bucket matches dedup) + the exact overlap "
+    "predicate refine; the ORACLE brute-forces the non-equi join "
+    "directly, so the hash match PROVES the bucket blocking is "
+    "lossless at every width (the op_range_join test philosophy).  "
+    "Exactness: all bounds and overlap widths are BIGINT micros; "
+    "overlap_us = least(ends) − greatest(starts) ≥ 0 (touching "
+    "intervals excluded by the strict predicate).  At 100 TB join "
+    "work is Σ per-(channel, hour) session×outage occupancy — bounded "
+    "by the bucketing, skew-safe for long outages (they split across "
+    "their covered hours)",
+)
+def op_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.plans.extension_ops import op_session_window_batch
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    ses = op_session_window_batch(spark, sf_dir).select(
+        (F.col("user_id") % 40 + 1).cast("int").alias("channel_id"),
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("s0"),
+        (F.unix_micros("session_start") + F.col("duration_us")).alias("s1"),
+    )
+    cd = channel_data_df(spark, sf_dir)
+    w = Window.partitionBy("channel_id").orderBy("ts", "id")
+    gaps = cd.select(
+        "channel_id",
+        F.lag(F.unix_micros("ts")).over(w).alias("o0"),
+        F.unix_micros("ts").alias("o1"),
+    )
+    outage = gaps.filter(
+        F.col("o0").isNotNull() & (F.col("o1") - F.col("o0") > _OVL_H_US)
+    )
+    hb = lambda a, b: F.explode(  # noqa: E731
+        F.sequence(
+            F.floor(F.col(a) / _OVL_H_US).cast("long"),
+            F.floor(F.col(b) / _OVL_H_US).cast("long"),
+        )
+    ).alias("hb")
+    ses_b = ses.select("channel_id", "user_id", "session_id", "s0", "s1", hb("s0", "s1"))
+    out_b = outage.select("channel_id", "o0", "o1", hb("o0", "o1"))
+    return (
+        ses_b.join(out_b, ["channel_id", "hb"])
+        .drop("hb")
+        .distinct()
+        .filter((F.col("s0") < F.col("o1")) & (F.col("o0") < F.col("s1")))
+        .select(
+            "channel_id",
+            "user_id",
+            "session_id",
+            F.col("s0").alias("session_start_us"),
+            F.col("o0").alias("outage_start_us"),
+            (
+                F.least(F.col("s1"), F.col("o1"))
+                - F.greatest(F.col("s0"), F.col("o0"))
+            ).alias("overlap_us"),
+        )
+    )

@@ -828,3 +828,59 @@ def test_ab_ci_constructed(spark):
     margin = 1.96 * math.sqrt(0.2 * (1.0 - 0.2) / 100.0 + 0.8 * (1.0 - 0.8) / 100.0)
     assert out["ci_lo"] == diff - margin and out["ci_hi"] == diff + margin
     assert out["significant"]
+
+
+def test_interval_overlap_geometries(spark):
+    """op_join_interval_overlap on planted geometries: partial overlap,
+    containment (both directions), touching endpoints EXCLUDED (strict
+    predicate), disjoint excluded, wrong channel excluded — and overlap
+    widths exact."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from daq_3i_spark.plans.analytics_ops import op_join_interval_overlap
+
+    # channel for user u is u % 40 + 1; user 0 -> channel 1, user 1 -> 2
+    def T(m):  # minutes after 10:00 on a fixed day
+        return f"2024-01-01 {10 + m // 60:02d}:{m % 60:02d}:00"
+
+    ev_rows = [
+        # user 0 session A: [10:00, 10:20] (events 0,20 within 10-min gaps)
+        (1, T(0), 0, "view"), (2, T(10), 0, "view"), (3, T(20), 0, "view"),
+        # user 0 session B after >10-min gap: [11:00, 11:00] zero-length
+        (4, T(60), 0, "view"),
+        # user 1 (channel 2) session: [10:00, 10:20]
+        (5, T(0), 1, "view"), (6, T(10), 1, "view"), (7, T(20), 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        ev_rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "value", F.lit(1.0)
+    ).withColumn("props", F.lit(""))
+    # channel 1 samples: gap [10:10, 12:10] (2h > 1h threshold) overlaps
+    # session A by 10 min and CONTAINS zero-length session B;
+    # channel 2 samples: gap ends exactly at 10:00 -> touches session start,
+    # strict predicate excludes it
+    cd_rows = [
+        (1, 1, "2024-01-01 10:10:00", 1.0), (2, 1, "2024-01-01 12:10:00", 1.0),
+        (3, 2, "2024-01-01 07:00:00", 1.0), (4, 2, "2024-01-01 10:00:00", 1.0),
+    ]
+    cd = spark.createDataFrame(
+        cd_rows, "id long, channel_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    with mock.patch(
+        "daq_3i_spark.plans.extension_ops.load_events", lambda s, d: ev
+    ), mock.patch(
+        "daq_3i_spark.sources.daq_dims.channel_data_df", lambda s, d: cd
+    ):
+        out = {
+            (r["user_id"], r["session_id"]): r
+            for r in op_join_interval_overlap(spark, "unused").collect()
+        }
+    # session A overlaps the channel-1 outage by [10:10, 10:20] = 600s
+    assert out[(0, 1)]["overlap_us"] == 600_000_000
+    # zero-length session B inside the outage: overlap 0 but matched
+    assert out[(0, 2)]["overlap_us"] == 0
+    # user 1's session only TOUCHES its channel's gap end -> excluded
+    assert (1, 1) not in out and len(out) == 2

@@ -97,6 +97,7 @@ OPS = [
     "op_timeseries_gap_census",
     "op_events_srm",
     "op_events_ab_ci",
+    "op_join_interval_overlap",
     "op_graph_triangles",
     "op_events_funnel_time",
     "op_sim_centroid_drift",
