@@ -159,6 +159,7 @@ HEADLINE = [
     "op_corpus_curriculum",
     "op_events_ab_ci",
     "op_join_interval_overlap",
+    "op_sql_setops_all",
 ]
 
 

@@ -63,6 +63,7 @@ _CHECK_PRIORITY = [
     "op_sim_ivf_recall_eval", "op_events_srm", "op_timeseries_gap_census",
     "op_graph_triangles", "op_events_funnel_time", "op_sim_centroid_drift",
     "op_corpus_curriculum", "op_events_ab_ci", "op_join_interval_overlap",
+    "op_sql_setops_all",
     "op_sink_zorder", "op_corpus_dsir_select", "op_corpus_dsir_weights",
     "op_timeseries_outlier_mad", "op_events_concurrency",
     "op_multimodal_phash", "op_corpus_minhash_eval",

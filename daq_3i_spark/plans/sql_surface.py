@@ -496,3 +496,77 @@ def op_sql_notin_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY p.p_brand, p.p_type"""
     )
+
+
+# --- multiset set algebra: INTERSECT ALL / EXCEPT ALL ----------------------------
+
+
+@register(
+    "op_sql_setops_all",
+    """WITH b AS (
+      SELECT l_partkey FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+    ), m AS (
+      SELECT l_partkey FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'MACHINERY'
+    ),
+    common AS (SELECT l_partkey FROM b INTERSECT ALL SELECT l_partkey FROM m),
+    surplus AS (SELECT l_partkey FROM b EXCEPT ALL SELECT l_partkey FROM m)
+    SELECT 'common' AS kind, l_partkey AS p_partkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM common GROUP BY 2
+    UNION ALL
+    SELECT 'building_only' AS kind, l_partkey AS p_partkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM surplus GROUP BY 2""",
+    doc="MULTISET set algebra — the ALL variants op_sql_setops' "
+    "distinct-input algebra never exercises: per part, how many order "
+    "lines do the BUILDING and MACHINERY segments share (INTERSECT ALL "
+    "keeps min(multiplicity) copies) and how many are BUILDING surplus "
+    "(EXCEPT ALL subtracts multiplicities) — the demand-overlap view a "
+    "merchandiser reads as 'contested vs segment-exclusive volume'.  "
+    "Multiplicities are exact integers with identical bag semantics in "
+    "both engines.  Plan: each segment side is one broadcast-dim "
+    "(customer filter) join pipeline; Spark plans intersectAll/"
+    "exceptAll as count-replicating aggregates on the partkey shuffle "
+    "— no row explosion beyond the true multiplicities; the final "
+    "census aggregates reuse the same key",
+)
+def op_sql_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def seg(name: str):
+        c = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == name)
+            .select("c_custkey")
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+            .select("l_partkey")
+        )
+
+    b, m = seg("BUILDING"), seg("MACHINERY")
+    common = (
+        b.intersectAll(m)
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("common").alias("kind"), F.col("l_partkey").alias("p_partkey"), "n")
+    )
+    surplus = (
+        b.exceptAll(m)
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("building_only").alias("kind"),
+            F.col("l_partkey").alias("p_partkey"),
+            "n",
+        )
+    )
+    return common.unionAll(surplus)

@@ -884,3 +884,35 @@ def test_interval_overlap_geometries(spark):
     assert out[(0, 2)]["overlap_us"] == 0
     # user 1's session only TOUCHES its channel's gap end -> excluded
     assert (1, 1) not in out and len(out) == 2
+
+
+def test_setops_all_multiset_semantics(spark, sf_dir):
+    """op_sql_setops_all: bag algebra recomputed in python — per part,
+    common = min(count_B, count_M) and surplus = max(0, count_B − count_M);
+    parts only in MACHINERY never appear."""
+    from collections import Counter
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("l_partkey", "c_mktsegment")
+        .collect()
+    )
+    cb = Counter(r["l_partkey"] for r in joined if r["c_mktsegment"] == "BUILDING")
+    cm = Counter(r["l_partkey"] for r in joined if r["c_mktsegment"] == "MACHINERY")
+    want_common = {k: min(v, cm[k]) for k, v in cb.items() if min(v, cm[k]) > 0}
+    want_surplus = {k: v - cm[k] for k, v in cb.items() if v - cm[k] > 0}
+
+    out = QUERIES["op_sql_setops_all"].spark(spark, sf_dir).collect()
+    got_common = {r["p_partkey"]: r["n"] for r in out if r["kind"] == "common"}
+    got_surplus = {
+        r["p_partkey"]: r["n"] for r in out if r["kind"] == "building_only"
+    }
+    assert got_common == want_common
+    assert got_surplus == want_surplus

@@ -98,6 +98,7 @@ OPS = [
     "op_events_srm",
     "op_events_ab_ci",
     "op_join_interval_overlap",
+    "op_sql_setops_all",
     "op_graph_triangles",
     "op_events_funnel_time",
     "op_sim_centroid_drift",
