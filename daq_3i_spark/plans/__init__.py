@@ -33,20 +33,20 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 #     (VERDICT #1); ranks.py's persist moved onto the tracked helper
 #     (op_events_rfm, op_text_vocab) as did PageRank's edge frame and
 #     dedup components' pair frame;
-# (3) the round-6 cohort.  TWENTY-SEVEN never-checked r10 ops now hold
-#     section-2 slots (seven from the first r10 session, twenty from the
-#     second: window_range, markov, abc_analysis, quality_drift,
+# (3) the round-6 cohort.  TWENTY-EIGHT never-checked r10 ops now hold
+#     section-2 slots (seven from the first r10 session, twenty-one from
+#     the second: window_range, markov, abc_analysis, quality_drift,
 #     softdedup_weights, changepoint, forecast_naive, embed_outliers,
 #     stream_forecast_monitor, quality_profile, code_detect,
 #     ivf_recall_eval, srm, gap_census, triangles, funnel_time,
-#     centroid_drift, curriculum, ab_ci, interval_overlap), so the window
-#     is exactly 7 stale + 27 new + the first 16 touched rows — the
-#     ENTIRE r6 cohort (simple scans/filters/dim joins, the
+#     centroid_drift, curriculum, ab_ci, interval_overlap, setops_all),
+#     so the window is exactly 7 stale + 28 new + the first 15 touched
+#     rows — the ENTIRE r6 cohort (simple scans/filters/dim joins, the
 #     interpolate/locf sextet, pack_sequences/multimodal_resize/
 #     upsert_status/append/delete_retention/modbus_poll/approx_sketches,
-#     and the stateful tail listed below) plus the last 7 touched rows
-#     (pq_rerank, ivfpq, cm_sketch, rfm, vocab, components, pagerank)
-#     MUST LEAD the r11 rotation.
+#     and the stateful tail listed below) plus the last 8 touched rows
+#     (pq_topk, pq_rerank, ivfpq, cm_sketch, rfm, vocab, components,
+#     pagerank) MUST LEAD the r11 rotation.
 _CHECK_PRIORITY = [
     # -- (1) latest check is round 5 ------------------------------------------
     "op_sql_q6_forecast", "op_sql_q2_mincost", "op_sql_q21_waiting",
