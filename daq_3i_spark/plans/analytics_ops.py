@@ -3210,6 +3210,50 @@ def op_timeseries_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def oriented_edges(li: DataFrame) -> DataFrame:
+    """Degree-oriented co-purchase edge list (src, dst), lazily cached.
+
+    Undirected distinct same-basket part pairs, oriented from the
+    low-(degree, id) endpoint to the high one.  (degree, id) is a total
+    order, so the result is a DAG in which every triangle {p≺q≺r} appears
+    exactly once as p→q, q→r, p→r — the same multiset of triangles any
+    acyclic orientation (including the oracle's id order) yields.  The
+    payoff is the fan-out bound: out-degree under degree orientation is
+    O(√|E|) (graph arboricity), so the wedge join Σ_y in(y)·out(y) stays
+    near-linear even when one viral part touches 30% of baskets, where id
+    orientation would square the hot key's degree.  Exposed as a helper so
+    the skew test can measure the plan's wedge count directly.
+    """
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = bp.alias("a"), bp.alias("b")
+    und = shared(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # u < v by construction, so "forward" iff (du, u) <= (dv, v) is du <= dv
+    fwd = F.col("du") <= F.col("dv")
+    return shared(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+
+
 @register(
     "op_graph_triangles",
     """WITH bp AS (
@@ -3233,35 +3277,25 @@ def op_timeseries_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive behind community detection and recommendation diversity "
     "(PageRank ranks influence, components find groups; triangles "
     "measure cohesion): per part, in how many closed part-triples does "
-    "it co-occur?  Edges are DISTINCT same-basket pairs with src < dst; "
-    "each triangle {x<y<z} is enumerated exactly once as "
-    "(x,y)+(y,z)+(x,z), so counts are exact integers with no "
-    "de-duplication epsilon.  Plan: basket pair generation is the "
+    "it co-occur?  Edges are DISTINCT same-basket pairs, DEGREE-oriented "
+    "(low-degree endpoint first, id tie-break — the compact-forward "
+    "orientation): the (degree, id) order is total, so the oriented "
+    "graph is a DAG and each triangle is enumerated exactly ONCE as "
+    "(x,y)+(y,z)+(x,z) — counts are exact integers, identical to the "
+    "id-oriented oracle's.  Plan: basket pair generation is the "
     "market-basket generator (work Σ basket², never all-parts); the "
-    "edge list is built once and lazily cached (tracked shared()) for "
-    "its THREE join consumers; the triangle enumeration is two shuffle "
-    "equi-joins on edge endpoints — the standard distributed algorithm "
-    "(compact-forward).  At real scale the id orientation is swapped "
-    "for DEGREE orientation (low-degree node first) which bounds "
-    "per-key join fan-out by the arboricity instead of the max degree "
-    "— same output, documented swap; the final explode+count is "
-    "3 rows per triangle into a part-dimension aggregate",
+    "undirected edge list is lazily cached for the degree census and "
+    "the orientation pass, the ORIENTED list for its three join "
+    "consumers; wedge fan-out in e1⋈e2 is Σ_y in(y)·out(y) with out() "
+    "bounded by O(√|E|) (arboricity), so one viral part — max degree "
+    "— cannot go quadratic, which the id orientation does (its wedge "
+    "count is Σ deg_lo(y)·deg_hi(y), hitting d²/4 on a mid-id hub; "
+    "pinned by the viral-hub fixture test).  The final explode+count "
+    "is 3 rows per triangle into a part-dimension aggregate",
 )
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    bp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = bp.alias("a"), bp.alias("b")
-    e = shared(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    e = oriented_edges(li)
     e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     e3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))

@@ -710,6 +710,59 @@ def test_triangles_constructed_graph(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
 
 
+def test_triangles_viral_hub_wedge_bound(spark):
+    """Degree orientation keeps the wedge join near-linear on a viral hub.
+
+    Fixture: one hub part (id 500, mid-range) co-purchased with 120 leaves
+    — 60 lower ids, 60 higher — plus one genuine triangle on fresh ids.
+    Under id orientation the hub has 60 in-edges and 60 out-edges, so the
+    e1⋈e2 wedge join fans out 60·60 = 3600 rows at that single key (the
+    d²/4 skew killer).  Under degree orientation every hub edge points
+    INTO the hub (leaves have degree 1), out(hub) = 0, and the whole
+    graph's wedge count is the triangle's single wedge.  Pins both: the
+    shipped plan's wedge count stays ≤ |E|, and the fixture really is
+    adversarial (id orientation measured ≥ 3600)."""
+    from unittest import mock
+
+    from daq_3i_spark.cache import release_shared
+    from daq_3i_spark.plans.analytics_ops import op_graph_triangles, oriented_edges
+
+    rows = []
+    leaves = list(range(1, 61)) + list(range(900, 960))
+    for i, leaf in enumerate(leaves):
+        rows.append((1000 + i, 500))
+        rows.append((1000 + i, leaf))
+    for p in (2001, 2002, 2003):  # one real triangle, ids disjoint from star
+        rows.append((5000, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    def wedge_count(e):
+        e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+        return e1.join(e2, "y").count()
+
+    try:
+        e = oriented_edges(li)
+        n_edges = e.count()
+        assert n_edges == 123  # 120 star + 3 triangle edges
+        assert wedge_count(e) <= n_edges  # arboricity-bounded: here exactly 1
+        # contrast: the id orientation this plan replaced goes quadratic
+        id_e = e.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        assert wedge_count(id_e) >= 3600
+        with mock.patch(
+            "daq_3i_spark.plans.analytics_ops.load_table", lambda s, d, t: li
+        ):
+            out = {
+                r["p_partkey"]: r["n_triangles"]
+                for r in op_graph_triangles(spark, "unused").collect()
+            }
+        assert out == {2001: 1, 2002: 1, 2003: 1}
+    finally:
+        release_shared()
+
+
 def test_funnel_time_constructed(spark):
     """op_events_funnel_time on constructed journeys: latency measured
     from the FIRST signup to the first purchase at/after it;
