@@ -21,10 +21,14 @@ operator regression.  Since r10 bench.py times a fixed-cost synthetic
 calibration probe ("calibration_sec") alongside the queries; when BOTH
 records carry it, per-query ratios are DIVIDED by the probe's own ratio (the
 measured host factor) before the threshold test, so the guard flags operator
-slides, not host weather.  Without it the guard falls back to the median
-heuristic: it prints the median ratio, and when the median itself exceeds
-the threshold the per-query failures are tagged "whole-run offset" so the
-adjudication targets the right cause.
+slides, not host weather.  When either record predates the probe (r9 and
+older), the guard normalizes by the MEDIAN per-query ratio instead (r11): a
+uniform host shift moves the median exactly as it moves each query, so
+median-normalized ratios isolate per-op slides the same way the probe does —
+with the caveat that a genuine regression touching >half the common set
+would partly self-mask, which is why the raw median and total are always
+printed and a median beyond the threshold still tags every flag
+"whole-run offset" for the adjudication.
 """
 
 from __future__ import annotations
@@ -94,16 +98,21 @@ def main() -> int:
             f"calibration probe: {cal_prev:.2f}s -> {cal_new:.2f}s — host factor "
             f"{host:.2f}x (per-query ratios normalized by it)"
         )
+        factor = host
     else:
-        print("calibration probe: absent in one record — raw ratios (median heuristic)")
+        print(
+            f"calibration probe: absent in one record — normalizing by the "
+            f"median per-query ratio {median:.2f}x (uniform-window heuristic)"
+        )
+        factor = median if median > 0 else 1.0
 
-    norm = {q: (r / host if host else r) for q, r in ratios.items()}
+    norm = {q: r / factor for q, r in ratios.items()}
     regressions = [(q, norm[q]) for q in norm if norm[q] > args.threshold]
     regressions.sort(key=lambda t: -t[1])
     unexplained = []
     for q, r in regressions:
         tag = " [whole-run offset]" if host is None and median > args.threshold else ""
-        raw = f" raw {ratios[q]:.2f}x" if host is not None else ""
+        raw = f" raw {ratios[q]:.2f}x"
         if q in notes:
             print(f"  EXPLAINED  {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({r:.2f}x{raw}){tag}")
         else:
