@@ -54,8 +54,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
             # op_range_join built its interval bounds pre-load).  DuckDB
             # reads naive timestamps; UTC makes Spark collect the same
             # wall-clock values whatever timezone the driver started with.
+            from daq_3i_spark.cache import release_shared
             from daq_3i_spark.sources.tables import pin_utc
 
+            # Self-enforce the bounded-cache contract: drop the PREVIOUS
+            # op's shared() frames before building this one, so any harness
+            # that runs many registry entries in one session (the driver's
+            # 50-query sweep included) cannot accumulate cached frames until
+            # session end.  Safe by the cache.py lifetime rule — a registry
+            # build starts a new logical job, so no earlier op's query can
+            # still be executing; the frames the CURRENT op shares stay live
+            # for its own consumers and are released by the NEXT build (or
+            # an explicit release_shared()).
+            release_shared()
             pin_utc(spark)
             return _fn(spark, sf_dir)
 

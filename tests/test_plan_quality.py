@@ -67,6 +67,35 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "contamination join degraded to SMJ"
 
 
+def test_registry_wrapper_self_releases_shared_cache(spark, sf_dir):
+    """The pinned registry wrapper releases the PREVIOUS op's shared()
+    frames before building the next one (VERDICT r10 'What's missing #2'):
+    a harness that runs many queries() entries in one session — the
+    driver's 50-query sweep — must get the bounded-cache lifetime without
+    knowing the release_shared() convention.  Runs two shared()-using ops
+    back-to-back through the WRAPPER and pins that (a) the second build
+    drops the first op's frames, (b) one explicit release leaves Spark's
+    CacheManager completely empty."""
+    from daq_3i_spark import cache
+    from daq_3i_spark.plans import spark_queries
+
+    qs = spark_queries()
+    cache.release_shared()
+    spark.catalog.clearCache()
+
+    df1 = qs["op_events_funnel_time"](spark, sf_dir)  # shares 1 frame
+    n_op1 = len(cache._LIVE)
+    assert n_op1 >= 1
+    df1.count()
+    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 2 frames
+    # op1's tracked frames are gone; only op2's remain
+    assert len(cache._LIVE) == 2
+    df2.count()
+    assert cache.release_shared() == 2
+    assert not cache._LIVE
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 @pytest.mark.parametrize(
     "name",
     ["op_graph_pagerank", "op_orders_market_basket", "op_text_tfidf_topterms"],
