@@ -38,6 +38,14 @@ All file-system access goes through the Hadoop FileSystem API (py4j), not
 HDFS the two renames (file publish, manifest commit) are atomic; on S3A the
 manifest rename is the only non-atomic step and would swap for a
 conditional PUT in production.
+
+Concurrency: manifests serialize writers OPTIMISTICALLY — every pass reads
+version N and commits N+1; the commit is a compare-and-swap (no-overwrite
+rename on HDFS, rename + writer-token read-back on local fs, conditional
+PUT on S3A) and the loser of a race raises :class:`ManifestConflictError`
+instead of silently dropping the winner's version.  The loser's published
+files are unreferenced orphans the next pass's recovery GC sweeps, so the
+losing service is safely re-runnable on top of the winner's version.
 """
 
 from __future__ import annotations
@@ -154,21 +162,68 @@ def latest_manifest(
     return best[0], doc["files"]
 
 
+class ManifestConflictError(RuntimeError):
+    """Another writer committed this manifest version first.
+
+    The optimistic-concurrency contract (one table, many uncoordinated
+    service jobs): every pass reads version N, stages its rewrite, and
+    tries to commit N+1.  The LOSER of a race must fail LOUDLY — its
+    survivors list is derived from N and would resurrect files the winner
+    dropped — and its published-but-uncommitted files become orphans the
+    next pass's recovery GC sweeps (services stay idempotent; re-run the
+    losing service to apply it on top of the winner's version).
+    """
+
+
 def commit_manifest(spark: SparkSession, path: str, version: int, files: list[str]) -> None:
     """Atomically publish manifest ``version``: write the JSON to a hidden
-    temp name, then one rename — readers either see the complete new
-    manifest or keep resolving the previous one."""
+    unique temp name, then one rename — readers either see the complete new
+    manifest or keep resolving the previous one.
+
+    The rename doubles as the compare-and-swap against concurrent writers:
+    on HDFS a rename onto an existing file is an atomic no-op returning
+    false (the loser raises :class:`ManifestConflictError`); local
+    ``file://`` rename(2) silently OVERWRITES, so after the rename the
+    manifest is read back and a per-commit writer token verified — a loser
+    whose content was replaced (or who replaced the winner's) detects it
+    and raises instead of silently losing a version.  On S3A the rename
+    would swap for a conditional PUT (If-None-Match), which subsumes both.
+    """
+    import uuid
+
     fs, jvm = _fs(spark, path)
     fs.mkdirs(_jpath(jvm, path, _MANIFEST_DIR))
     fname = f"v{version:05d}.json"
-    tmp = _jpath(jvm, path, _MANIFEST_DIR, f".tmp-{fname}")
+    token = uuid.uuid4().hex
+    tmp = _jpath(jvm, path, _MANIFEST_DIR, f".tmp-{token}-{fname}")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(json.dumps({"version": version, "files": sorted(files)}).encode()))
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"version": version, "files": sorted(files), "writer": token}
+                ).encode()
+            )
+        )
     finally:
         out.close()
-    if not fs.rename(tmp, _jpath(jvm, path, _MANIFEST_DIR, fname)):
-        raise IOError(f"manifest commit rename failed for {fname}")
+    final = _jpath(jvm, path, _MANIFEST_DIR, fname)
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise ManifestConflictError(
+            f"manifest {fname} already committed under {path} by a concurrent "
+            "writer — this pass read a stale base version; re-run it"
+        )
+    stream = fs.open(final)
+    try:
+        doc = json.loads(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+    if doc.get("writer") != token:
+        raise ManifestConflictError(
+            f"manifest {fname} under {path} was replaced by a concurrent "
+            "writer during commit — this pass lost the race; re-run it"
+        )
 
 
 def snapshot_manifest(spark: SparkSession, path: str) -> tuple[int, list[str]]:
@@ -209,7 +264,10 @@ def read_channel_data_versioned(
 
 
 def gc_unreferenced(
-    spark: SparkSession, path: str, keep_versions: int = 1
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 1,
+    min_age_sec: float = 0.0,
 ) -> list[str]:
     """Delete data files not referenced by any of the newest
     ``keep_versions`` manifests (plus any partition directory left with no
@@ -219,7 +277,18 @@ def gc_unreferenced(
     fully readable through read_channel_data_versioned(version=...) — time
     travel at the cost of retained storage; note plain directory reads
     then see multiple versions' files and must go through the manifest
-    reader.  No manifest -> no-op.  Returns removed paths."""
+    reader.  No manifest -> no-op.  Returns removed paths.
+
+    ``min_age_sec`` is the concurrent-writer guard (Delta's VACUUM
+    retention idea): an unreferenced file younger than it is SKIPPED,
+    because "orphan" is indistinguishable from "published by a concurrent
+    pass that has not committed yet" — recovery GC with age 0 could delete
+    a racing writer's fresh files in the window between its publish and
+    its manifest commit.  Single-writer recovery (the crash tests, the
+    post-commit drop of replaced files) keeps the immediate default;
+    uncoordinated concurrent services must pass an age exceeding their
+    longest pass duration (see the service entry points' orphan_age_sec)."""
+    import time
     fs0, jvm0 = _fs(spark, path)
     versions = sorted(
         (
@@ -236,6 +305,7 @@ def gc_unreferenced(
     for v in versions[: max(1, keep_versions)]:
         keep.update(latest_manifest(spark, path, v)[1])
     fs, jvm = _fs(spark, path)
+    now_ms = time.time() * 1000.0
     removed: list[str] = []
     for p, fl in list_partitions(spark, path).items():
         pdir = f"p_date={p}"
@@ -243,7 +313,15 @@ def gc_unreferenced(
         for fname in fl:
             rel = f"{pdir}/{fname}"
             if rel not in keep:
-                fs.delete(_jpath(jvm, path, rel), False)
+                jp = _jpath(jvm, path, rel)
+                if min_age_sec > 0:
+                    try:
+                        mtime = fs.getFileStatus(jp).getModificationTime()
+                    except Exception:
+                        continue  # already gone — a racing GC swept it
+                    if now_ms - mtime < min_age_sec * 1000.0:
+                        continue  # possibly a concurrent writer's fresh publish
+                fs.delete(jp, False)
                 removed.append(rel)
                 touched = True
         if not touched:
@@ -264,7 +342,7 @@ def gc_unreferenced(
 
 
 def _open_service(
-    spark: SparkSession, path: str, keep_versions: int
+    spark: SparkSession, path: str, keep_versions: int, orphan_age_sec: float = 0.0
 ) -> tuple[int, list[str], bool]:
     """Service-pass preamble: latest manifest (bootstrapping v1 for a table
     no service has touched) plus the orphan-recovery GC.  A just-bootstrapped
@@ -274,22 +352,37 @@ def _open_service(
     if m is None:
         version, files = snapshot_manifest(spark, path)
         return version, files, True
-    gc_unreferenced(spark, path, keep_versions)
+    gc_unreferenced(spark, path, keep_versions, min_age_sec=orphan_age_sec)
     return m[0], m[1], False
 
 
-def _staging_dir(spark: SparkSession, path: str) -> str:
-    """Per-table staging area for partition rewrites, OUTSIDE the table root:
+def _staging_dir(spark: SparkSession, path: str, min_age_sec: float = 0.0) -> str:
+    """Per-PASS staging area for partition rewrites, OUTSIDE the table root:
     a crash mid-rewrite must never leave a half-written directory where
-    partition discovery can see it.  Staged files are always redoable (the
-    manifest still references every live file until the commit), so stale
-    staging from a crashed run is simply removed."""
-    staging = path.rstrip("/") + ".staging"
-    fs, jvm = _fs(spark, staging)
-    jp = _jpath(jvm, staging)
-    if fs.exists(jp):
-        fs.delete(jp, True)
-    fs.mkdirs(jp)
+    partition discovery can see it.  The directory name is unique per pass
+    (``<table>.staging-<token>``) so concurrent service passes cannot
+    clobber each other's staging; stale staging from crashed runs is swept
+    here, age-gated by ``min_age_sec`` with the same reasoning as
+    gc_unreferenced (a YOUNG sibling staging dir may belong to a pass that
+    is still running).  Staged files are always redoable (the manifest
+    still references every live file until the commit), so sweeping a
+    genuinely dead run's staging loses nothing."""
+    import time
+    import uuid
+
+    prefix = posixpath.basename(path.rstrip("/")) + ".staging-"
+    parent = posixpath.dirname(path.rstrip("/"))
+    fs, jvm = _fs(spark, path)
+    now_ms = time.time() * 1000.0
+    for st in _ls(fs, jvm, parent):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and (
+            min_age_sec <= 0
+            or now_ms - st.getModificationTime() >= min_age_sec * 1000.0
+        ):
+            fs.delete(st.getPath(), True)
+    staging = path.rstrip("/") + f".staging-{uuid.uuid4().hex}"
+    fs.mkdirs(_jpath(jvm, staging))
     return staging
 
 
@@ -302,6 +395,7 @@ def _commit_service_pass(
     drop: set[str],
     failpoint: Failpoint,
     keep_versions: int = 1,
+    staging: str | None = None,
 ) -> None:
     """Publish a service pass: rename each staged partition's new files into
     the live table, commit manifest ``version+1`` (old files minus replaced/
@@ -331,9 +425,10 @@ def _commit_service_pass(
     failpoint("committed")
 
     gc_unreferenced(spark, path, keep_versions)
-    sp = _jpath(jvm, path.rstrip("/") + ".staging")
-    if fs.exists(sp):
-        fs.delete(sp, True)
+    if staging is not None:
+        sp = _jpath(jvm, staging)
+        if fs.exists(sp):
+            fs.delete(sp, True)
 
 
 def _partition_files(path: str, files: list[str], p: str) -> list[str]:
@@ -351,6 +446,7 @@ def apply_time_retention(
     path: str,
     cutoff: str,
     keep_versions: int = 1,
+    orphan_age_sec: float = 0.0,
     _failpoint: Failpoint = _NOOP,
 ) -> None:
     """DELETE WHERE ts < cutoff over the date-partitioned sink, with
@@ -361,15 +457,17 @@ def apply_time_retention(
     untouched.  At 100 TB the drop is one manifest line per expired day;
     only ~one day of data is ever rewritten regardless of table size.
     Crash-safe per the module protocol: sources outlive their replacements
-    until the manifest commit."""
-    version, files, fresh = _open_service(spark, path, keep_versions)
+    until the manifest commit.  ``orphan_age_sec``: see gc_unreferenced —
+    set it above the longest pass duration when passes may race; the loser
+    of a racing commit raises ManifestConflictError (re-run to apply)."""
+    version, files, fresh = _open_service(spark, path, keep_versions, orphan_age_sec)
     _failpoint("recovered")
 
     cutoff_date = cutoff.split(" ")[0]
     parts = sorted({f.split("/", 1)[0].split("=", 1)[1] for f in files})
     drop = {p for p in parts if p < cutoff_date}
 
-    staging = _staging_dir(spark, path)
+    staging = _staging_dir(spark, path, min_age_sec=orphan_age_sec)
     staged: dict[str, str] = {}
     if cutoff_date in parts:
         # rewrite ONLY the straddled partition: filter into staging — later
@@ -384,7 +482,8 @@ def apply_time_retention(
     _failpoint("staged")
 
     _commit_service_pass(
-        spark, path, version, files, staged, drop, _failpoint, keep_versions
+        spark, path, version, files, staged, drop, _failpoint, keep_versions,
+        staging=staging,
     )
 
 
@@ -394,6 +493,7 @@ def compact_partitions(
     max_files: int = 4,
     target_file_bytes: int = TARGET_FILE_BYTES,
     keep_versions: int = 1,
+    orphan_age_sec: float = 0.0,
     _failpoint: Failpoint = _NOOP,
 ) -> list[str]:
     """Small-file compaction over the date-partitioned sink (the OPTIMIZE
@@ -412,10 +512,11 @@ def compact_partitions(
     each output file a disjoint channel range (file-level min/max stats
     prune whole files for per-channel reads).  Partition discovery and the
     swap go through the Hadoop FS API, so the service runs unchanged against
-    HDFS/S3A.  Idempotent and crash-safe per the module protocol."""
+    HDFS/S3A.  Idempotent and crash-safe per the module protocol;
+    ``orphan_age_sec``: see apply_time_retention."""
     from concurrent.futures import ThreadPoolExecutor
 
-    version, files, fresh = _open_service(spark, path, keep_versions)
+    version, files, fresh = _open_service(spark, path, keep_versions, orphan_age_sec)
     _failpoint("recovered")
 
     # Size from the COMMITTED manifest, not a directory listing: with
@@ -441,7 +542,7 @@ def compact_partitions(
         for p in todo
     }
 
-    staging = _staging_dir(spark, path)
+    staging = _staging_dir(spark, path, min_age_sec=orphan_age_sec)
 
     # each rewrite stages into its own directory, so the per-partition jobs
     # are independent — run them as concurrent Spark jobs (a sequential loop
@@ -465,7 +566,8 @@ def compact_partitions(
     _failpoint("staged")
 
     _commit_service_pass(
-        spark, path, version, files, staged, set(), _failpoint, keep_versions
+        spark, path, version, files, staged, set(), _failpoint, keep_versions,
+        staging=staging,
     )
     return todo
 
@@ -705,6 +807,7 @@ def merge_upsert(
     source: DataFrame,
     key: str = "id",
     keep_versions: int = 1,
+    orphan_age_sec: float = 0.0,
     _failpoint: Failpoint = _NOOP,
 ) -> list[str]:
     """MERGE INTO the date-partitioned sink ON ``key``: matched target rows
@@ -716,8 +819,9 @@ def merge_upsert(
     table's).  Assumes key->partition stability — the source carries the
     target row's day, as CDC feeds do; a cross-partition key move is a
     delete+insert, not a merge.  Crash-safe per the module protocol.
-    Returns the rewritten partition values."""
-    version, files, fresh = _open_service(spark, path, keep_versions)
+    Returns the rewritten partition values.  ``orphan_age_sec``: see
+    apply_time_retention."""
+    version, files, fresh = _open_service(spark, path, keep_versions, orphan_age_sec)
     _failpoint("recovered")
 
     src = source.withColumn("p_date", F.to_date("ts")).persist()
@@ -725,7 +829,7 @@ def merge_upsert(
     # standard parameter-sized collect
     days = sorted(str(r["p_date"]) for r in src.select("p_date").distinct().collect())
 
-    staging = _staging_dir(spark, path)
+    staging = _staging_dir(spark, path, min_age_sec=orphan_age_sec)
 
     # per-day rewrites are independent — run them as concurrent Spark jobs
     # (a sequential loop pays one job-submission latency per touched day)
@@ -749,6 +853,7 @@ def merge_upsert(
     _failpoint("staged")
 
     _commit_service_pass(
-        spark, path, version, files, staged, set(), _failpoint, keep_versions
+        spark, path, version, files, staged, set(), _failpoint, keep_versions,
+        staging=staging,
     )
     return days

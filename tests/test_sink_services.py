@@ -154,6 +154,91 @@ def test_recovery_sweeps_orphans_so_directory_matches_manifest(
     assert on_disk == set(files) and len(files) == n_manifest_files
 
 
+def test_concurrent_writer_conflict_is_loud_never_silent(spark, sf_dir, tmp_path):
+    """Two writers racing one table (the multi-job cluster shape): writer A
+    (compaction) is paused after publishing its files; writer B (retention)
+    runs a COMPLETE pass and commits v2.  A's commit of the same version
+    must raise ManifestConflictError — its survivors list derives from v1
+    and would resurrect the rows B dropped — and B's version must stand
+    untouched.  Re-running A then applies cleanly on top of B's commit."""
+    from daq_3i_spark.sources.sink import ManifestConflictError
+
+    path = str(tmp_path / "sink")
+    _build_fragmented(spark, sf_dir, path)
+    full = _rows(spark.read.parquet(path))
+    kept = [r for r in full if str(r[2]) >= CUTOFF]
+    assert 0 < len(kept) < len(full)
+
+    def interleave(stage: str) -> None:
+        if stage == "published":
+            apply_time_retention(spark, path, CUTOFF)  # writer B wins the race
+
+    with pytest.raises(ManifestConflictError):
+        compact_partitions(spark, path, max_files=4, _failpoint=interleave)
+
+    # B's commit stands: retention applied, version advanced exactly once
+    assert _rows(read_channel_data_versioned(spark, path)) == kept
+    version, files = latest_manifest(spark, path)
+    assert version == 2
+
+    # the loser re-runs and applies on top of the winner's version
+    compact_partitions(spark, path, max_files=4)
+    assert _rows(read_channel_data_versioned(spark, path)) == kept
+    version, files = latest_manifest(spark, path)
+    assert version == 3
+    on_disk = {
+        f"p_date={p}/{f}" for p, fl in list_partitions(spark, path).items() for f in fl
+    }
+    assert on_disk == set(files)
+
+
+def test_two_thread_service_race_serializes_or_conflicts(spark, sf_dir, tmp_path):
+    """Free-running race: two threads compact the same table concurrently
+    with orphan_age_sec high enough that neither recovery GC can sweep the
+    other's freshly published (not yet committed) files.  Outcome must be
+    either clean serialization (both commit, version +2) or a loud
+    ManifestConflictError for exactly one loser (version +1) — never a
+    silent version loss, never content corruption."""
+    import threading
+
+    from daq_3i_spark.sources.sink import ManifestConflictError
+
+    path = str(tmp_path / "sink")
+    _build_fragmented(spark, sf_dir, path)
+    expect = _rows(spark.read.parquet(path))
+    base_version, _ = snapshot_manifest(spark, path)  # both racers start at v1
+
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def run() -> None:
+        try:
+            barrier.wait(timeout=60)
+            compact_partitions(spark, path, max_files=4, orphan_age_sec=3600)
+        except ManifestConflictError as exc:
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads)
+
+    assert len(errs) <= 1, "at most one writer may lose the race"
+    version, files = latest_manifest(spark, path)
+    assert version == base_version + (2 - len(errs)), "no silent version loss"
+    # content is exact through the manifest reader, and every referenced
+    # file exists (a GC'd-but-referenced file would fail the read)
+    assert _rows(read_channel_data_versioned(spark, path)) == expect
+    # one immediate-recovery sweep leaves directory == manifest
+    gc_unreferenced(spark, path)
+    on_disk = {
+        f"p_date={p}/{f}" for p, fl in list_partitions(spark, path).items() for f in fl
+    }
+    assert on_disk == set(files)
+
+
 def test_compaction_size_target_splits_hot_partitions(spark, sf_dir, tmp_path):
     """With a byte-size target instead of coalesce(1), a 'hot' partition
     rewrites into ceil(bytes/target) range-sorted files — parallel rewrite,
