@@ -184,6 +184,13 @@ def global_cumsum_and_total(
     batch to float64/NaN and poisons the rest of the partition).  The one
     divergence from SQL window-SUM semantics: rows before the first
     non-null read 0, not NULL.
+
+    ``order`` MUST be a TOTAL order over the input rows.  With ties, the
+    range shuffle's placement of the tied rows (and therefore each tied
+    row's per-row cumsum) is nondeterministic and can diverge from an
+    oracle's window ``ORDER BY`` — append a unique tie-breaking key (id,
+    fingerprint) as the last order column, exactly as both current callers
+    do.
     """
     import pyspark.sql.types as T
 

@@ -3623,10 +3623,14 @@ def op_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     outage = gaps.filter(
         F.col("o0").isNotNull() & (F.col("o1") - F.col("o0") > _OVL_H_US)
     )
+    # integer `div`, not floor(double division): epoch-micros are non-negative
+    # here so truncation == floor, and the assignment stays exact at any
+    # bucket width / timestamp magnitude (double floor is < 0.5 ulp away at
+    # current magnitudes but fragile if H shrinks or timestamps grow).
     hb = lambda a, b: F.explode(  # noqa: E731
         F.sequence(
-            F.floor(F.col(a) / _OVL_H_US).cast("long"),
-            F.floor(F.col(b) / _OVL_H_US).cast("long"),
+            F.expr(f"{a} div {_OVL_H_US}L"),
+            F.expr(f"{b} div {_OVL_H_US}L"),
         )
     ).alias("hb")
     ses_b = ses.select("channel_id", "user_id", "session_id", "s0", "s1", hb("s0", "s1"))

@@ -28,7 +28,7 @@ def main() -> int:
     from tests.oracle_check import compare, run_oracle
 
     if name not in QUERIES:
-        near = [n for n in QUERIES if name.lstrip("op_") in n]
+        near = [n for n in QUERIES if name.removeprefix("op_") in n]
         print(f"unknown op {name!r}" + (f"; close: {near[:5]}" if near else ""))
         return 2
     q = QUERIES[name]
