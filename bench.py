@@ -160,6 +160,9 @@ HEADLINE = [
     "op_events_ab_ci",
     "op_join_interval_overlap",
     "op_sql_setops_all",
+    "op_dedup_threshold_sweep",
+    "op_text_bpe_tokens",
+    "op_pack_sequences_bpe",
 ]
 
 

@@ -53,6 +53,25 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 SIMHASH_BITS = 32
 
+#: Frozen toy-BPE merge table, applied IN ORDER (rank order, like a published
+#: tokenizer's merges.txt).  The pairs are the highest-frequency English
+#: character merges every public BPE vocabulary learns first (the GPT-2
+#: merges list opens with exactly this family); freezing them here keeps the
+#: tokenizer deterministic and oracle-able — both engines replay the same
+#: merge program, no training pass.  Later merges may consume earlier
+#: outputs ((t,h) -> th feeds (th,e) -> the; (i,n) -> in feeds (in,g)).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("an", "d"),
+    ("o", "r"), ("e", "s"), ("i", "s"), ("o", "u"), ("a", "r"),
+    ("in", "g"), ("s", "t"), ("o", "f"), ("i", "t"), ("a", "l"),
+]
+
+#: Symbol separator for the string-encoded piece sequence.  Stripped from
+#: the input word first, so it can never collide with content; U+00B7 is a
+#: single code point in both engines' length()/replace().
+BPE_SEP = "·"
+
 
 class Dialect:
     """Renders the portable expression templates for Spark SQL or DuckDB."""
@@ -193,6 +212,58 @@ class Dialect:
         for b in bits[1:]:
             out = f"{out} + {b}"
         return f"({out})"
+
+    def bpe_pieces(self, w: str) -> str:
+        """BPE piece sequence of one word, encoded as a ``BPE_SEP``-joined
+        string (``·h·e·l·l·o·`` -> merges -> ``·h·e·ll·o·``).
+
+        The merge program runs as a chain of plain string ``replace`` calls:
+        replacing ``·x·y·`` with ``·xy·`` IS one left-to-right,
+        non-overlapping BPE merge pass (both engines' replace scans leftmost
+        first, and the consumed trailing separator stops overlapping
+        re-matches — ``·l·l·l·`` becomes ``·ll·l·``, exactly BPE's
+        leftmost-pair semantics).  Pure codegen string ops — the same
+        replace-count identity family as op_text_code_detect; no UDF, no
+        per-character fold.
+        """
+        stripped = f"replace({w}, '{BPE_SEP}', '')"
+        chars = self.filt(self.split(stripped, "''"), "__c", "__c <> ''")
+        join = (
+            f"array_join({chars}, '{BPE_SEP}')"
+            if self.is_spark
+            else f"array_to_string({chars}, '{BPE_SEP}')"
+        )
+        # DuckDB's array_to_string returns NULL on an empty list (Spark's
+        # array_join returns '') — coalesce so an empty word is '··', one
+        # piece, in BOTH engines
+        s = f"'{BPE_SEP}' || coalesce({join}, '') || '{BPE_SEP}'"
+        for x, y in BPE_MERGES:
+            s = (
+                f"replace({s}, '{BPE_SEP}{x}{BPE_SEP}{y}{BPE_SEP}', "
+                f"'{BPE_SEP}{x}{y}{BPE_SEP}')"
+            )
+        return s
+
+    def bpe_word_count(self, w: str) -> str:
+        """BIGINT: number of BPE pieces in one word.
+
+        Counts separators without re-evaluating the merge chain: merges
+        never change the non-separator content, so the piece count is
+        ``length(pieces) - length(strip(w)) - 1`` — the encoded string is
+        referenced ONCE (referencing it twice would double the codegen'd
+        merge chain).
+        """
+        stripped = f"replace({w}, '{BPE_SEP}', '')"
+        return (
+            f"CAST(length({self.bpe_pieces(w)}) - length({stripped}) - 1 "
+            f"AS BIGINT)"
+        )
+
+    def bpe_token_count(self, text: str) -> str:
+        """BIGINT: total BPE tokens of the lowercased text (sum over
+        whitespace words of :meth:`bpe_word_count`)."""
+        counts = self.transform(self.tokens(text), "__w", self.bpe_word_count("__w"))
+        return self.fold_long(counts, "0", "__a", "__x", "__a + __x")
 
     def sig_match_frac(self, sa: str, sb: str) -> str:
         """Fraction of equal slots between two signatures (minhash Jaccard

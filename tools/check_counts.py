@@ -63,10 +63,59 @@ def check() -> list[str]:
     return errors
 
 
+def staleness_census() -> dict[str, int | None]:
+    """Latest driver-check round per registry op, from CORRECTNESS_r*.json.
+
+    The driver's sweep covers the first 50 queries() entries per round, so
+    rotation planning (_CHECK_PRIORITY in plans/__init__.py) needs the
+    per-op latest-check round — previously hand-computed from the VERDICT
+    table each round (VERDICT r10 #8 asked for this emitter).  Only PASS
+    rows count (every gate green): a failed row doesn't refresh staleness.
+    Never-checked ops map to None.
+    """
+    import glob
+    import json
+
+    from daq_3i_spark.plans import QUERIES
+
+    latest: dict[str, int | None] = {name: None for name in QUERIES}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        for name, rec in json.load(open(path)).items():
+            if name not in latest:
+                continue  # renamed/retired op
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+                and not rec.get("err")
+            )
+            if ok and (latest[name] is None or rnd > latest[name]):
+                latest[name] = rnd
+    return latest
+
+
+def print_census() -> None:
+    latest = staleness_census()
+    by_round: dict[int | None, list[str]] = {}
+    for name, rnd in latest.items():
+        by_round.setdefault(rnd, []).append(name)
+    print("staleness census (latest PASS round -> ops):")
+    for rnd in sorted(by_round, key=lambda r: (r is not None, r)):
+        ops = sorted(by_round[rnd])
+        label = f"r{rnd}" if rnd is not None else "never"
+        print(f"  {label}: {len(ops)} ops")
+        for i in range(0, len(ops), 4):
+            print("      " + ", ".join(ops[i : i + 4]))
+
+
 def main() -> int:
     total, oracled = registry_counts()
     errors = check()
     print(f"registry: {total} entries, {oracled} oracled")
+    if "--census" in sys.argv:
+        print_census()
     for e in errors:
         print("DRIFT:", e)
     return 1 if errors else 0

@@ -107,6 +107,9 @@ OPS = [
     "op_quality_profile",
     # documents-driven families (documents scale 10x via the per-copy token
     # suffix — linear candidate growth; see tools/make_sf1.py)
+    "op_dedup_threshold_sweep",
+    "op_text_bpe_tokens",
+    "op_pack_sequences_bpe",
     "op_dedup_exact",
     "op_dedup_minhash",
     "op_dedup_minhash_capped",
