@@ -217,14 +217,28 @@ class Dialect:
         """BPE piece sequence of one word, encoded as a ``BPE_SEP``-joined
         string (``·h·e·l·l·o·`` -> merges -> ``·h·e·ll·o·``).
 
-        The merge program runs as a chain of plain string ``replace`` calls:
-        replacing ``·x·y·`` with ``·xy·`` IS one left-to-right,
-        non-overlapping BPE merge pass (both engines' replace scans leftmost
-        first, and the consumed trailing separator stops overlapping
-        re-matches — ``·l·l·l·`` becomes ``·ll·l·``, exactly BPE's
-        leftmost-pair semantics).  Pure codegen string ops — the same
-        replace-count identity family as op_text_code_detect; no UDF, no
-        per-character fold.
+        The merge program runs as a chain of plain string ``replace`` calls.
+        One merge pass = TWO replaces:
+
+        1. ``·x·y·`` -> ``·xy·`` merges every occurrence whose leading
+           separator is intact — but the match consumes the separator
+           AFTER ``y``, so an occurrence immediately following a merged one
+           (``x,y,x,y`` chains: "banana"'s second ``a,n``) is skipped;
+        2. ``xy·x·y·`` -> ``xy·xy·`` catches exactly those skipped
+           occurrences (each is, by construction, directly preceded by the
+           just-merged ``xy·``), and its replacement re-ends with ``·`` so
+           arbitrarily long ``xyxyxy...`` chains cascade within the one
+           left-to-right scan.
+
+        Together they merge ALL adjacent (x, y) symbol pairs — the true BPE
+        merge-pass semantics for x != y (occurrences of a pair with x != y
+        never share a symbol, so a real scan merges every one; BPE_MERGES
+        contains no x == y pair, where greedy pairing would differ).  Rank
+        order equals constituent-creation order in the table (as in any
+        trained merges.txt), so in-order full passes match the min-rank
+        tokenizer loop.  Pure codegen string ops — the same replace-count
+        identity family as op_text_code_detect; no UDF, no per-character
+        fold.
         """
         stripped = f"replace({w}, '{BPE_SEP}', '')"
         chars = self.filt(self.split(stripped, "''"), "__c", "__c <> ''")
@@ -241,6 +255,10 @@ class Dialect:
             s = (
                 f"replace({s}, '{BPE_SEP}{x}{BPE_SEP}{y}{BPE_SEP}', "
                 f"'{BPE_SEP}{x}{y}{BPE_SEP}')"
+            )
+            s = (
+                f"replace({s}, '{x}{y}{BPE_SEP}{x}{BPE_SEP}{y}{BPE_SEP}', "
+                f"'{x}{y}{BPE_SEP}{x}{y}{BPE_SEP}')"
             )
         return s
 

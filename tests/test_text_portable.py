@@ -158,10 +158,35 @@ def test_bpe_kernels_match(spark):
     assert _spark_vals(spark, s) == _duck_vals(d)
 
 
+def _ref_bpe_pieces(word: str) -> list[str]:
+    """Independent reference: rank-order full-pass BPE (per merge, ONE
+    left-to-right symbol scan merging all adjacent occurrences) — the
+    semantics the string-replace encoding must reproduce.  Kept as a plain
+    Python loop so the engine kernels are checked against an implementation
+    that shares none of their machinery."""
+    from daq_3i_spark.functions.text import BPE_MERGES, BPE_SEP
+
+    syms = list(word.replace(BPE_SEP, ""))
+    for x, y in BPE_MERGES:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def test_bpe_merge_semantics(spark):
-    """Pin the merge program itself: rank order, leftmost non-overlapping,
-    separator stripping, and the chained merges ((t,h)->th feeding
-    (th,e)->the; (i,n)->in feeding (in,g)->ing)."""
+    """Pin the merge program itself: rank order, ALL adjacent occurrences
+    per pass (the two-replace encoding — pass 2 catches occurrences whose
+    leading separator pass 1 consumed: "banana"'s second a,n), separator
+    stripping, and the chained merges ((t,h)->th feeding (th,e)->the;
+    (i,n)->in feeding (in,g)->ing)."""
     import duckdb
 
     con = duckdb.connect()
@@ -172,6 +197,8 @@ def test_bpe_merge_semantics(spark):
 
     assert pieces("the") == "·the·"          # t+h -> th, th+e -> the
     assert pieces("standing") == "·st·and·ing·"  # chained in->ing, an->and
+    assert pieces("banana") == "·b·an·an·a·"  # back-to-back (a,n) both merge
+    assert pieces("ananan") == "·an·an·an·"   # chains cascade in pass 2
     assert pieces("lll") == "·l·l·l·"        # no (l,l) merge in the table
     assert pieces("x·y") == "·x·y·"          # separator stripped from input
     assert pieces("") == "··"                # empty word = one piece
@@ -180,6 +207,28 @@ def test_bpe_merge_semantics(spark):
     # merge chain: length identity
     cnt = con.execute("SELECT " + DUCK.bpe_word_count("'standing'")).fetchone()[0]
     assert cnt == 3
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """Fuzz the engine kernel against the independent Python reference —
+    cross-engine parity alone can't catch a systematic encoding bug shared
+    by both dialect renderings; this can."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    alphabet = "thean iorsgd"
+    for _ in range(400):
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 14))
+        ).replace(" ", "")
+        q = w.replace("'", "''")
+        got = con.execute("SELECT " + DUCK.bpe_pieces(f"'{q}'")).fetchone()[0]
+        ref = _ref_bpe_pieces(w)
+        want = "·" + "·".join(ref) + "·" if ref else "··"
+        assert got == want, (w, got, want)
 
 
 @settings(max_examples=8, deadline=None)
