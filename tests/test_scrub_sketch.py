@@ -452,3 +452,41 @@ def test_cm_sketch_never_underestimates(spark, sf_dir):
         assert r["over_count"] >= 0
         assert r["cm_estimate"] == r["n_exact"] + r["over_count"]
         assert r["n_exact"] == exact[r["token"]]
+
+
+def test_bench_guard_median_fallback_needs_sample_size():
+    """Probe-less comparisons: a LARGE common set with a uniform host shift
+    plus one real slide gets median-normalized (host shift cancelled, the
+    real slide still flagged); a TINY common set uses raw ratios — a median
+    over 2 queries would let the one real regression normalize itself away
+    (the r11 self-test regression)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    guard = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "bench_guard.py",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        prev = os.path.join(d, "prev.json")
+        new = os.path.join(d, "new.json")
+        notes = os.path.join(d, "notes.md")
+        open(notes, "w").write("nothing relevant\n")
+        # 11 steady queries under a uniform 1.3x host window + 1 real 3x slide
+        pq = {f"q{i}": 1.0 for i in range(11)} | {"q_slide": 1.0}
+        nq = {f"q{i}": 1.3 for i in range(11)} | {"q_slide": 3.0}
+        json.dump({"queries": pq}, open(prev, "w"))
+        json.dump({"queries": nq}, open(new, "w"))
+        r = subprocess.run(
+            [sys.executable, guard, prev, new, "--notes", notes],
+            capture_output=True, text=True,
+        )
+        # median 1.3 cancels the window; 3.0/1.3 = 2.3x flags the real slide
+        assert r.returncode == 1 and "q_slide" in r.stdout, r.stdout + r.stderr
+        assert "median per-query ratio 1.30x" in r.stdout
+        # steady queries must NOT be flagged
+        assert "REGRESSION q0" not in r.stdout

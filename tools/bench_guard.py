@@ -25,10 +25,14 @@ slides, not host weather.  When either record predates the probe (r9 and
 older), the guard normalizes by the MEDIAN per-query ratio instead (r11): a
 uniform host shift moves the median exactly as it moves each query, so
 median-normalized ratios isolate per-op slides the same way the probe does —
-with the caveat that a genuine regression touching >half the common set
+with two caveats.  (1) A genuine regression touching >half the common set
 would partly self-mask, which is why the raw median and total are always
 printed and a median beyond the threshold still tags every flag
-"whole-run offset" for the adjudication.
+"whole-run offset" for the adjudication.  (2) The median is only a credible
+host estimate over a reasonably sized sample: below MIN_MEDIAN_N common
+queries a single real regression drags the median and normalizes ITSELF
+away, so small probe-less comparisons fall back to raw ratios (pinned by
+tests/test_scrub_sketch.py::test_bench_guard_self).
 """
 
 from __future__ import annotations
@@ -38,6 +42,11 @@ import json
 import os
 import statistics
 import sys
+
+#: minimum common-query count for the probe-less median-normalization
+#: heuristic — under this, one real regression would shift the median
+#: enough to mask itself, so the guard stays raw
+MIN_MEDIAN_N = 8
 
 
 def load_times(path: str) -> tuple[dict[str, float], float | None]:
@@ -99,12 +108,19 @@ def main() -> int:
             f"{host:.2f}x (per-query ratios normalized by it)"
         )
         factor = host
-    else:
+    elif len(common) >= MIN_MEDIAN_N:
         print(
             f"calibration probe: absent in one record — normalizing by the "
             f"median per-query ratio {median:.2f}x (uniform-window heuristic)"
         )
         factor = median if median > 0 else 1.0
+    else:
+        print(
+            f"calibration probe: absent, and {len(common)} common queries "
+            f"are too few for the median heuristic (min {MIN_MEDIAN_N}) — "
+            "using raw ratios"
+        )
+        factor = 1.0
 
     norm = {q: r / factor for q, r in ratios.items()}
     regressions = [(q, norm[q]) for q in norm if norm[q] > args.threshold]
