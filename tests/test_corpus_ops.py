@@ -375,7 +375,17 @@ def test_curriculum_stages_are_length_ordered(spark, sf_dir):
         assert bounds[k][1] < bounds[k + 1][0]
 
 
-@pytest.mark.parametrize("op", ["op_text_bpe_tokens", "op_pack_sequences_bpe"])
+@pytest.mark.parametrize(
+    "op",
+    [
+        "op_text_bpe_tokens",
+        "op_pack_sequences_bpe",
+        # the edge corpus contains one exact near-dup pair (docs 0 and 10),
+        # so the sweep's tau=0.7 level is non-empty here — the branch the
+        # synthetic corpus exercises only at bulk scale
+        "op_dedup_threshold_sweep",
+    ],
+)
 def test_bpe_ops_edge_corpus_match_oracle(spark, edge_dir, op):
     q = QUERIES[op]
     problems = compare(q.spark(spark, edge_dir), run_oracle(q.oracle, edge_dir))
