@@ -3462,23 +3462,36 @@ def oriented_edges(li: DataFrame) -> DataFrame:
     "graph is a DAG and each triangle is enumerated exactly ONCE as "
     "(x,y)+(y,z)+(x,z) — counts are exact integers, identical to the "
     "id-oriented oracle's.  Plan: basket pair generation is the "
-    "market-basket generator (work Σ basket², never all-parts); the "
-    "undirected edge list is lazily cached for the degree census and "
-    "the orientation pass, the ORIENTED list for its three join "
-    "consumers; wedge fan-out in e1⋈e2 is Σ_y in(y)·out(y) with out() "
-    "bounded by O(√|E|) (arboricity), so one viral part — max degree "
-    "— cannot go quadratic, which the id orientation does (its wedge "
-    "count is Σ deg_lo(y)·deg_hi(y), hitting d²/4 on a mid-id hub; "
-    "pinned by the viral-hub fixture test).  The final explode+count "
-    "is 3 rows per triangle into a part-dimension aggregate",
+    "market-basket generator (work Σ basket², never all-parts); "
+    "enumeration is ADJACENCY-INTERSECTION, not the wedge join: per "
+    "oriented edge (x,y), the triangle apexes are array_intersect("
+    "succ(x), succ(y)) — successor arrays are O(√|E|) by the "
+    "orientation (arboricity bound), and the wedge multiset never "
+    "materializes (the e1⋈e2 form shuffled 49M wedge rows at sf0.1 to "
+    "keep 3T of them; this form shuffles |E| rows for the successor "
+    "census + 3T for the final count, with the part-dimension "
+    "successor table broadcast — drop the hint at a node count where "
+    "it can't broadcast and the plan degrades to two |E|-row hash "
+    "joins, still never wedge-sized).  The intersect work per edge is "
+    "out(x)+out(y), so the whole pass is Σ_y in(y)·out(y) element ops "
+    "in codegen instead of shuffled rows; one viral part — max degree "
+    "— cannot go quadratic (the viral-hub fixture pins the id "
+    "orientation at d²/4 and this plan's wedge multiset ≤ |E|).  The "
+    "final explode+count is 3 rows per triangle into a part-dimension "
+    "aggregate",
 )
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e = oriented_edges(li)
-    e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    e3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    succ = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    sx = succ.select(F.col("src").alias("x"), F.col("nbrs").alias("nx"))
+    sy = succ.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
+    tri = (
+        e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .join(F.broadcast(sx), "x")
+        .join(F.broadcast(sy), "y")
+        .select("x", "y", F.explode(F.array_intersect("nx", "ny")).alias("z"))
+    )
     return (
         tri.select(
             F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(

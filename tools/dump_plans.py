@@ -62,7 +62,7 @@ REPRESENTATIVES = [
     ("op_sql_window_range", "ORDER-VALUE range frame: one channel exchange, one Window serving both frame aggregates"),
     ("op_orders_abc_analysis", "global_cumsum: cached range exchange -> partition-local Arrow cumsum + P-row offsets broadcast, no single-partition window"),
     ("op_embed_outliers", "labels x 64 centroid arrays broadcast + unrolled codegen dist^2 + integer z-gate, zero data-sized shuffles"),
-    ("op_graph_triangles", "cached edge list feeding three equi-join consumers, compact-forward orientation"),
+    ("op_graph_triangles", "degree-oriented adjacency intersection: broadcast successor arrays + per-edge array_intersect — the wedge multiset never materializes"),
     ("op_dedup_threshold_sweep", "band + posting pair generators (both bucket-blocked) joined once; tau sweep = array-filter explode over the one verified-pair frame"),
     ("op_text_bpe_tokens", "BPE merge chain as pure codegen string replaces — projection-only plan, no shuffle, no UDF"),
     ("op_pack_sequences_bpe", "per-row codegen BPE count, then ONE source exchange + running-sum window"),
