@@ -1896,6 +1896,89 @@ def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MHEVAL_TAU = 0.4  # "true near-dup" threshold for the recall denominator
 
 
+def _band_exact_frames(spark: SparkSession, sf_dir: str):
+    """(cand, inter, za, zb): same-language MinHash band candidates plus the
+    exact shingle-intersection frames they are verified against — the ONE
+    derivation shared by op_corpus_minhash_eval (recall eval) and
+    op_dedup_threshold_sweep (threshold curve), mirroring how both oracles
+    compose the same _duck_sig_cte.
+
+    All multi-consumer frames are cache.shared(): the token-hash prelude
+    ``th`` feeds BOTH pair generators (minhash signatures for the band
+    index, shingle postings for the exact Jaccard), ``bands`` feeds both
+    self-join sides, ``shp`` feeds both posting sides + the size census,
+    and ``cand`` feeds each caller's 1-3 consumers.  ``inter`` holds the
+    per-pair shingle intersection count ``i``; ``za``/``zb`` are the
+    per-doc shingle-set sizes keyed for the doc_a/doc_b joins, so a caller
+    computes exact Jaccard as i / (na + nb - i).  Both pair generators are
+    bucket-blocked (band buckets / (lang, shingle) postings — never
+    all-pairs)."""
+    from daq_3i_spark.functions.text import SPARK
+    from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
+    from daq_3i_spark.sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    th = shared(_spark_th_of(docs))
+    sigs = _spark_sigs_from_th(th)
+    bands = shared(
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
+                "band_idx", "band_val"
+            ),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand0 = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # lang from th, not docs: every banded doc passed th's >= 3-token filter,
+    # so the restriction is identical and the broadcast dim is smaller
+    lang = th.select("doc_id", "lang")
+    la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    cand = shared(
+        cand0.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+
+    shp = shared(
+        th.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
+        ).distinct()
+    )
+    sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = shp.alias("sa"), shp.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.lang") == F.col("sb.lang"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return cand, inter, za, zb
+
+
 def _minhash_eval_oracle() -> str:
     from daq_3i_spark.functions.text import DUCK
     from daq_3i_spark.plans.extension_ops import _duck_sig_cte
@@ -1957,73 +2040,7 @@ def _minhash_eval_oracle() -> str:
     "counts are three scalar aggregates cross-joined one-row",
 )
 def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.functions.text import SPARK
-    from daq_3i_spark.sources.tables import load_spread
-
-    docs = load_spread(spark, sf_dir, "documents")
-    lang = docs.select("doc_id", "lang")
-
-    # the token-hash prelude feeds BOTH pair generators (minhash signatures
-    # for the band index, shingle postings for the exact-Jaccard truth) —
-    # the SHARED chain stages from extension_ops (the oracle composes the
-    # same _duck_sig_cte), materialized once
-    from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
-
-    th = shared(_spark_th_of(docs))
-    sigs = _spark_sigs_from_th(th)
-    bands = shared(
-        sigs.select(
-            "doc_id",
-            F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
-                "band_idx", "band_val"
-            ),
-        )
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand0 = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
-    lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
-    cand = shared(
-        cand0.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
-        .filter(F.col("lang_a") == F.col("lang_b"))
-        .select("doc_a", "doc_b")
-    )
-
-    shp = shared(
-        th.select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
-        ).distinct()
-    )
-    sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa, sb = shp.alias("sa"), shp.alias("sb")
-    inter = (
-        sa.join(
-            sb,
-            (F.col("sa.h") == F.col("sb.h"))
-            & (F.col("sa.lang") == F.col("sb.lang"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand, inter, za, zb = _band_exact_frames(spark, sf_dir)
     truth = shared(
         inter.join(F.broadcast(za), "doc_a")
         .join(F.broadcast(zb), "doc_b")
@@ -2129,70 +2146,7 @@ def _threshold_sweep_oracle() -> str:
     "pair-count-sized frame; counts are exact integers (no float aggregates)",
 )
 def op_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from daq_3i_spark.functions.text import SPARK
-    from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
-    from daq_3i_spark.sources.tables import load_spread
-
-    docs = load_spread(spark, sf_dir, "documents")
-    # shared prelude (token hashes + lang) feeds BOTH pair generators — the
-    # band index and the exact-Jaccard postings — materialized once, the
-    # op_corpus_minhash_eval convention (the oracle composes _duck_sig_cte)
-    th = shared(_spark_th_of(docs))
-    sigs = _spark_sigs_from_th(th)
-    bands = shared(
-        sigs.select(
-            "doc_id",
-            F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
-                "band_idx", "band_val"
-            ),
-        )
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand0 = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    lang = th.select("doc_id", "lang")
-    la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
-    lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
-    cand = (
-        cand0.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
-        .filter(F.col("lang_a") == F.col("lang_b"))
-        .select("doc_a", "doc_b")
-    )
-
-    shp = shared(
-        th.select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
-        ).distinct()
-    )
-    sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa, sb = shp.alias("sa"), shp.alias("sb")
-    inter = (
-        sa.join(
-            sb,
-            (F.col("sa.h") == F.col("sb.h"))
-            & (F.col("sa.lang") == F.col("sb.lang"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand, inter, za, zb = _band_exact_frames(spark, sf_dir)
     # inner join drops candidates sharing NO shingle (jaccard 0 < min tau) —
     # same set the oracle's `cand JOIN inter` keeps
     ver = (
