@@ -38,6 +38,14 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # ivfpq_topk, cm_sketch, rfm, vocab, components, pagerank, sim_pq_rerank is
 # in the r6 cohort anyway) — at r12 they are 3 rounds stale, inside the
 # horizon, and the r7 cohort (47 ops) comes due then too.
+# Touched AFTER this window froze (late r11, window full — all three are
+# locally oracle-green and MUST hold early r12 slots): op_graph_pagerank
+# (integer node keys inside the iterations, string form re-rendered before
+# the final TakeOrdered — already in the deferred lead list above),
+# op_graph_triangles (adjacency-intersection enumeration — has an r11 row
+# from the window but the enumeration changed after it was designed; give
+# it a fresh r12 row), and op_corpus_minhash_eval (plan-identical refactor
+# onto the shared _band_exact_frames helper with op_dedup_threshold_sweep).
 _CHECK_PRIORITY = [
     # -- (1) NEW in r11 (never driver-checked) --------------------------------
     "op_dedup_threshold_sweep", "op_text_bpe_tokens", "op_pack_sequences_bpe",
