@@ -6,12 +6,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the Python boundary is crossed once per batch, not
 per row (vectorized, zero-copy via Arrow).
 
-The image/audio codecs are not available in this environment, so the decode
-step is a documented stub (:func:`decode_media` raises NotImplementedError);
-:func:`extract_features` instead computes a *deterministic* 8-dim
-byte-statistics feature vector so the full Spark plumbing — schema, batch
-iteration, partition preservation — is real and testable.  Swapping in a real
-decoder means replacing one pure function.
+Decoding goes through a CODEC REGISTRY keyed by mime type: the netpbm
+formats (image/x-portable-{gray,pix}map) decode for real in pure numpy
+(built-in, dependency-free, so the oracled ops stay bit-portable), and
+richer codecs (Pillow JPEG/PNG) are an explicit opt-in via
+:func:`enable_pil_codecs` / ``DAQ3I_PIL_CODECS=1`` — :func:`decode_media`
+raises only for a mime with no registered codec (a real error path, not a
+stub).
+:func:`extract_features` computes a *deterministic* 8-dim byte-statistics
+feature vector so feature plumbing — schema, batch iteration, partition
+preservation — is testable without any codec at all.
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size is
 governed by spark.sql.execution.arrow.maxRecordsPerBatch; the feature

@@ -231,3 +231,119 @@ def global_cumsum_and_total(
     )
     total = totals.agg(F.sum(_CNT).cast("long").alias(total_alias))
     return out, total
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group: str,
+    value: Column,
+    order: list[Column],
+    alias: str = "cumsum",
+    rn_alias: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sum(value) OVER (PARTITION BY group ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` — and, when ``rn_alias`` is given, ``row_number()`` over the
+    SAME window — computed with P-way parallelism instead of one task per
+    group.
+
+    ``Window.partitionBy(group)`` plans one task per group value, so a
+    skewed group dimension (one web-crawl source holding 60-90% of a
+    training corpus) funnels most of the data through one core — the
+    module-docstring scale killer one level down.  This kernel is
+    :func:`global_cumsum_and_total`'s construction applied WITHIN group:
+
+    1. ``repartitionByRange`` on ``(group, *order)`` — the only data-sized
+       shuffle; a hot group spans a RUN of consecutive range partitions
+       instead of one hash bucket;
+    2. a partition-local per-group running sum/count (mapInPandas, carrying
+       per-group state across the partition's Arrow batches — within a
+       partition each group is one contiguous run, so the carry is a single
+       (key, sum, count) triple);
+    3. per-(group, partition) totals -> lower-partition offsets via a
+       window over ``<= P`` rows per group (bounded by cluster geometry,
+       never by group size) broadcast-joined back on (group, pid).
+
+    Output values are bit-identical to the window form provided ``(group,
+    *order)`` is a TOTAL order (unique tiebreaker — see
+    :func:`global_cumsum_and_total` on why ties break exactness).  ``value``
+    must be integral (BIGINT fixed-point); NULLs contribute 0; ``group``
+    must be non-null.  Rows keep all input columns; column order is NOT
+    preserved (callers select explicitly, per repo convention).
+    """
+    import pyspark.sql.types as T
+
+    from daq_3i_spark.cache import shared
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    val = "__gcs_val"
+    local = f"__gcs_local_{alias}"
+    lrn = f"__gcs_lrn_{alias}"
+    noff = "__gcs_noff"
+    ncnt = "__gcs_n"
+    rp = shared(
+        df.withColumn(val, F.coalesce(value.cast("long"), F.lit(0)))
+        .repartitionByRange(p, F.col(group), *order)
+        .sortWithinPartitions(F.col(group), *order)
+        .withColumn(_PID, F.spark_partition_id().cast("long"))
+    )
+    totals = rp.groupBy(group, _PID).agg(
+        F.sum(val).alias(_CNT), F.count("*").alias(ncnt)
+    )
+    # offsets: this group's totals in all lower-pid partitions.  The window
+    # partitions by GROUP over the (group, pid) census — <= P rows per
+    # group, so even the hottest source's offset rollup is cluster-geometry
+    # sized, and the whole census (<= P + #groups rows) broadcasts.
+    w_off = (
+        Window.partitionBy(group)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group,
+        _PID,
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF),
+        F.coalesce(F.sum(ncnt).over(w_off), F.lit(0)).alias(noff),
+    )
+    out_schema = T.StructType(
+        rp.schema.fields
+        + [T.StructField(local, T.LongType()), T.StructField(lrn, T.LongType())]
+    )
+
+    def running(batches):
+        # within a sorted partition each group is ONE contiguous run, so the
+        # only cross-batch state is the last row's (key, cumsum, count); a
+        # batch's leading rows continue that run iff their key matches
+        first, carry_key, carry_sum, carry_n = True, None, 0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[local] = pdf[val].astype("int64")
+                pdf[lrn] = pdf[val].astype("int64")
+                yield pdf
+                continue
+            by = pdf.groupby(group, sort=False)
+            cs = by[val].cumsum()
+            rn = by.cumcount() + 1
+            if not first:
+                cont = (pdf[group] == carry_key).to_numpy()
+                cs = cs + cont * carry_sum
+                rn = rn + cont * carry_n
+            pdf[local] = cs.astype("int64")
+            pdf[lrn] = rn.astype("int64")
+            carry_key = pdf[group].iloc[-1]
+            carry_sum = int(pdf[local].iloc[-1])
+            carry_n = int(pdf[lrn].iloc[-1])
+            first = False
+            yield pdf
+
+    out = (
+        rp.mapInPandas(running, out_schema)
+        .join(F.broadcast(offsets), [group, _PID])
+        .withColumn(alias, (F.col(local) + F.col(_OFF)).cast("long"))
+    )
+    if rn_alias is not None:
+        out = out.withColumn(
+            rn_alias, (F.col(lrn) + F.col(noff)).cast("long")
+        )
+    return out.drop(_PID, _OFF, noff, val, local, lrn)

@@ -383,11 +383,14 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("node"), "rank", "tele")
         )
+    # integer DIV, not double division: (node/2).cast('long') is exact only
+    # below 2^53 — DIV is unconditionally exact at any key magnitude (the
+    # same policy op_join_interval_overlap uses for its bucket ids)
     node_str = F.when(
         F.col("node") % 2 == 0,
-        F.concat(F.lit("p"), (F.col("node") / 2).cast("long").cast("string")),
+        F.concat(F.lit("p"), F.expr("node DIV 2").cast("string")),
     ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+        F.concat(F.lit("s"), F.expr("(node - 1) DIV 2").cast("string"))
     )
     return (
         ranks.select(node_str.alias("node"), "rank")
@@ -1923,46 +1926,48 @@ def _band_exact_frames(spark: SparkSession, sf_dir: str):
     per-pair shingle intersection count ``i``; ``za``/``zb`` are the
     per-doc shingle-set sizes keyed for the doc_a/doc_b joins, so a caller
     computes exact Jaccard as i / (na + nb - i).  Both pair generators are
-    bucket-blocked (band buckets / (lang, shingle) postings — never
-    all-pairs)."""
+    bucket-blocked on keys that INCLUDE lang ((band_idx, band_val, lang)
+    buckets / (lang, shingle) postings — never all-pairs, and never a
+    corpus-sized doc->lang broadcast joined back on afterwards)."""
     from daq_3i_spark.functions.text import SPARK
-    from daq_3i_spark.plans.extension_ops import _spark_sigs_from_th, _spark_th_of
+    from daq_3i_spark.plans.extension_ops import _spark_th_of
     from daq_3i_spark.sources.tables import load_spread
 
     docs = load_spread(spark, sf_dir, "documents")
     th = shared(_spark_th_of(docs))
-    sigs = _spark_sigs_from_th(th)
+    # lang rides WITH the signature chain instead of being joined back on
+    # afterwards: band candidates are same-lang by construction once lang is
+    # part of the band self-join key, which deletes the two doc-dimension
+    # broadcast joins the pre-r12 shape forced (a doc_id->lang map grows
+    # linearly with the corpus — at the 100 TB design point that hint was a
+    # guaranteed executor/driver OOM).  Same candidate set: lang is
+    # functionally dependent on doc_id, so "bucket-mates, then same-lang
+    # filter" == "same-(bucket, lang) mates".
+    sigs = th.select(
+        "doc_id", "lang", F.expr(SPARK.shingle_hashes("th")).alias("sh")
+    ).select("doc_id", "lang", F.expr(SPARK.minhash_sig("sh")).alias("sig"))
     bands = shared(
         sigs.select(
             "doc_id",
+            "lang",
             F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(
                 "band_idx", "band_val"
             ),
         )
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand0 = (
+    cand = shared(
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    # lang from th, not docs: every banded doc passed th's >= 3-token filter,
-    # so the restriction is identical and the broadcast dim is smaller
-    lang = th.select("doc_id", "lang")
-    la = lang.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
-    lb = lang.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
-    cand = shared(
-        cand0.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
-        .filter(F.col("lang_a") == F.col("lang_b"))
-        .select("doc_a", "doc_b")
     )
 
     shp = shared(
@@ -2053,9 +2058,12 @@ def _minhash_eval_oracle() -> str:
 )
 def op_corpus_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, inter, za, zb = _band_exact_frames(spark, sf_dir)
+    # za/zb are doc-dimension frames (one row per doc) — no forced broadcast
+    # hint on anything that grows with the corpus; AQE promotes these
+    # equi-joins from runtime stats when the size table fits
     truth = shared(
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .filter(
             F.col("i").cast("double")
             / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
@@ -2161,10 +2169,11 @@ def op_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, inter, za, zb = _band_exact_frames(spark, sf_dir)
     # inner join drops candidates sharing NO shingle (jaccard 0 < min tau) —
     # same set the oracle's `cand JOIN inter` keeps
+    # za/zb are doc-dimension frames — never force-broadcast (AQE decides)
     ver = (
         cand.join(inter, ["doc_a", "doc_b"])
-        .join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -3435,10 +3444,12 @@ def oriented_edges(li: DataFrame) -> DataFrame:
     "orientation (arboricity bound), and the wedge multiset never "
     "materializes (the e1⋈e2 form shuffled 49M wedge rows at sf0.1 to "
     "keep 3T of them; this form shuffles |E| rows for the successor "
-    "census + 3T for the final count, with the part-dimension "
-    "successor table broadcast — drop the hint at a node count where "
-    "it can't broadcast and the plan degrades to two |E|-row hash "
-    "joins, still never wedge-sized).  The intersect work per edge is "
+    "census + 3T for the final count; the successor-table joins carry "
+    "NO forced hint — its payload is edge-sized (Σ|succ| = |E|), so "
+    "AQE promotes them to broadcast from runtime stats when the table "
+    "fits and the plan degrades to two |E|-row hash joins "
+    "automatically when it doesn't, still never wedge-sized).  The "
+    "intersect work per edge is "
     "out(x)+out(y), so the whole pass is Σ_y in(y)·out(y) element ops "
     "in codegen instead of shuffled rows; one viral part — max degree "
     "— cannot go quadratic (the viral-hub fixture pins the id "
@@ -3452,10 +3463,15 @@ def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     succ = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     sx = succ.select(F.col("src").alias("x"), F.col("nbrs").alias("nx"))
     sy = succ.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
+    # no forced broadcast hint: the successor table's payload is edge-sized
+    # (Σ array lengths = |E|), so a hard hint would be a forced OOM at scale;
+    # AQE promotes these equi-joins to broadcast from RUNTIME stats when the
+    # table fits (verified in the sf0.1 plan dump) and degrades to two
+    # |E|-row hash joins automatically when it doesn't — never wedge-sized
     tri = (
         e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-        .join(F.broadcast(sx), "x")
-        .join(F.broadcast(sy), "y")
+        .join(sx, "x")
+        .join(sy, "y")
         .select("x", "y", F.explode(F.array_intersect("nx", "ny")).alias("z"))
     )
     return (

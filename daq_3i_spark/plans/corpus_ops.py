@@ -10,10 +10,12 @@ BASELINE.json's north star asks.
 
 Scale notes (100 TB):
 
-* packing partitions by ``source`` — each shard packs independently, so the
-  running-sum window never needs a global ordering (one shuffle on source;
-  at production scale the shard key would be (source, day) or a hash bucket
-  with the same plan shape);
+* packing groups by ``source`` — each shard packs independently, and the
+  running sum runs on the hot-source-safe ``grouped_cumsum`` kernel
+  (operators/ranks.py): one RANGE shuffle on (source, order-key), partition-
+  local sums, a <= P-row per-source offset rollup — a dominant source (one
+  web crawl = 90% of a real corpus) spans many tasks instead of one
+  ``Window.partitionBy(source)`` task, with bit-identical output;
 * contamination broadcasts the eval-set shingle table (eval benchmarks are
   tiny relative to the corpus) — the train side streams through a broadcast
   hash join, no shuffle of the corpus;
@@ -28,6 +30,7 @@ from pyspark.sql import functions as F
 
 from daq_3i_spark.cache import shared
 from daq_3i_spark.functions.text import DUCK, SPARK
+from daq_3i_spark.operators.ranks import grouped_cumsum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_spread
 
@@ -74,8 +77,12 @@ _TOP_TOKEN_FREQ = """
     doc="sequence packing for LLM pretraining: per source shard, documents "
     "are concatenated in doc_id order into a token stream cut every "
     f"{_PACK_BUDGET} tokens; each doc reports the packed sequences it spans "
-    "and its offset in the first one.  One shuffle (partition by source), "
-    "integer-only window arithmetic — the standard concat-and-chunk packing "
+    "and its offset in the first one.  One RANGE shuffle on (source, "
+    "doc_id) + the grouped_cumsum kernel (operators/ranks.py): the running "
+    "sum is partition-local with a <= P-row per-source offset rollup, so a "
+    "hot source (one web crawl = 90% of the corpus) spans many tasks "
+    "instead of funneling through Window.partitionBy(source)'s single "
+    "task; integer-only arithmetic — the standard concat-and-chunk packing "
     "as a declarative plan",
 )
 def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,12 +90,9 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = grouped_cumsum(
+        t, "source", F.col("n_tokens"), [F.col("doc_id")], alias="cum"
     )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
     b = F.lit(_PACK_BUDGET)
     start_seq = F.expr(f"(cum - n_tokens) DIV {_PACK_BUDGET}")
     end_seq = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
@@ -173,19 +177,17 @@ def op_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whitespace count under-budgets real sequences by the merge compression "
     "factor, so shards packed by it overflow the model's context window.  "
     "Same plan shape: the BPE count is a per-row codegen projection, then "
-    "ONE shuffle (partition by source) and integer-only window arithmetic",
+    "ONE range shuffle on (source, doc_id) through the hot-source-safe "
+    "grouped_cumsum kernel and integer-only arithmetic",
 )
 def op_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", F.expr(SPARK.bpe_token_count("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = grouped_cumsum(
+        t, "source", F.col("n_tokens"), [F.col("doc_id")], alias="cum"
     )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
     b = F.lit(_PACK_BUDGET)
     start_seq = F.expr(f"(cum - n_tokens) DIV {_PACK_BUDGET}")
     end_seq = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
@@ -620,9 +622,10 @@ from daq_3i_spark.functions.numeric import (  # noqa: E402
     "a running token sum fills each source's budget greedily, and a document "
     "is selected iff it starts before the budget is exhausted — so the "
     "manifest is deterministic across runs, engines, and cluster sizes.  One "
-    "shuffle on source, running-sum window within the partition (the "
-    "op_pack_sequences shape); at 100 TB a dominant source would sub-shard "
-    "into (source, hash bucket) with per-bucket budgets, same plan",
+    "RANGE shuffle on (source, h, doc_id) through the hot-source-safe "
+    "grouped_cumsum kernel (running sum + sample rank in the same pass, "
+    "per-source offset rollup <= P rows); a dominant source spans many "
+    "tasks instead of one window task",
 )
 def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
@@ -632,20 +635,16 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tokens"),
         _lcg_coin(F.col("doc_id")).alias("h"),
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    cum = (
-        F.sum("n_tokens")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
+    c = grouped_cumsum(
+        t,
+        "source",
+        F.col("n_tokens"),
+        [F.col("h"), F.col("doc_id")],
+        alias="cum_tokens",
+        rn_alias="sample_rank",
     )
     return (
-        t.select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            cum.alias("cum_tokens"),
-            F.row_number().over(w).cast("bigint").alias("sample_rank"),
-        )
+        c.select("doc_id", "source", "n_tokens", "cum_tokens", "sample_rank")
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIX_BUDGET)
     )
 
@@ -694,9 +693,9 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its surviving chunks only, documents deduplicated to nothing drop out, "
     "and the per-source token budget fills over POST-dedup counts (sampling "
     "before dedup would overcount duplicated passages against the budget).  "
-    "One declarative plan: chunk-hash window -> doc regroup -> per-source "
-    "running-sum window; the same three shuffles as the standalone stages, "
-    "nothing materializes in between",
+    "One declarative plan: chunk-hash window -> doc regroup -> the "
+    "hot-source-safe grouped_cumsum running sum; the same three shuffles "
+    "as the standalone stages, nothing materializes in between",
 )
 def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
@@ -732,20 +731,16 @@ def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = deduped.filter(F.col("n_tokens") > 0).withColumn(
         "h", _lcg_coin(F.col("doc_id"))
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    cum = (
-        F.sum("n_tokens")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
+    c = grouped_cumsum(
+        live,
+        "source",
+        F.col("n_tokens"),
+        [F.col("h"), F.col("doc_id")],
+        alias="cum_tokens",
+        rn_alias="sample_rank",
     )
     return (
-        live.select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            cum.alias("cum_tokens"),
-            F.row_number().over(w).cast("bigint").alias("sample_rank"),
-        )
+        c.select("doc_id", "source", "n_tokens", "cum_tokens", "sample_rank")
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIX_BUDGET)
     )
 

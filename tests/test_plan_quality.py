@@ -116,3 +116,86 @@ def test_plan_construction_fires_no_jobs(spark, sf_dir, name):
     # between two copies; these three ops stay PINNED by name here because
     # they are the r8 regression cases the rule was written for
     check_lazy_construction(spark, sf_dir, name)
+
+
+def test_band_eval_no_corpus_sized_broadcast_hint(spark, sf_dir):
+    """VERDICT r11 'What's wrong #1', inverted pin: the shared band-eval
+    derivation (_band_exact_frames) must carry NO forced broadcast of any
+    doc-dimension frame (doc->lang maps, per-doc shingle sizes — all grow
+    linearly with the corpus; a hard hint there is a forced OOM at the
+    100 TB design point).  Hint census over the ANALYZED plan (hints are
+    eliminated before optimizedPlan): the threshold sweep carries zero
+    broadcast hints; the recall eval's only hints are its two ONE-ROW
+    count aggregates (nt/nh); same-lang restriction now rides the band
+    self-join key instead of being joined back on."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        an = (
+            QUERIES["op_dedup_threshold_sweep"]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert an.count("ResolvedHint") == 0, "forced broadcast crept back in"
+        an = (
+            QUERIES["op_corpus_minhash_eval"]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert an.count("ResolvedHint") == 2, (
+            "expected exactly the two one-row count-aggregate hints"
+        )
+    finally:
+        release_shared()
+
+
+def test_triangles_no_forced_broadcast_aqe_still_picks_it(spark, sf_dir):
+    """VERDICT r11 'What's wrong #3': the successor table's payload is
+    edge-sized (sum of array lengths = |E|), so the broadcast must be
+    AQE's runtime-stats decision, never a hard hint.  Pins both halves:
+    zero hints in the analyzed plan, AND the final adaptive plan still
+    chooses BroadcastHashJoin at test scale (the fast path survives
+    dropping the hint)."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        df = QUERIES["op_graph_triangles"].spark(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        assert qe.analyzed().toString().count("ResolvedHint") == 0
+        df.count()  # finalize the adaptive plan
+        final = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, (
+            "AQE no longer promotes the successor joins at test scale"
+        )
+    finally:
+        release_shared()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "op_pack_sequences",
+        "op_pack_sequences_bpe",
+        "op_corpus_budget_sample",
+        "op_corpus_dedup_sample",
+    ],
+)
+def test_packing_running_sum_not_single_task_per_source(spark, sf_dir, name):
+    """VERDICT r11 'What's wrong #2': the per-source running sums must run
+    on the grouped_cumsum kernel — the data-sized exchange is a RANGE
+    partitioning on (source, order) so a hot source spans many tasks, and
+    every window that partitions by source orders by the partition stamp
+    (the <= P-row offset rollup), never by a data column (the
+    single-task-per-source form)."""
+    import re
+
+    plan = _plan(spark, sf_dir, name)
+    assert "rangepartitioning(source" in plan, "data shuffle not range-keyed"
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    bad = [s for s in specs if "source" in s and "__rank_pid" not in s]
+    assert not bad, f"single-task-per-source window in plan: {bad}"

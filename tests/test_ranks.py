@@ -139,3 +139,120 @@ def test_global_cumsum_null_values_contribute_zero(spark):
         for r in global_cumsum(df, F.col("v"), [F.asc("k")], "cs", 3).collect()
     }
     assert got == {1: 10, 2: 10, 3: 15, 4: 15, 5: 16}
+
+
+def _mk_sourced(spark, n, hot=False):
+    """(doc_id, source, v) fixture; hot=True puts ~90% of rows in ONE source
+    — the real training-corpus shape (one web crawl dominates) that makes
+    Window.partitionBy(source) a single-task funnel."""
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    if hot:
+        src = F.when(F.col("doc_id") % 10 < 9, F.lit("crawl")).otherwise(
+            F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+        )
+    else:
+        src = F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"))
+    return (
+        df.withColumn("source", src)
+        .withColumn("v", (F.col("doc_id") % 13 + 1).cast("long"))
+        .withColumn("h", F.pmod(F.col("doc_id") * 2654435761, 1000003))
+        .repartition(8, "doc_id")
+    )
+
+
+@pytest.mark.parametrize("n,hot,parts", [
+    (1000, False, 16),
+    (1000, True, 16),   # 90% of rows in one source
+    (5, False, 16),     # more range partitions than rows
+    (1, False, 4),
+    (997, True, 3),
+])
+def test_grouped_cumsum_matches_window(spark, n, hot, parts):
+    """grouped_cumsum must be bit-identical to the per-group window form —
+    including the row_number branch — on uniform and hot-source shapes."""
+    from daq_3i_spark.operators.ranks import grouped_cumsum
+
+    df = _mk_sourced(spark, n, hot)
+    order = [F.col("h").asc(), F.col("doc_id").asc()]
+    got = {
+        r["doc_id"]: (r["cs"], r["rn"])
+        for r in grouped_cumsum(
+            df, "source", F.col("v"), order, "cs", rn_alias="rn",
+            num_partitions=parts,
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]: (r["cs"], r["rn"])
+        for r in df.withColumn("cs", F.sum("v").over(wf).cast("long"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_cumsum_carries_across_arrow_batches(spark):
+    """The partition-local running pass carries per-group state across the
+    partition's Arrow batches; force tiny batches so every partition spans
+    many and a broken carry (or a group run crossing a batch boundary)
+    shows up as a value mismatch."""
+    from daq_3i_spark.operators.ranks import grouped_cumsum
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = _mk_sourced(spark, 500, hot=True)
+        order = [F.col("doc_id").asc()]
+        got = {
+            r["doc_id"]: r["cs"]
+            for r in grouped_cumsum(
+                df, "source", F.col("v"), order, "cs", num_partitions=4
+            ).collect()
+        }
+        wf = (
+            Window.partitionBy("source")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["doc_id"]: r["cs"]
+            for r in df.withColumn("cs", F.sum("v").over(wf).cast("long")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_grouped_cumsum_hot_source_spans_many_tasks(spark):
+    """The scale property itself: with 90% of rows in one source, the
+    data-sized exchange must be a RANGE partitioning over (source, order)
+    — the hot source spans a run of partitions — and the only window in
+    the plan is the <= P-row per-(group, pid) offset rollup, never a
+    data-sized ORDER BY window."""
+    import re
+
+    from daq_3i_spark.operators.ranks import grouped_cumsum
+
+    df = _mk_sourced(spark, 2000, hot=True)
+    out = grouped_cumsum(
+        df, "source", F.col("v"), [F.col("doc_id").asc()], "cs",
+        num_partitions=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(source" in plan, "data shuffle is not range-keyed"
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "offset rollup window missing"
+    assert all("__rank_pid" in s for s in specs), (
+        "a window orders by a data column — the single-task-per-source form"
+    )
+    # and the hot source really does span several range partitions
+    rp = (
+        df.repartitionByRange(16, F.col("source"), F.col("doc_id"))
+        .select("source", F.spark_partition_id().alias("pid"))
+        .filter(F.col("source") == "crawl")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert rp > 4, f"hot source landed in only {rp} range partitions"

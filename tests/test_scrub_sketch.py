@@ -459,7 +459,9 @@ def test_bench_guard_median_fallback_needs_sample_size():
     plus one real slide gets median-normalized (host shift cancelled, the
     real slide still flagged); a TINY common set uses raw ratios — a median
     over 2 queries would let the one real regression normalize itself away
-    (the r11 self-test regression)."""
+    (the r11 self-test regression).  This test exercises the 12-query
+    median path; the tiny-set raw-ratio branch (len(common) < MIN_MEDIAN_N)
+    is pinned by test_bench_guard_self's 2-query case."""
     import json
     import os
     import subprocess
