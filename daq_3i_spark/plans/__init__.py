@@ -20,59 +20,53 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # ops semantically TOUCHED that round so fixes get fresh canonical rows
 # immediately, then drains the stalest cohort.
 #
-# Round 11 window (VERDICT r10 #3: drain the r6-stale cohort — 44 ops, one
-# round clears it exactly):
-# (1) the 3 NEW r11 ops (never driver-checked): the dedup-threshold
-#     sensitivity curve and the toy-BPE tokenizer pair (VERDICT #6/#7);
-# (2) ops semantically TOUCHED in r11, so the fixes get fresh canonical
-#     rows: op_graph_triangles (degree orientation — identical output,
-#     arboricity-bounded wedge fan-out, VERDICT #1), op_join_interval_overlap
-#     (bucket ids via integer `div`, ADVICE r10), op_sink_merge_upsert (the
-#     optimistic-concurrency commit path in sources/sink.py is shared by
-#     every manifest service — merge_upsert is its most write-intensive
-#     registered consumer, standing in for the family; the rest of the sink
-#     ops keep their r7-r10 rows and rotate forward in r12);
-# (3) the ENTIRE round-6 cohort (44 ops), intricate/stateful first.
-# 3 + 3 + 44 = 50 — the full window.  Deliberately deferred to r12: the 8
-# ops touched by r10's cache convergence but last checked in r9 (pq_topk,
-# ivfpq_topk, cm_sketch, rfm, vocab, components, pagerank, sim_pq_rerank is
-# in the r6 cohort anyway) — at r12 they are 3 rounds stale, inside the
-# horizon, and the r7 cohort (47 ops) comes due then too.
-# Touched AFTER this window froze (late r11, window full — all three are
-# locally oracle-green and MUST hold early r12 slots): op_graph_pagerank
-# (integer node keys inside the iterations, string form re-rendered before
-# the final TakeOrdered — already in the deferred lead list above),
-# op_graph_triangles (adjacency-intersection enumeration — has an r11 row
-# from the window but the enumeration changed after it was designed; give
-# it a fresh r12 row), and op_corpus_minhash_eval (plan-identical refactor
-# onto the shared _band_exact_frames helper with op_dedup_threshold_sweep).
+# Round 12 window (VERDICT r11 #3: the r7 cohort — 47 ops — hits the
+# 4-round staleness horizon this round and fills the window almost alone):
+# (1) 3 slots for ops whose EXECUTION changed materially in r12, so the
+#     rewrites get fresh canonical rows: op_corpus_budget_sample and
+#     op_corpus_dedup_sample (per-source running sums rebuilt on the
+#     hot-source-safe grouped_cumsum kernel — cumsum AND sample_rank now
+#     come from the range-partition construction; also the stalest of the
+#     rewired family at r9) and op_corpus_minhash_eval (same-lang
+#     restriction moved INTO the band self-join key, deleting the forced
+#     doc->lang broadcasts — r10 row, staler than its r11-checked twin
+#     op_dedup_threshold_sweep which shares the identical derivation);
+# (2) the ENTIRE round-7 cohort (47 ops), intricate/stateful first.
+# 3 + 47 = 50 — the full window.  Also touched in r12 but left OUT (window
+# full; every one is locally oracle-parity-green and each changed code path
+# has a window representative): op_pack_sequences / op_pack_sequences_bpe
+# (r11 rows; same grouped_cumsum kernel as the two sampled ops),
+# op_dedup_threshold_sweep (r11 row; same _band_exact_frames derivation as
+# minhash_eval), op_graph_triangles (r11 row; only the broadcast HINT was
+# dropped — AQE picks the same join, pinned by plan test), and
+# op_graph_pagerank (r9 row; only the final 100-row node-id rendering
+# changed to integer DIV — it is in the r9 cohort that leads r13 anyway,
+# together with the r10-touched pq_topk/ivfpq_topk/cm_sketch/rfm/vocab/
+# components group deferred since r11).
 _CHECK_PRIORITY = [
-    # -- (1) NEW in r11 (never driver-checked) --------------------------------
-    "op_dedup_threshold_sweep", "op_text_bpe_tokens", "op_pack_sequences_bpe",
-    # -- (2) touched in r11 ----------------------------------------------------
-    "op_graph_triangles", "op_join_interval_overlap", "op_sink_merge_upsert",
-    # -- (3) the r6 cohort: stateful/streaming first --------------------------
-    "flagship_pipeline", "op_stream_anomaly_sketch", "op_stream_corpus_ingest",
-    "op_stream_latest_per_channel", "op_stream_pipeline",
-    "op_stream_stale_monitor", "op_graceful_stop", "op_session_window_batch",
-    "op_dedup_substring", "op_dedup_semantic", "op_dedup_exact",
-    "op_contamination_check", "op_corpus_clean_pipeline",
-    "op_pack_sequences", "op_multimodal_resize", "op_sink_upsert_status",
-    "op_sink_append_channel_data", "op_sink_delete_retention",
-    "op_source_modbus_poll", "op_sql_approx_sketches",
-    "op_sql_histogram_quantile", "op_sql_kmv_sketch", "op_sql_q17_smallqty",
-    "op_sql_q20_dominant", "op_count_per_channel", "op_filter_due",
-    "op_filter_enabled", "op_join_channels_buses",
-    "op_join_channels_conversions", "op_join_data_channels",
-    "op_latest_per_channel", "op_oldest_n_per_channel", "op_retention_topk",
-    "op_scan_channel_data", "op_scan_config_buses", "op_scan_config_channels",
-    "op_text_scrub", "op_timeseries_interpolate",
-    "op_timeseries_interpolate_bucketed", "op_timeseries_interpolate_multiday",
-    "op_timeseries_locf", "op_timeseries_locf_bucketed",
-    "op_timeseries_locf_multiday",
-    "op_sim_pq_rerank_topk",
-    # -- past the 50-entry window: r12 leads with these (touched r10,
-    #    checked r9) -----------------------------------------------------------
+    # -- (1) execution materially changed in r12 ------------------------------
+    "op_corpus_budget_sample", "op_corpus_dedup_sample",
+    "op_corpus_minhash_eval",
+    # -- (2) the r7 cohort: stateful/intricate first ---------------------------
+    "op_stream_stream_join", "op_join_enrich_stream", "op_sink_time_travel",
+    "op_sink_retention_time", "op_sink_truncate_status",
+    "op_source_csv_roundtrip", "op_source_json_roundtrip",
+    "op_anomaly_rank_bucketed", "op_asof_join", "op_range_join",
+    "op_join_salted", "op_convert_expr", "op_decode_registers",
+    "op_sign_extend", "op_error_handling", "op_heartbeat", "op_sched_tick",
+    "op_filter_dirty", "op_filter_status_key", "op_project_columns",
+    "op_status_per_channel", "op_dedup_embedding", "op_dedup_simhash",
+    "op_embed_quantize", "op_sample_stratified", "op_sim_ivf_topk",
+    "op_sim_lsh_topk", "op_sim_range_search", "op_sim_topk",
+    "op_multimodal_pack", "op_text_bigrams", "op_text_chunk",
+    "op_text_fingerprint", "op_text_langid", "op_text_quality",
+    "op_text_repetition", "op_text_stats", "op_text_tokens",
+    "op_sql_distinct_agg", "op_sql_exists", "op_sql_notin_countdistinct",
+    "op_sql_pivot", "op_sql_q13_distribution", "op_sql_quantiles",
+    "op_sql_semi_anti", "op_sql_setops", "op_sql_window_rank",
+    # -- past the 50-entry window: r13 leads with the r9 cohort (46 ops,
+    #    incl. pagerank/budget-sample family refreshed above) and the
+    #    r10-touched deferred group ------------------------------------------
     "op_sim_pq_topk", "op_sim_ivfpq_topk", "op_sql_cm_sketch",
     "op_events_rfm", "op_text_vocab", "op_dedup_components",
     "op_graph_pagerank",

@@ -1,0 +1,150 @@
+"""SQL dialect rendering for the JDBC sink surface.
+
+The reference's production database is MySQL (reference Pipfile:6-11 pins
+mysql+pymysql; db_model.py:65-67 builds the URL), but this sandbox has no
+MySQL server — the live JDBC path is exercised against embedded Derby
+(tests/test_sink_services.py).  What CAN be verified without a server is
+the exact SQL this engine would send: every statement the sink executes is
+rendered HERE, per dialect, as a pure string function — the live Derby path
+runs the ``ansi`` renderings, and the ``mysql`` renderings are golden-pinned
+in tests/test_sink_services.py so the environment-bound gap shrinks to
+"does MySQL accept what we'd send" (DIVERGENCES.md records that residue).
+
+Dialect differences covered:
+
+* identifier quoting — ANSI double quotes vs MySQL backticks (MySQL accepts
+  double quotes only under the non-default ANSI_QUOTES sql_mode, so the
+  mysql renderings never rely on it);
+* types — ANSI/Derby ``TIMESTAMP`` vs MySQL ``DATETIME(6)`` (MySQL's
+  TIMESTAMP is range-limited to 1970-2038 and tz-shifts on write;
+  DATETIME(6) matches the reference's SQLAlchemy ``DateTime`` mapping and
+  keeps microseconds), and ``DECIMAL(25,6)`` for channel values in both
+  (reference db_model.py:54);
+* upsert — the portable two-batch shape (UPDATE all known keys, INSERT the
+  misses — what upsert_status_jdbc executes on every dialect) plus MySQL's
+  native single-round-trip ``INSERT ... ON DUPLICATE KEY UPDATE`` variant,
+  rendered for deployments that prefer one executeBatch over two.
+
+Schema note: the status table is keyed directly on ``parameter`` (the
+reference keeps a surrogate ``id`` plus a UNIQUE constraint,
+db_model.py:57-62 — same upsert semantics, one fewer index; recorded in
+DIVERGENCES.md), and channel_data keeps the reference's surrogate id as an
+auto-increment primary key with a (channel_id, ts) secondary index for the
+per-channel time-range scans the reference issues (daq-3i.py's retention
+delete and the UI's history reads).
+"""
+
+from __future__ import annotations
+
+ANSI = "ansi"
+MYSQL = "mysql"
+_DIALECTS = (ANSI, MYSQL)
+
+
+def dialect_of_url(url: str) -> str:
+    """Infer the rendering dialect from a JDBC URL (``jdbc:mysql:`` ->
+    mysql, everything else -> the ANSI renderings Derby/Postgres take)."""
+    return MYSQL if url.startswith("jdbc:mysql:") else ANSI
+
+
+def quote_ident(name: str, dialect: str) -> str:
+    if dialect == MYSQL:
+        return f"`{name}`"
+    return f'"{name}"'
+
+
+def _check(dialect: str) -> None:
+    if dialect not in _DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r} (use one of {_DIALECTS})")
+
+
+def status_create_table_sql(dialect: str, table: str = "daq_status") -> str:
+    """DDL for the status table.  Parameter-keyed (see module docstring);
+    MySQL gets DATETIME(6) + explicit InnoDB (upsert needs a transactional
+    engine), ANSI/Derby the plain TIMESTAMP form the live test path runs."""
+    _check(dialect)
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    if dialect == MYSQL:
+        return (
+            f"CREATE TABLE {q(table)} ("
+            f"{q('parameter')} VARCHAR(128) NOT NULL, "
+            f"{q('status')} INT, "
+            f"{q('ts')} DATETIME(6), "
+            f"PRIMARY KEY ({q('parameter')})"
+            f") ENGINE=InnoDB"
+        )
+    return (
+        f"CREATE TABLE {table} ({q('parameter')} VARCHAR(128) PRIMARY KEY, "
+        f"{q('status')} INTEGER, {q('ts')} TIMESTAMP)"
+    )
+
+
+def channel_data_create_table_sql(
+    dialect: str, table: str = "channel_data"
+) -> str:
+    """DDL for the measurement table — the reference's exact column types
+    (db_model.py:49-54: surrogate id, channel_id FK, ts, DECIMAL(25,6)
+    value) plus the (channel_id, ts) index its access patterns need."""
+    _check(dialect)
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    if dialect == MYSQL:
+        return (
+            f"CREATE TABLE {q(table)} ("
+            f"{q('id')} BIGINT NOT NULL AUTO_INCREMENT, "
+            f"{q('channel_id')} INT NOT NULL, "
+            f"{q('ts')} DATETIME(6) NOT NULL, "
+            f"{q('value')} DECIMAL(25,6), "
+            f"PRIMARY KEY ({q('id')}), "
+            f"KEY {q('ix_channel_ts')} ({q('channel_id')}, {q('ts')})"
+            f") ENGINE=InnoDB"
+        )
+    return (
+        f"CREATE TABLE {table} ("
+        f"{q('id')} BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, "
+        f"{q('channel_id')} INTEGER NOT NULL, "
+        f"{q('ts')} TIMESTAMP NOT NULL, "
+        f"{q('value')} DECIMAL(25,6))"
+    )
+
+
+def status_select_keys_sql(dialect: str, table: str = "daq_status") -> str:
+    _check(dialect)
+    return f"SELECT {quote_ident('parameter', dialect)} FROM {table}"
+
+
+def status_update_sql(dialect: str, table: str = "daq_status") -> str:
+    """Bind order (status, ts, parameter) — upsert_status_jdbc's UPDATE
+    batch."""
+    _check(dialect)
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    return (
+        f"UPDATE {table} SET {q('status')} = ?, {q('ts')} = ? "
+        f"WHERE {q('parameter')} = ?"
+    )
+
+
+def status_insert_sql(dialect: str, table: str = "daq_status") -> str:
+    """Bind order (parameter, status, ts) — upsert_status_jdbc's INSERT
+    batch."""
+    _check(dialect)
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    return (
+        f"INSERT INTO {table} ({q('parameter')}, {q('status')}, {q('ts')}) "
+        f"VALUES (?, ?, ?)"
+    )
+
+
+def status_upsert_on_duplicate_sql(table: str = "daq_status") -> str:
+    """MySQL's native single-statement upsert — ONE executeBatch instead of
+    the portable UPDATE+INSERT pair, for deployments on the reference's
+    production dialect.  Bind order (parameter, status, ts), matching
+    status_insert_sql so the same _bind routine drives either shape.
+    MySQL-only (Derby has no ON DUPLICATE KEY; the ANSI path keeps the
+    two-batch shape the Derby round-trip test pins)."""
+    q = lambda n: quote_ident(n, MYSQL)  # noqa: E731
+    return (
+        f"INSERT INTO {table} ({q('parameter')}, {q('status')}, {q('ts')}) "
+        f"VALUES (?, ?, ?) "
+        f"ON DUPLICATE KEY UPDATE {q('status')} = VALUES({q('status')}), "
+        f"{q('ts')} = VALUES({q('ts')})"
+    )

@@ -628,11 +628,23 @@ def upsert_status_jdbc(
     JDBC connection as two executeBatch round trips (UPDATE all keys, INSERT
     the misses), which is dialect-neutral: Derby (exercised in
     tests/test_sink_services.py::test_status_upsert_roundtrip_derby), MySQL
-    (the reference's production dialect — untested here, no server in the
-    sandbox; see DIVERGENCES.md), and Postgres all take this shape.
+    (the reference's production dialect — no server in the sandbox), and
+    Postgres all take this shape.  Every statement is rendered by
+    sources/dialect.py from the URL's dialect, so the EXACT strings a MySQL
+    deployment would execute are golden-pinned in tests even though only
+    the ANSI renderings run live here (see DIVERGENCES.md for the residue).
     Returns the number of keys merged.
     """
     from daq_3i_spark.operators.core import status_snapshot
+    from daq_3i_spark.sources.dialect import (
+        dialect_of_url,
+        status_create_table_sql,
+        status_insert_sql,
+        status_select_keys_sql,
+        status_update_sql,
+    )
+
+    dialect = dialect_of_url(url)
 
     snap = status_snapshot(updates).select("parameter", "status", "ts").collect()
     if not snap:
@@ -653,15 +665,12 @@ def upsert_status_jdbc(
             exists = rs.next()
             rs.close()
         if not exists:
-            # ANSI-quoted column identifiers so the engine keeps the exact
+            # quoted column identifiers so the engine keeps the exact
             # lower-case names the Spark JDBC reader expects (Derby folds
-            # unquoted identifiers to UPPER; MySQL needs ANSI_QUOTES for
-            # double quotes — DIVERGENCES.md records the dialect gap)
+            # unquoted identifiers to UPPER); quoting style comes from the
+            # dialect renderer — ANSI double quotes vs MySQL backticks
             st = conn.createStatement()
-            st.executeUpdate(
-                f'CREATE TABLE {table} ("parameter" VARCHAR(128) PRIMARY KEY, '
-                '"status" INTEGER, "ts" TIMESTAMP)'
-            )
+            st.executeUpdate(status_create_table_sql(dialect, table))
             st.close()
 
         def _bind(ps, row, order):
@@ -691,7 +700,7 @@ def upsert_status_jdbc(
         # table holds one row per parameter by design.
         existing = set()
         st = conn.createStatement()
-        rs = st.executeQuery(f'SELECT "parameter" FROM {table}')
+        rs = st.executeQuery(status_select_keys_sql(dialect, table))
         while rs.next():
             existing.add(rs.getString(1))
         rs.close()
@@ -699,19 +708,14 @@ def upsert_status_jdbc(
         updates_b = [row for row in snap if row["parameter"] in existing]
         missing = [row for row in snap if row["parameter"] not in existing]
         if updates_b:
-            upd = conn.prepareStatement(
-                f'UPDATE {table} SET "status" = ?, "ts" = ? WHERE "parameter" = ?'
-            )
+            upd = conn.prepareStatement(status_update_sql(dialect, table))
             for row in updates_b:
                 _bind(upd, row, ("status", "ts", "parameter"))
                 upd.addBatch()
             upd.executeBatch()
             upd.close()
         if missing:
-            ins = conn.prepareStatement(
-                f'INSERT INTO {table} ("parameter", "status", "ts") '
-                "VALUES (?, ?, ?)"
-            )
+            ins = conn.prepareStatement(status_insert_sql(dialect, table))
             for row in missing:
                 _bind(ins, row, ("parameter", "status", "ts"))
                 ins.addBatch()
