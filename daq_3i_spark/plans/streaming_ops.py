@@ -815,14 +815,32 @@ def snapshot_versions(root: str) -> list[int]:
     )
 
 
-def make_snapshot_refresh(spark: SparkSession, root: str, partial_fn, merge_fn):
+def make_snapshot_refresh(
+    spark: SparkSession,
+    root: str,
+    partial_fn,
+    merge_fn,
+    keep_versions: int | None = None,
+):
     """The per-batch commit step of the versioned-snapshot protocol,
     exposed as a standalone callable so tests can drive it DIRECTLY with
     replayed/crashed batch sequences (the streaming engine re-delivers a
     batch_id after a crash-before-checkpoint-commit): v=batch_id is always
     rebuilt from the latest version BELOW batch_id, so re-running a batch
     overwrites its own version from the same predecessor — idempotent, and
-    the chain converges (pinned in tests/test_streaming.py)."""
+    the chain converges (pinned in tests/test_streaming.py).
+
+    ``keep_versions`` bounds the snapshot ROOT over a long run (a day of
+    1-minute triggers is 1,440 versions — unbounded growth without
+    pruning): after each successful commit, versions older than the newest
+    ``keep_versions`` are deleted.  Pruning runs AFTER v=batch_id lands and
+    the floor is 2, so a crash-replayed batch always still finds its
+    predecessor (the engine re-delivers only the last uncommitted batch_id;
+    every older version is checkpoint-committed and never re-requested).
+    None (the default) keeps every version — the time-travel shape.  The
+    20-batch soak in tests/test_streaming.py pins both bounds: snapshot
+    rows stay bar-cardinality-sized and the root holds <= keep_versions
+    directories at every point in the run."""
 
     def refresh(batch: DataFrame, batch_id: int) -> None:
         merged = partial_fn(batch)
@@ -831,6 +849,12 @@ def make_snapshot_refresh(spark: SparkSession, root: str, partial_fn, merge_fn):
             stored = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
             merged = merge_fn(stored, merged)
         merged.write.mode("overwrite").parquet(os.path.join(root, f"v={batch_id}"))
+        if keep_versions is not None:
+            import shutil
+
+            live = snapshot_versions(root)
+            for v in live[: -max(2, keep_versions)]:
+                shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
 
     return refresh
 

@@ -700,3 +700,109 @@ def test_stream_forecast_monitor_equals_batch(spark, sf_dir):
         for r in QUERIES["op_events_forecast_naive"].spark(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_snapshot_protocol_20_batch_soak_state_bounded(spark, sf_dir):
+    """Long-run soak for the versioned-snapshot protocol (VERDICT r11 #7):
+    every op_stream_* op replays exactly 4 micro-batches, which cannot
+    answer 'does state leak over a day'.  Drive ~20 REAL micro-batches of
+    the hourly-rollup maintenance through a checkpointed stream with
+    keep_versions=3 and pin, at EVERY batch: (a) the snapshot row count
+    stays bounded by the final bar cardinality (mergeable partials — state
+    is bar-sized, never row-sized or batch-count-sized), and (b) the
+    snapshot root never holds more than max(2, keep_versions) version
+    directories (retention pruning keeps pace with the stream).  The final
+    snapshot must equal the from-scratch recompute exactly — 20 rounds of
+    merge lose nothing."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from daq_3i_spark.functions.numeric import fx_unscaled
+    from daq_3i_spark.plans.streaming_ops import (
+        _TMP_ROOT,
+        make_snapshot_refresh,
+        pinned_shuffle,
+        snapshot_versions,
+    )
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+
+    work = os.path.join(_TMP_ROOT, "soak20")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    feed = os.path.join(work, "feed")
+    channel_data_df(spark, sf_dir).repartition(20).write.parquet(feed)
+    root = os.path.join(work, "rollup")
+
+    def partial(df):
+        return df.groupBy(
+            "channel_id",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        ).agg(
+            F.count("*").alias("n_samples"),
+            F.sum(fx_unscaled(F.col("value"))).alias("sum_fx"),
+        )
+
+    def merge(stored, part):
+        return (
+            stored.unionByName(part)
+            .groupBy("channel_id", "bucket_us")
+            .agg(
+                F.sum("n_samples").alias("n_samples"),
+                F.sum("sum_fx").alias("sum_fx"),
+            )
+        )
+
+    keep = 3
+    refresh = make_snapshot_refresh(spark, root, partial, merge, keep_versions=keep)
+    trace = []  # (batch_id, n_versions, snapshot_rows) after each commit
+
+    def observed(batch, batch_id):
+        refresh(batch, batch_id)
+        vs = snapshot_versions(root)
+        rows = spark.read.parquet(os.path.join(root, f"v={vs[-1]}")).count()
+        trace.append((batch_id, len(vs), rows))
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with pinned_shuffle(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(observed)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    bars = (
+        spark.read.parquet(feed)
+        .select("channel_id", F.date_trunc("hour", "ts").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert len(trace) >= 20, f"soak ran only {len(trace)} batches"
+    for batch_id, n_versions, rows in trace:
+        assert n_versions <= max(2, keep), (
+            f"batch {batch_id}: {n_versions} snapshot versions — pruning leaks"
+        )
+        assert rows <= bars, (
+            f"batch {batch_id}: snapshot holds {rows} rows > {bars} bars — "
+            "state grows with batch count, not bar cardinality"
+        )
+    assert trace[-1][2] == bars  # every bar present at the end
+
+    # 20 rounds of incremental merge == the from-scratch recompute, exactly
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(root, f"v={snapshot_versions(root)[-1]}")
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in partial(spark.read.parquet(feed)).collect())
+    assert got == want
+    shutil.rmtree(work)

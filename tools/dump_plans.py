@@ -28,13 +28,13 @@ REPRESENTATIVES = [
     ("op_retention_topk", "single shuffle window keep-newest-N"),
     ("op_asof_join", "union + tagged window (no nested-loop range join)"),
     ("op_rollup_hourly", "map-side-combined aggregate on (channel, bucket)"),
-    ("op_pack_sequences", "per-source running-sum window, one shuffle"),
+    ("op_pack_sequences", "grouped_cumsum kernel: range exchange on (source, doc_id) + partition-local Arrow pass + P-row offset rollup, no per-source window task"),
     ("op_contamination_check", "broadcast eval shingles, corpus never shuffles"),
     ("op_sql_q2_mincost", "broadcast part filter into the pair agg, window min"),
     ("op_sql_q21_waiting", "semi + anti self-joins stay hash joins (equi key + residual)"),
     ("op_dedup_ngram_capped", "df window over the posting shuffle, capped self-join"),
     ("op_dedup_substring", "chunk-hash min-key window + doc regroup, two shuffles"),
-    ("op_corpus_budget_sample", "per-source hash-order running sum, one shuffle"),
+    ("op_corpus_budget_sample", "grouped_cumsum kernel on (source, h, doc_id): cum tokens + sample rank in one range-partitioned pass"),
     ("op_text_lm_score", "LM aggregate + (w1,w2) score join + doc regroup"),
     ("op_sim_ivfpq_topk", "broadcast probes + broadcast ADC tables, no full-dim scoring"),
     ("op_timeseries_interpolate", "union + framed IGNORE-NULLS windows, no range join"),
@@ -62,10 +62,10 @@ REPRESENTATIVES = [
     ("op_sql_window_range", "ORDER-VALUE range frame: one channel exchange, one Window serving both frame aggregates"),
     ("op_orders_abc_analysis", "global_cumsum: cached range exchange -> partition-local Arrow cumsum + P-row offsets broadcast, no single-partition window"),
     ("op_embed_outliers", "labels x 64 centroid arrays broadcast + unrolled codegen dist^2 + integer z-gate, zero data-sized shuffles"),
-    ("op_graph_triangles", "degree-oriented adjacency intersection: broadcast successor arrays + per-edge array_intersect — the wedge multiset never materializes"),
-    ("op_dedup_threshold_sweep", "band + posting pair generators (both bucket-blocked) joined once; tau sweep = array-filter explode over the one verified-pair frame"),
+    ("op_graph_triangles", "degree-oriented adjacency intersection, hint-free: AQE promotes the edge-sized successor joins to broadcast from runtime stats — the wedge multiset never materializes"),
+    ("op_dedup_threshold_sweep", "band + posting pair generators (bucket keys carry lang — no doc-dimension broadcast) joined once; tau sweep = array-filter explode over the one verified-pair frame"),
     ("op_text_bpe_tokens", "BPE merge chain as pure codegen string replaces — projection-only plan, no shuffle, no UDF"),
-    ("op_pack_sequences_bpe", "per-row codegen BPE count, then ONE source exchange + running-sum window"),
+    ("op_pack_sequences_bpe", "per-row codegen BPE count, then the grouped_cumsum range exchange — hot-source-safe"),
 ]
 
 
