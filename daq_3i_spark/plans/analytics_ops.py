@@ -665,9 +665,11 @@ _BLOOM_PRICE = 480_000.0  # build side: top ~4% of orders by total price
     "nothing (no false negatives) and the refine drops every false "
     "positive.  Plan: bitmap built by a pure-HOF aggregate (no driver "
     "collect anywhere), one-row broadcast crossJoin onto the fact scan, "
-    "bit tests in whole-stage codegen; at 100 TB the prefilter cuts the "
-    "probe-side shuffle to ~the true match rate, which is the entire "
-    "point of runtime filters",
+    "bit tests in whole-stage codegen; the exact refine join carries NO "
+    "forced hint (the key set is fact-derived — AQE broadcasts it only "
+    "while it fits, else a shuffled semi join over the already-prefiltered "
+    "rows); at 100 TB the prefilter cuts the probe-side shuffle to ~the "
+    "true match rate, which is the entire point of runtime filters",
 )
 def op_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlongs = _BLOOM_K * _BLOOM_M // 64
@@ -721,7 +723,12 @@ def op_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         survives = bit if survives is None else (survives & bit)
     prefiltered = probed.filter(survives).drop("bm")
-    exact = prefiltered.join(F.broadcast(keys.distinct()),
+    # the refine side is FACT-derived (every qualifying order key) — no
+    # forced broadcast on a frame that grows with the table; AQE promotes
+    # the semi join to broadcast from runtime stats when the key set fits
+    # and degrades to a shuffled semi join when it doesn't (the bitmap
+    # crossJoin above is the bounded broadcast — 6 KB by geometry)
+    exact = prefiltered.join(keys.distinct(),
                              prefiltered.l_orderkey == F.col("o_orderkey"),
                              "semi")
     return exact.groupBy("l_returnflag").agg(

@@ -166,7 +166,7 @@ def test_triangles_no_forced_broadcast_aqe_still_picks_it(spark, sf_dir):
         df = QUERIES["op_graph_triangles"].spark(spark, sf_dir)
         qe = df._jdf.queryExecution()
         assert qe.analyzed().toString().count("ResolvedHint") == 0
-        df.count()  # finalize the adaptive plan
+        df.collect()  # execute THIS dataset so its adaptive plan finalizes
         final = qe.executedPlan().toString()
         assert "isFinalPlan=true" in final
         assert "BroadcastHashJoin" in final, (
@@ -199,3 +199,23 @@ def test_packing_running_sum_not_single_task_per_source(spark, sf_dir, name):
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     bad = [s for s in specs if "source" in s and "__rank_pid" not in s]
     assert not bad, f"single-task-per-source window in plan: {bad}"
+
+
+def test_bloom_refine_join_not_force_broadcast(spark, sf_dir):
+    """op_join_bloom_prefilter's exact-refine side is FACT-derived (every
+    order key passing the price filter — grows with the table), so the
+    only forced broadcast in the plan must be the geometry-bounded bloom
+    bitmap (6 KB however many keys): one hint, and AQE still promotes the
+    refine semi join at test scale."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        df = QUERIES["op_join_bloom_prefilter"].spark(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        assert qe.analyzed().toString().count("ResolvedHint") == 1
+        df.collect()  # execute THIS dataset so its adaptive plan finalizes
+        final = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final
+    finally:
+        release_shared()
