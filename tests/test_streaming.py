@@ -806,3 +806,66 @@ def test_snapshot_protocol_20_batch_soak_state_bounded(spark, sf_dir):
     want = sorted(tuple(r) for r in partial(spark.read.parquet(feed)).collect())
     assert got == want
     shutil.rmtree(work)
+
+
+def test_snapshot_refresh_replay_with_pruning(spark, sf_dir):
+    """keep_versions pruning must not break crash-replay convergence: the
+    engine can re-deliver the LAST batch_id after a crash, and pruning
+    keeps a floor of 2 versions precisely so the replayed batch still
+    finds its predecessor.  Run the replay interleavings of
+    test_snapshot_refresh_replay_convergence WITH aggressive pruning
+    (keep_versions=2) and pin (a) the final state equals the prune-less
+    straight run and (b) the root holds <= 2 version dirs at the end."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from daq_3i_spark.plans.streaming_ops import (
+        _TMP_ROOT,
+        make_snapshot_refresh,
+        snapshot_versions,
+    )
+    from daq_3i_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    batches = [ev.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == k) for k in range(3)]
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.min("value").alias("mn")
+        )
+
+    def merge(stored, part):
+        return (
+            stored.unionByName(part)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.min("mn").alias("mn"))
+        )
+
+    def run(sequence, name, keep):
+        root = os.path.join(_TMP_ROOT, name)
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        refresh = make_snapshot_refresh(
+            spark, root, partial, merge, keep_versions=keep
+        )
+        for bid in sequence:
+            refresh(batches[bid], bid)
+        vs = snapshot_versions(root)
+        final = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(root, f"v={vs[-1]}")).collect()
+        )
+        shutil.rmtree(root)
+        return final, len(vs)
+
+    straight, _ = run([0, 1, 2], "snap_prune_a", None)
+    for seq, name in (
+        ([0, 1, 1, 2], "snap_prune_b"),
+        ([0, 1, 2, 2], "snap_prune_c"),  # replay AFTER pruning already ran
+        ([0, 0, 1, 2], "snap_prune_d"),
+    ):
+        got, n_vs = run(seq, name, 2)
+        assert got == straight, f"{name}: pruning broke replay convergence"
+        assert n_vs <= 2, f"{name}: {n_vs} versions retained"
