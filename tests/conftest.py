@@ -37,6 +37,14 @@ def spark():
 
     s = get_spark("daq_3i_spark_tests", cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
     s.sparkContext.setLogLevel("ERROR")
+    # codegen health gate: in production a >64 KB generated method silently
+    # falls back to interpreted execution ("Code grows beyond 64 KB" on
+    # stderr) — correct rows, ~10x slower, invisible to the oracle checks.
+    # The test session disables the fallback so any op that silently left
+    # whole-stage codegen FAILS its parity test instead (the giant-CASE
+    # pitfall functions/decode.py:decode_cols documents).  Production
+    # sessions (daq_3i_spark.session.get_spark) keep graceful fallback.
+    s.conf.set("spark.sql.codegen.fallback", "false")
     yield s
     s.stop()
 

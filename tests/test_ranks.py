@@ -256,3 +256,49 @@ def test_grouped_cumsum_hot_source_spans_many_tasks(spark):
         .count()
     )
     assert rp > 4, f"hot source landed in only {rp} range partitions"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# (group id 0-3 with group 0 over-weighted ~70%, value, unique-ish key) —
+# hypothesis explores tie patterns, empty groups, and single-row groups the
+# parametrized fixtures can't enumerate
+_gcs_rows = st.lists(
+    st.tuples(
+        st.sampled_from([0, 0, 0, 0, 0, 0, 0, 1, 2, 3]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_gcs_rows, parts=st.sampled_from([2, 5, 16]))
+def test_grouped_cumsum_property_matches_window(spark, rows, parts):
+    """Property form of the grouped_cumsum contract: for ANY skewed group
+    assignment, value pattern, and partition count, cumsum AND row_number
+    equal the per-group window form exactly (doc_id = list index keeps the
+    order total)."""
+    from daq_3i_spark.operators.ranks import grouped_cumsum
+
+    data = [(i, f"g{g}", v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, v long").repartition(4)
+    order = [F.col("doc_id").asc()]
+    got = {
+        r["doc_id"]: (r["cs"], r["rn"])
+        for r in grouped_cumsum(
+            df, "source", F.col("v"), order, "cs", rn_alias="rn",
+            num_partitions=parts,
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]: (r["cs"], r["rn"])
+        for r in df.withColumn("cs", F.sum("v").over(wf).cast("long"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
