@@ -876,11 +876,20 @@ def _versioned_snapshot_replay(
     version from the same prior version, so the chain converges; the
     commit step is :func:`make_snapshot_refresh`, replay-tested directly).
     Returns the final snapshot.  Keeping the protocol in one place means a
-    fix to the retry-convergence rule cannot silently diverge between ops."""
+    fix to the retry-convergence rule cannot silently diverge between ops.
+
+    Runs with ``keep_versions=3``: the registered ops exercise the
+    retention pruning end-to-end (a day of 1-minute triggers must not
+    accumulate 1,440 snapshot dirs), and the final snapshot — the only
+    thing the oracle reads — is always the newest retained version, so the
+    hash contract is unchanged.  The 20-batch soak and the pruning-replay
+    interleavings pin the bounds (tests/test_streaming.py)."""
     feed = os.path.join(work, "feed")
     feed_df.repartition(4).write.parquet(feed)
     root = os.path.join(work, root_name)
-    refresh = make_snapshot_refresh(spark, root, partial_fn, merge_fn)
+    refresh = make_snapshot_refresh(
+        spark, root, partial_fn, merge_fn, keep_versions=3
+    )
     schema = spark.read.parquet(feed).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
