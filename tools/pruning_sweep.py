@@ -42,6 +42,9 @@ ALLOWED_FULL = {
     ("op_source_json_roundtrip", "lineitem"),
     ("op_source_orc_roundtrip", "lineitem"),
     ("op_source_schema_evolution", "lineitem"),
+    # the data profiler computes null/distinct counts for EVERY column —
+    # full-width is the op's definition, and the output is one row
+    ("op_quality_profile", "events"),
 }
 
 # ops whose plan keeps a Window with NO partition spec — each one's frame is
@@ -55,6 +58,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # operators/ranks.py offsets cumsum: rows = shuffle partition count P
     "op_text_vocab": "P-row partition-offsets frame (ranks.py)",
     "op_events_rfm": "P-row partition-offsets frame (ranks.py)",
+    "op_corpus_curriculum": "P-row partition-offsets frame (ranks.py global_ntile)",
+    "op_orders_abc_analysis": "P-row partition-offsets frame (ranks.py global_cumsum)",
 }
 
 _SCAN_RE = re.compile(
