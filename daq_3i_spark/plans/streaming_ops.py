@@ -859,6 +859,33 @@ def make_snapshot_refresh(
     return refresh
 
 
+def _sf_feed_key(name: str, sf_dir: str) -> str:
+    """Feed-cache key: the semantic derivation name + the scale-factor dir
+    (the only input the derivation depends on), path-safe."""
+    return f"{name}-{os.path.basename(os.path.normpath(sf_dir))}"
+
+
+def _replay_feed(spark: SparkSession, work: str, feed_df: DataFrame,
+                 feed_key: str | None) -> str:
+    """Materialize the 4-file replay feed, reusing a per-process cache when
+    ``feed_key`` names the feed's semantic content (e.g. three replay ops
+    all stream the identical channel_data derivation — writing it once
+    saves a full derive+encode per op).  Safe to share because streams only
+    READ the feed, checkpoints stay per-op under ``work``, and every
+    consumer's merge is order-insensitive over the batch slicing.  The
+    cache directory is pid-scoped exactly like _workdir (concurrent
+    sharded workers never share); parquet's _SUCCESS marker gates reuse so
+    a crashed half-write is rewritten, never trusted."""
+    if feed_key is None:
+        feed = os.path.join(work, "feed")
+        feed_df.repartition(4).write.parquet(feed)
+        return feed
+    cache = os.path.join(_TMP_ROOT, f"feedcache-w{os.getpid()}", feed_key)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        feed_df.repartition(4).write.mode("overwrite").parquet(cache)
+    return cache
+
+
 def _versioned_snapshot_replay(
     spark: SparkSession,
     work: str,
@@ -867,6 +894,7 @@ def _versioned_snapshot_replay(
     partial_fn,
     merge_fn,
     n_state: int = 32,
+    feed_key: str | None = None,
 ) -> DataFrame:
     """The mergeable-partial snapshot protocol shared by every incremental
     maintenance op: replay ``feed_df`` as 4 micro-batches
@@ -884,8 +912,7 @@ def _versioned_snapshot_replay(
     thing the oracle reads — is always the newest retained version, so the
     hash contract is unchanged.  The 20-batch soak and the pruning-replay
     interleavings pin the bounds (tests/test_streaming.py)."""
-    feed = os.path.join(work, "feed")
-    feed_df.repartition(4).write.parquet(feed)
+    feed = _replay_feed(spark, work, feed_df, feed_key)
     root = os.path.join(work, root_name)
     refresh = make_snapshot_refresh(
         spark, root, partial_fn, merge_fn, keep_versions=3
@@ -956,7 +983,8 @@ def op_stream_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     final = _versioned_snapshot_replay(
-        spark, work, channel_data_df(spark, sf_dir), "rollup", partial, merge
+        spark, work, channel_data_df(spark, sf_dir), "rollup", partial, merge,
+        feed_key=_sf_feed_key("channel_data", sf_dir),
     )
     return final.select(
         "channel_id",
@@ -1019,7 +1047,8 @@ def op_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s = _versioned_snapshot_replay(
-        spark, work, channel_data_df(spark, sf_dir), "trend", partial, merge
+        spark, work, channel_data_df(spark, sf_dir), "trend", partial, merge,
+        feed_key=_sf_feed_key("channel_data", sf_dir),
     )
     # identical final expression tree to op_timeseries_trend — the oracle is
     # shared verbatim, so any drift here is a hash mismatch
@@ -1142,7 +1171,6 @@ def op_stream_anomaly_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.daq_dims import channel_data_df
 
     work = _workdir("op_stream_anomaly_sketch")
-    feed = os.path.join(work, "feed")
     bucket = F.floor(F.col("value") / _ANOM_W).cast("bigint").alias("bucket")
 
     def partial(df: DataFrame) -> DataFrame:
@@ -1161,7 +1189,7 @@ def op_stream_anomaly_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = _versioned_snapshot_replay(
         spark, work, channel_data_df(spark, sf_dir), "hist", partial, merge,
-        n_state=8,
+        n_state=8, feed_key=_sf_feed_key("channel_data", sf_dir),
     )
     w_cum = Window.partitionBy("channel_id").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1178,8 +1206,11 @@ def op_stream_anomaly_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel_id")
         .agg(F.min("bucket").alias("qbucket"))
     )
+    # the flag pass re-derives the feed frame instead of re-reading the
+    # written files — identical content (the feed IS this derivation), and
+    # it stays valid under the shared feed cache
     flagged = (
-        spark.read.parquet(feed)
+        channel_data_df(spark, sf_dir)
         .join(F.broadcast(qb), "channel_id")
         .filter(
             F.floor(F.col("value") / _ANOM_W).cast("bigint") >= F.col("qbucket")
@@ -1531,7 +1562,8 @@ def op_stream_forecast_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s = _versioned_snapshot_replay(
-        spark, work, load_events(spark, sf_dir), "fcst", partial, merge
+        spark, work, load_events(spark, sf_dir), "fcst", partial, merge,
+        feed_key=_sf_feed_key("events_full", sf_dir),
     )
     return _forecast_eval(s)
 
