@@ -896,29 +896,38 @@ def op_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     from daq_3i_spark.plans.extension_ops import _spark_sigs_of
-    from daq_3i_spark.plans.streaming_ops import _workdir, pinned_shuffle
+    from daq_3i_spark.plans.streaming_ops import (
+        _cached_feed,
+        _sf_feed_key,
+        _workdir,
+        pinned_shuffle,
+    )
     from daq_3i_spark.sources.tables import pin_utc
 
     pin_utc(spark)
     work = _workdir("op_stream_dedup_ingest")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
-    docs = load_spread(spark, sf_dir, "documents").persist()
-    docs.count()
 
-    def write_slice(k: int) -> str:
-        tmp = os.path.join(work, f"tmp{k}")
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == k).coalesce(1).write.parquet(tmp)
-        return tmp
+    def build(feed: str) -> None:
+        docs = load_spread(spark, sf_dir, "documents").persist()
+        docs.count()
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        tmps = list(pool.map(write_slice, range(4)))
-    docs.unpersist()
-    for k, tmp in enumerate(tmps):
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(feed, f"slice_{k}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        def write_slice(k: int) -> str:
+            tmp = os.path.join(work, f"tmp{k}")
+            docs.filter(
+                F.pmod(F.col("doc_id"), F.lit(4)) == k
+            ).coalesce(1).write.parquet(tmp)
+            return tmp
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            tmps = list(pool.map(write_slice, range(4)))
+        docs.unpersist()
+        for k, tmp in enumerate(tmps):
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(feed, f"slice_{k}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    feed = _cached_feed(_sf_feed_key("doc_slices", sf_dir), build)
 
     index_dir = os.path.join(work, "band_index")
     admitted_dir = os.path.join(work, "admitted")
@@ -979,7 +988,7 @@ def op_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_b.write.mode("append").parquet(index_dir)
 
     stream = (
-        spark.readStream.schema(docs.schema)
+        spark.readStream.schema(spark.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
     )

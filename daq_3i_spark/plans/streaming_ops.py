@@ -708,8 +708,10 @@ def op_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = _workdir("op_graceful_stop")
-    feed = os.path.join(work, "feed")
-    channel_data_df(spark, sf_dir).repartition(2).write.parquet(feed)
+    feed = _replay_feed(
+        spark, work, channel_data_df(spark, sf_dir),
+        _sf_feed_key("channel_data_2f", sf_dir), n_files=2,
+    )
 
     schema = spark.read.parquet(feed).schema
     samples = (
@@ -865,8 +867,30 @@ def _sf_feed_key(name: str, sf_dir: str) -> str:
     return f"{name}-{os.path.basename(os.path.normpath(sf_dir))}"
 
 
+def _cached_feed(feed_key: str, build_fn) -> str:
+    """Per-process cache for CUSTOM-BUILT feed directories (the sliced,
+    mtime-stamped layouts the watermark/stale replays use): ``build_fn``
+    populates a fresh directory once per process; a ``_FEED_DONE`` marker
+    written only after it returns gates reuse, so a crashed half-build is
+    rebuilt, never trusted.  Streams and batch re-reads both ignore
+    underscore-prefixed files (Spark's hidden-file rule), and reuse
+    preserves the build's explicit mtime stamps — slice ordering is
+    byte-identical on every run.  Consumers only READ the feed; the
+    per-op checkpoint still lives under the op's own _workdir."""
+    cache = os.path.join(_TMP_ROOT, f"feedcache-w{os.getpid()}", feed_key)
+    marker = os.path.join(cache, "_FEED_DONE")
+    if not os.path.exists(marker):
+        if os.path.isdir(cache):
+            shutil.rmtree(cache)
+        os.makedirs(cache)
+        build_fn(cache)
+        with open(marker, "w"):
+            pass
+    return cache
+
+
 def _replay_feed(spark: SparkSession, work: str, feed_df: DataFrame,
-                 feed_key: str | None) -> str:
+                 feed_key: str | None, n_files: int = 4) -> str:
     """Materialize the 4-file replay feed, reusing a per-process cache when
     ``feed_key`` names the feed's semantic content (e.g. three replay ops
     all stream the identical channel_data derivation — writing it once
@@ -878,11 +902,11 @@ def _replay_feed(spark: SparkSession, work: str, feed_df: DataFrame,
     a crashed half-write is rewritten, never trusted."""
     if feed_key is None:
         feed = os.path.join(work, "feed")
-        feed_df.repartition(4).write.parquet(feed)
+        feed_df.repartition(n_files).write.parquet(feed)
         return feed
     cache = os.path.join(_TMP_ROOT, f"feedcache-w{os.getpid()}", feed_key)
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        feed_df.repartition(4).write.mode("overwrite").parquet(cache)
+        feed_df.repartition(n_files).write.mode("overwrite").parquet(cache)
     return cache
 
 
@@ -1269,44 +1293,46 @@ def op_stream_stale_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.streaming.stateful import stale_monitor_stream
 
     work = _workdir("op_stream_stale_monitor")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
-    cd = channel_data_df(spark, sf_dir)
-    fed = cd.filter(
-        (F.col("channel_id") % 5 != 0)
-        | (F.col("ts") < F.lit(_STALE_CUT).cast("timestamp"))
-    )
+
     # one file per event-time slice, mtimes strictly increasing: the file
     # source orders by modification time, so micro-batch k == slice k and the
     # watermark advances through the slice boundaries deterministically.
     # The slice writes read a cached frame and run as CONCURRENT Spark jobs
     # (4 sequential scan+coalesce jobs measured 2.2 s of the op's 5 s);
-    # mtimes are assigned sequentially afterwards, so ordering is unaffected
-    from concurrent.futures import ThreadPoolExecutor
+    # mtimes are assigned sequentially afterwards, so ordering is unaffected.
+    # The whole layout builds ONCE per process (_cached_feed).
+    def build(feed: str) -> None:
+        from concurrent.futures import ThreadPoolExecutor
 
-    fed = fed.persist()
-    fed.count()
+        cd = channel_data_df(spark, sf_dir)
+        fed = cd.filter(
+            (F.col("channel_id") % 5 != 0)
+            | (F.col("ts") < F.lit(_STALE_CUT).cast("timestamp"))
+        ).persist()
+        fed.count()
 
-    def write_slice(k: int) -> str:
-        lo, hi = _STALE_SLICES[k], _STALE_SLICES[k + 1]
-        tmp = os.path.join(work, f"tmp{k}")
-        fed.filter(
-            (F.col("ts") >= F.lit(lo).cast("timestamp"))
-            & (F.col("ts") < F.lit(hi).cast("timestamp"))
-        ).coalesce(1).write.parquet(tmp)
-        return tmp
+        def write_slice(k: int) -> str:
+            lo, hi = _STALE_SLICES[k], _STALE_SLICES[k + 1]
+            tmp = os.path.join(work, f"tmp{k}")
+            fed.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            ).coalesce(1).write.parquet(tmp)
+            return tmp
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        tmps = list(pool.map(write_slice, range(len(_STALE_SLICES) - 1)))
-    fed.unpersist()
-    for k, tmp in enumerate(tmps):
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(feed, f"slice_{k}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            tmps = list(pool.map(write_slice, range(len(_STALE_SLICES) - 1)))
+        fed.unpersist()
+        for k, tmp in enumerate(tmps):
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(feed, f"slice_{k}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    feed = _cached_feed(_sf_feed_key("stale_slices", sf_dir), build)
 
     stream = (
-        spark.readStream.schema(fed.schema)
+        spark.readStream.schema(spark.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
         .select("channel_id", "ts")
@@ -1398,7 +1424,8 @@ def op_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     final = _versioned_snapshot_replay(
-        spark, work, ev, "bars", partial, merge
+        spark, work, ev, "bars", partial, merge,
+        feed_key=_sf_feed_key("events_ohlc", sf_dir),
     )
     return final.select(
         "event_type",
@@ -1469,33 +1496,35 @@ def op_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.tables import load_events
 
     work = _workdir("op_stream_late_drop")
-    feed = os.path.join(work, "feed")
-    os.makedirs(feed)
-    ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
-    late = (F.col("event_id") % 7 == 0) & (
-        F.col("ts") < F.lit(_LATE_CUT).cast("timestamp")
-    )
-    bounds = [None, *_LATE_SLICES, None]
-    slices = []
-    for k in range(3):  # time-ordered on-time slices
-        cond = ~late
-        if bounds[k] is not None:
-            cond &= F.col("ts") >= F.lit(bounds[k]).cast("timestamp")
-        if bounds[k + 1] is not None:
-            cond &= F.col("ts") < F.lit(bounds[k + 1]).cast("timestamp")
-        slices.append(cond)
-    slices.append(late)  # the late delivery, last
 
-    ev = ev.persist()
-    ev.count()
-    for k, cond in enumerate(slices):
-        tmp = os.path.join(work, f"tmp{k}")
-        ev.filter(cond).coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(feed, f"slice_{k}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
-    ev.unpersist()
+    def build(feed: str) -> None:
+        ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
+        late = (F.col("event_id") % 7 == 0) & (
+            F.col("ts") < F.lit(_LATE_CUT).cast("timestamp")
+        )
+        bounds = [None, *_LATE_SLICES, None]
+        slices = []
+        for k in range(3):  # time-ordered on-time slices
+            cond = ~late
+            if bounds[k] is not None:
+                cond &= F.col("ts") >= F.lit(bounds[k]).cast("timestamp")
+            if bounds[k + 1] is not None:
+                cond &= F.col("ts") < F.lit(bounds[k + 1]).cast("timestamp")
+            slices.append(cond)
+        slices.append(late)  # the late delivery, last
+
+        ev_c = ev.persist()
+        ev_c.count()
+        for k, cond in enumerate(slices):
+            tmp = os.path.join(work, f"tmp{k}")
+            ev_c.filter(cond).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(feed, f"slice_{k}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        ev_c.unpersist()
+
+    feed = _cached_feed(_sf_feed_key("late_slices", sf_dir), build)
 
     schema = spark.read.parquet(feed).schema
     stream = (
