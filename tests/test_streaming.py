@@ -869,3 +869,81 @@ def test_snapshot_refresh_replay_with_pruning(spark, sf_dir):
         got, n_vs = run(seq, name, 2)
         assert got == straight, f"{name}: pruning broke replay convergence"
         assert n_vs <= 2, f"{name}: {n_vs} versions retained"
+
+
+def test_stateful_latest_20_batch_soak_state_is_channel_bounded(spark, sf_dir):
+    """State-size soak for the applyInPandasWithState family (the module
+    docstring's claim: state per key is O(1), store size = #channels).
+    Drive ~20 micro-batches of the latest-per-channel operator and read the
+    state-store row count from every progress event: it must never exceed
+    the distinct channel count — growth with batch count or row count means
+    the operator is accumulating history instead of the single
+    (id, ts, value) slot.  Final emitted latest must equal the batch
+    latest-per-key oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from daq_3i_spark.plans.streaming_ops import _TMP_ROOT, pinned_shuffle
+    from daq_3i_spark.sources.daq_dims import channel_data_df
+    from daq_3i_spark.streaming.stateful import latest_per_key_stream
+
+    work = os.path.join(_TMP_ROOT, "stateful_soak20")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    feed = os.path.join(work, "feed")
+    cd = channel_data_df(spark, sf_dir).select("channel_id", "id", "ts", "value")
+    cd.repartition(20).write.parquet(feed)
+    n_channels = cd.select("channel_id").distinct().count()
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    out = os.path.join(work, "out")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    with pinned_shuffle(spark, 8):
+        q = (
+            latest_per_key_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = q.recentProgress
+
+    batches = [p for p in progresses if p["numInputRows"] > 0 or p["stateOperators"]]
+    assert len(batches) >= 20, f"soak ran only {len(batches)} progress events"
+    for p in batches:
+        for sop in p["stateOperators"]:
+            rows = sop["numRowsTotal"]
+            assert rows <= n_channels, (
+                f"batch {p['batchId']}: state holds {rows} rows > "
+                f"{n_channels} channels — per-key state is not O(1)"
+            )
+
+    # last emitted row per channel == the batch latest-per-key oracle
+    emitted = spark.read.parquet(out)
+    w_latest = emitted.groupBy("channel_id").agg(
+        F.max(F.struct("ts", "id", "value")).alias("s")
+    )
+    got = sorted(
+        (r["channel_id"], r["s"]["ts"], r["s"]["id"], r["s"]["value"])
+        for r in w_latest.collect()
+    )
+    want = sorted(
+        (r["channel_id"], r["s"]["ts"], r["s"]["id"], r["s"]["value"])
+        for r in cd.groupBy("channel_id")
+        .agg(F.max(F.struct("ts", "id", "value")).alias("s"))
+        .collect()
+    )
+    assert got == want
+    shutil.rmtree(work)
