@@ -539,9 +539,11 @@ _SUBSTR_KEY_BASE = 1 << 20
     "corpus-wide) is dropped, and each document is rebuilt from its "
     "surviving chunks in order — surfaced as kept/total counts plus the md5 "
     "of the rebuilt text so the full reconstruction is hash-verified "
-    "without shipping document bodies through the driver.  Two shuffles: "
-    "chunk-hash window for first-occurrence marking, doc_id re-group for "
-    "reassembly; chunk texts cross the wire once each",
+    "without shipping document bodies through the driver.  First-occurrence "
+    "marking is a map-side-combined min-key AGGREGATE on the chunk hash "
+    "joined back (AQE skew-join splits a viral boilerplate chunk; a "
+    "Window.partitionBy(md5(chunk)) would single-task it), then a doc_id "
+    "re-group for reassembly",
 )
 def op_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
@@ -561,9 +563,20 @@ def op_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
     )
     key = (F.col("doc_id") * _SUBSTR_KEY_BASE + F.col("chunk_id")).alias("key")
-    ann = ch.select("doc_id", "chunk_id", "chunk_text", key).withColumn(
-        "fk", F.min("key").over(Window.partitionBy(F.md5("chunk_text")))
+    # first-occurrence marking as a map-side-combined AGGREGATE + equi join,
+    # not Window.partitionBy(md5(chunk)): a viral chunk (one boilerplate
+    # paragraph duplicated across most of a web corpus) makes a single md5
+    # key hold most of the table — a window plans one unsplittable task for
+    # it, while the aggregate pre-reduces per input partition and AQE's
+    # skew-join splits the oversized probe partition.  Identical fk values.
+    hashed = shared(
+        ch.select(
+            "doc_id", "chunk_id", "chunk_text", key,
+            F.md5("chunk_text").alias("h"),
+        )
     )
+    firsts = hashed.groupBy("h").agg(F.min("key").alias("fk"))
+    ann = hashed.join(firsts, "h")
     kept = F.col("key") == F.col("fk")
     kept_struct = F.when(kept, F.struct("chunk_id", "chunk_text"))
     return ann.groupBy("doc_id").agg(
@@ -693,9 +706,10 @@ def op_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its surviving chunks only, documents deduplicated to nothing drop out, "
     "and the per-source token budget fills over POST-dedup counts (sampling "
     "before dedup would overcount duplicated passages against the budget).  "
-    "One declarative plan: chunk-hash window -> doc regroup -> the "
-    "hot-source-safe grouped_cumsum running sum; the same three shuffles "
-    "as the standalone stages, nothing materializes in between",
+    "One declarative plan: viral-chunk-safe min-key aggregate + join "
+    "(never a chunk-hash window) -> doc regroup -> the hot-source-safe "
+    "grouped_cumsum running sum — every stage inherits the standalone "
+    "kernels' skew mitigations",
 )
 def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
@@ -717,10 +731,17 @@ def op_corpus_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     key = (F.col("doc_id") * _SUBSTR_KEY_BASE + F.col("chunk_id")).alias("key")
-    ann = ch.select("doc_id", "source", "chunk", key).withColumn(
-        "fk",
-        F.min("key").over(Window.partitionBy(F.md5(F.array_join("chunk", " ")))),
+    # same viral-chunk-safe first-occurrence kernel as op_dedup_substring:
+    # map-side-combined min aggregate + AQE-skew-splittable equi join, never
+    # an unsplittable Window.partitionBy(md5(chunk))
+    hashed = shared(
+        ch.select(
+            "doc_id", "source", "chunk", key,
+            F.md5(F.array_join("chunk", " ")).alias("ch_h"),
+        )
     )
+    firsts = hashed.groupBy("ch_h").agg(F.min("key").alias("fk"))
+    ann = hashed.join(firsts, "ch_h")
     deduped = ann.groupBy("doc_id", "source").agg(
         F.sum(
             F.when(F.col("key") == F.col("fk"), F.size("chunk")).otherwise(0)

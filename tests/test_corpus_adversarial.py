@@ -98,3 +98,53 @@ def test_embeddings_norm_invariants(spark, sf_dir):
             f"vec {r['vec_id']} has norm {n}: zero/non-unit norms break the "
             "NaN-vs-NULL cosine convention and the L2==cosine rerank ordering"
         )
+
+
+@pytest.fixture(scope="module")
+def viral_chunk_dir(spark, sf_dir, tmp_path_factory):
+    """90% of documents share ONE identical 32-token chunk (the web-corpus
+    boilerplate-paragraph shape): the md5 of that chunk is a viral key that
+    would single-task a Window.partitionBy(md5(chunk)) plan."""
+    d = str(tmp_path_factory.mktemp("viral_chunk") / "sf")
+    os.makedirs(d)
+    for t in ALL_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    boiler = " ".join(f"b{i}" for i in range(32))  # one full shared chunk
+    docs = []
+    for i in range(200):
+        if i % 10 == 9:  # 10%: unique text only
+            body = " ".join(f"u{i}w{j}" for j in range(40))
+        else:  # 90%: the shared chunk + a unique tail
+            body = boiler + " " + " ".join(f"u{i}w{j}" for j in range(8))
+        docs.append((i, body, "en", f"src{i % 3}"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs]),
+            "lang": pa.array([r[2] for r in docs]),
+            "source": pa.array([r[3] for r in docs]),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", ["op_dedup_substring", "op_corpus_dedup_sample"])
+def test_viral_chunk_corpus_oracle_parity(spark, viral_chunk_dir, name):
+    """The substring-dedup kernels must stay hash-identical to the oracle on
+    a corpus where one chunk dominates — and their plans carry NO window
+    over the chunk hash (the r12 agg+join rewrite: a viral chunk is an
+    AQE-splittable join partition, never one unsplittable window task)."""
+    q = QUERIES[name]
+    df = q.spark(spark, viral_chunk_dir)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    bad = [s for s in specs if "__rank_pid" not in s]
+    assert not bad, f"{name}: chunk-hash window back in the plan: {bad}"
+    problems = compare(df, run_oracle(q.oracle, viral_chunk_dir))
+    assert not problems, f"{name} on viral-chunk corpus: {problems}"
