@@ -33,7 +33,7 @@ REPRESENTATIVES = [
     ("op_sql_q2_mincost", "broadcast part filter into the pair agg, window min"),
     ("op_sql_q21_waiting", "semi + anti self-joins stay hash joins (equi key + residual)"),
     ("op_dedup_ngram_capped", "df window over the posting shuffle, capped self-join"),
-    ("op_dedup_substring", "chunk-hash min-key window + doc regroup, two shuffles"),
+    ("op_dedup_substring", "viral-chunk-safe min-key aggregate + AQE-skew-splittable join, then doc regroup"),
     ("op_corpus_budget_sample", "grouped_cumsum kernel on (source, h, doc_id): cum tokens + sample rank in one range-partitioned pass"),
     ("op_text_lm_score", "LM aggregate + (w1,w2) score join + doc regroup"),
     ("op_sim_ivfpq_topk", "broadcast probes + broadcast ADC tables, no full-dim scoring"),
