@@ -947,3 +947,125 @@ def test_stateful_latest_20_batch_soak_state_is_channel_bounded(spark, sf_dir):
     )
     assert got == want
     shutil.rmtree(work)
+
+
+def test_watermark_window_agg_20_batch_soak_state_evicts(spark, sf_dir):
+    """Watermark-eviction soak — the third streaming-state family (versioned
+    snapshots and applyInPandasWithState have their own 20-batch soaks):
+    replay events as ~20 TIME-ORDERED micro-batches through the tumbling
+    1-minute windowed aggregation (10-minute watermark) and pin, from the
+    state-store metrics, that (a) live state stays within the horizon bound
+    — windows inside (watermark horizon + one batch's time span + slack),
+    never the whole history — and (b) eviction actually happens: the final
+    state holds a small fraction of all windows ever aggregated.  Append
+    output over 20 batches must emit every finalized window exactly once
+    (equal to the batch recompute minus the still-open tail)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from daq_3i_spark.plans.streaming_ops import _TMP_ROOT, pinned_shuffle
+    from daq_3i_spark.sources.tables import load_events
+    from daq_3i_spark.streaming.windows import windowed_aggs
+
+    work = os.path.join(_TMP_ROOT, "wm_soak20")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    ev = load_events(spark, sf_dir).select("ts", "event_type", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_s = (hi - lo).total_seconds()
+    n_slices = 20
+    slice_s = span_s / n_slices
+
+    ev_c = ev.persist()
+    ev_c.count()
+    bounds = [lo + __import__("datetime").timedelta(seconds=slice_s * k)
+              for k in range(n_slices + 1)]
+    for k in range(n_slices):
+        cond = F.col("ts") >= F.lit(bounds[k])
+        cond &= (F.col("ts") < F.lit(bounds[k + 1])) if k < n_slices - 1 else F.lit(True)
+        tmp = os.path.join(work, f"tmp{k}")
+        ev_c.filter(cond).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"slice_{k}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    ev_c.unpersist()
+
+    n_types = ev.select("event_type").distinct().count()
+    # occupancy-based bound (events are SPARSE in 1-minute windows at this
+    # span): live state is at most one batch's occupied (window, type)
+    # pairs — they stay until the NEXT batch's watermark passes them — plus
+    # the <= 10-minute horizon tail from the previous batch and boundary
+    # slack.  A linear-growth bug (no eviction) would accumulate ALL
+    # occupied pairs instead.
+    lo_us = int(lo.timestamp() * 1_000_000)
+    slice_us = int(slice_s * 1_000_000) or 1
+    occupied = (
+        ev.select(
+            F.window("ts", "1 minute").alias("w"),
+            "event_type",
+            F.floor((F.unix_micros("ts") - F.lit(lo_us)) / F.lit(slice_us))
+            .alias("slice"),
+        )
+        .distinct()
+        .groupBy("slice")
+        .count()
+    )
+    max_per_slice = occupied.agg(F.max("count")).first()[0]
+    bound = max_per_slice + (11 + 3) * n_types  # horizon tail + slack
+    total_windows = (
+        ev.select(F.window("ts", "1 minute"), "event_type").distinct().count()
+    )
+    assert bound < total_windows / 3, (
+        "fixture degenerate: horizon bound does not separate from history "
+        f"(bound={bound}, total={total_windows})"
+    )
+
+    out = os.path.join(work, "out")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with pinned_shuffle(spark, 8):
+        q = (
+            windowed_aggs(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = q.recentProgress
+
+    with_state = [p for p in progresses if p["stateOperators"]]
+    assert len(with_state) >= n_slices, f"only {len(with_state)} progress events"
+    max_state = 0
+    for p in with_state:
+        for sop in p["stateOperators"]:
+            max_state = max(max_state, sop["numRowsTotal"])
+            assert sop["numRowsTotal"] <= bound, (
+                f"batch {p['batchId']}: {sop['numRowsTotal']} state rows > "
+                f"horizon bound {bound} — watermark is not evicting"
+            )
+    final_state = max(
+        sop["numRowsTotal"] for sop in with_state[-1]["stateOperators"]
+    )
+    assert final_state < total_windows / 3, "no eviction over the run"
+
+    # append emitted exactly the finalized windows: the batch recompute
+    # minus windows still open past the final watermark
+    emitted = spark.read.parquet(out)
+    assert emitted.count() == emitted.distinct().count()  # exactly once
+    assert emitted.count() >= total_windows - bound
+    shutil.rmtree(work)
