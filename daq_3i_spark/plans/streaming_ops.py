@@ -1133,18 +1133,43 @@ def op_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.partitionBy("p_date")
         .parquet(path)
     )
-    # fragmented recent partitions: 8 append jobs, one file per partition each
+    # fragmented recent partitions: 8 fragment writes, one file per partition
+    # each.  CONCURRENT Spark jobs into per-fragment tmp dirs, moved into
+    # the sink afterwards (the stale-monitor slice-writer pattern) — 8
+    # sequential direct appends measured 3.3 s of the op's 5.5 s, and
+    # concurrent .mode('append') jobs into ONE path would collide in the
+    # committer's shared _temporary dir
+    from concurrent.futures import ThreadPoolExecutor
+
     recent = cd.filter(F.col("p_date") >= split).persist()
     recent.count()
-    for k in range(8):
+
+    def write_fragment(k: int) -> str:
+        tmp = os.path.join(work, f"frag{k}")
         (
             recent.filter(F.pmod(F.col("id"), F.lit(8)) == k)
             .repartition(F.col("p_date"))
-            .write.mode("append")
-            .partitionBy("p_date")
-            .parquet(path)
+            .write.partitionBy("p_date")
+            .parquet(tmp)
         )
+        return tmp
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        tmps = list(pool.map(write_fragment, range(8)))
     recent.unpersist()
+    for k, tmp in enumerate(tmps):
+        for pdir in os.listdir(tmp):
+            if not pdir.startswith("p_date="):
+                continue
+            dstdir = os.path.join(path, pdir)
+            os.makedirs(dstdir, exist_ok=True)
+            for f in os.listdir(os.path.join(tmp, pdir)):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, pdir, f),
+                        os.path.join(dstdir, f"frag{k}-{f}"),
+                    )
+        shutil.rmtree(tmp)
     compact_partitions(spark, path, max_files=_COMPACT_MAX_FILES)
     return spark.read.parquet(path).select("id", "channel_id", "ts", "value")
 
