@@ -184,54 +184,145 @@ PAIRS_SCHEMA = T.StructType(
 )
 
 
+#: Max rows a single pair-kernel task may hold from one block.  Blocks larger
+#: than this sub-split on a deterministic salt (triangle partitioning), so no
+#: single task ever owns a hot cell — the same mitigation the capped-LSH star
+#: pairs and the viral-chunk substring rewrite use.  At the test scales
+#: (sf0.1 = 2,000 vectors over 10 labels / 16 cells) no block reaches the cap,
+#: so plans and bench are unchanged; at sf1 (20,000) every block splits and
+#: the quadratic pair work spreads across salt-shard tasks.
+CELL_CAP = 512
+
+
+def _salted_blocks(emb: DataFrame, cell_cap: int = CELL_CAP) -> DataFrame:
+    """Explode each (vec_id, label, embedding) row into the triangle groups
+    of its block's salt grid.
+
+    A block of n rows gets ``s = ceil(n / cell_cap)`` salts; row r lands in
+    salt ``xxhash64(vec_id) mod s`` and replicates into the s groups
+    ``(min(salt, j), max(salt, j)) for j in 0..s-1`` — so every unordered row
+    pair co-occurs in EXACTLY one group: (salt, salt) if the salts match,
+    else (lo, hi).  Groups are ~cell_cap-sized (intra) or ~2*cell_cap
+    (cross), each an independent task.  Replication is s copies per row —
+    O(n * sqrt(n / cell_cap)) shuffle bytes against the O(n^2) pair work the
+    split is spreading, the standard all-pairs triangle-partitioning trade.
+
+    The per-block size aggregate is label-cardinality-sized; no broadcast
+    hint — AQE picks the join strategy from runtime stats (the r12 rule:
+    never force-broadcast a fact-derived frame).
+    """
+    src = emb.select("vec_id", "label", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
+    sizes = src.groupBy("label").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count("*") / F.lit(cell_cap)).cast("int")
+        ).alias("_s")
+    )
+    return (
+        src.join(sizes, "label")
+        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "_salt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, _s - 1), "
+                    "j -> struct(least(_salt, j) AS lo, greatest(_salt, j) AS hi))"
+                )
+            ).alias("_g"),
+        )
+        .select(
+            "vec_id", "label", "embedding", "_salt",
+            F.col("_g.lo").alias("_lo"), F.col("_g.hi").alias("_hi"),
+        )
+    )
+
+
 def cos_block_pairs(
     emb: DataFrame,
     threshold: float,
     tile: int = 2048,
+    cell_cap: int = CELL_CAP,
 ) -> DataFrame:
     """All (vec_a < vec_b) pairs with cosine >= threshold within each label
-    block: groupBy(label).applyInPandas — ONE shuffle on the block key, then
-    a vectorized all-pairs kernel per block.
+    block: ONE shuffle on (label, salt-grid group), then a vectorized
+    all-pairs kernel per group (applyInPandas).
 
     Scale: the block is the IVF cell; pair work is sum over cells of
-    |cell|^2, executed as numpy row-tiles of ``tile`` x |cell| so peak memory
-    stays bounded (tile * |cell| * 8 bytes) no matter how large a cell gets.
-    Skewed cells parallelize by splitting the tile loop across... a cell maps
-    to one task (the applyInPandas contract); cap cell sizes upstream
-    (sub-split the label) if a single cell outgrows one executor.
+    |cell|^2, executed as numpy row-tiles of ``tile`` x |group| so peak memory
+    stays bounded.  Blocks beyond ``cell_cap`` rows sub-split on a
+    deterministic salt (see :func:`_salted_blocks`): intra-salt groups run
+    the self all-pairs kernel, cross-salt groups run one-side-tiled cross
+    products — the pair SET and every cos_sim bit are identical to the
+    unsplit kernel (dim-sequential accumulation and IEEE commutative
+    multiply make the value orientation-free), but a hot cell now spans
+    ~(n/cell_cap)^2/2 tasks instead of one.
     """
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({c.name: [] for c in PAIRS_SCHEMA})
+
+    def pairs_frame(cos, ia, ib, ids_a, ids_b, label) -> pd.DataFrame:
+        va, vb = ids_a[ia], ids_b[ib]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "label": label,
+                "cos_sim": cos[ia, ib],
+            }
+        )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.dropna(subset=["embedding"])
         if len(pdf) < 2:
-            return pd.DataFrame({c.name: [] for c in PAIRS_SCHEMA})
-        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        n2 = dim_seq_norm2(A)
+            return empty()
+        label = pdf["label"].iloc[0]
+        lo, hi = int(pdf["_lo"].iloc[0]), int(pdf["_hi"].iloc[0])
         out = []
-        for t0 in range(0, len(pdf), tile):
-            t1 = min(t0 + tile, len(pdf))
-            cos = dim_seq_scores(A[t0:t1], A) / np.sqrt(
-                np.multiply.outer(n2[t0:t1], n2)
-            )
-            with np.errstate(invalid="ignore"):
-                ia, ib = np.where(cos >= threshold)
-            keep = ids[t0 + ia] < ids[ib]
-            ia, ib = ia[keep], ib[keep]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "vec_a": ids[t0 + ia],
-                        "vec_b": ids[ib],
-                        "label": pdf["label"].iloc[0],
-                        "cos_sim": cos[ia, ib],
-                    }
+        if lo == hi:
+            # intra-salt: self all-pairs, keep a < b
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            n2 = dim_seq_norm2(A)
+            for t0 in range(0, len(pdf), tile):
+                t1 = min(t0 + tile, len(pdf))
+                cos = dim_seq_scores(A[t0:t1], A) / np.sqrt(
+                    np.multiply.outer(n2[t0:t1], n2)
                 )
-            )
-        return pd.concat(out, ignore_index=True)
+                with np.errstate(invalid="ignore"):
+                    ia, ib = np.where(cos >= threshold)
+                keep = ids[t0 + ia] < ids[ib]
+                ia, ib = ia[keep], ib[keep]
+                out.append(pairs_frame(cos, ia, ib, ids[t0:t1], ids, label))
+        else:
+            # cross-salt: disjoint sides, every A x B pair occurs once
+            sa = pdf[pdf["_salt"] == lo]
+            sb = pdf[pdf["_salt"] == hi]
+            if sa.empty or sb.empty:
+                return empty()
+            A = np.stack(sa["embedding"].to_numpy()).astype(np.float64)
+            B = np.stack(sb["embedding"].to_numpy()).astype(np.float64)
+            ids_a = sa["vec_id"].to_numpy()
+            ids_b = sb["vec_id"].to_numpy()
+            n2a, n2b = dim_seq_norm2(A), dim_seq_norm2(B)
+            for t0 in range(0, len(sa), tile):
+                t1 = min(t0 + tile, len(sa))
+                cos = dim_seq_scores(A[t0:t1], B) / np.sqrt(
+                    np.multiply.outer(n2a[t0:t1], n2b)
+                )
+                with np.errstate(invalid="ignore"):
+                    ia, ib = np.where(cos >= threshold)
+                out.append(pairs_frame(cos, ia, ib, ids_a[t0:t1], ids_b, label))
+        return pd.concat(out, ignore_index=True) if out else empty()
 
-    return emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
-        run, PAIRS_SCHEMA
+    return (
+        _salted_blocks(emb, cell_cap)
+        .groupBy("label", "_lo", "_hi")
+        .applyInPandas(run, PAIRS_SCHEMA)
     )
 
 

@@ -592,16 +592,22 @@ def _knn_oracle() -> str:
     "then a union mirrors direction and a per-vector rank window keeps "
     f"{_KNN_K}.  Cosines use the dim-sequential fold, bit-identical to "
     "the oracle's; ties break on nbr_id so the graph is deterministic.  "
-    "At 100 TB cells come from a trained coarse quantizer and a hot cell "
-    "sub-splits exactly like the capped-LSH mitigation; edges never leave "
-    "the cell's shuffle partition until the final bounded top-k",
+    "A cell beyond CELL_CAP rows sub-splits on the deterministic salt grid "
+    "(functions/vectors.py _salted_blocks, r13 — identical pair set, "
+    "bit-identical cosines); at 100 TB cells come from a trained coarse "
+    "quantizer and edges never leave the salt group's shuffle partition "
+    "until the final bounded top-k",
 )
 def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import cos_block_pairs, l2_fold
     from daq_3i_spark.sources.tables import load_spread
 
+    from daq_3i_spark.plans.extension_ops2 import _ivf_cells
+
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < _KNN_C).select(
+    # cell count scales with the corpus (footer statistics; floor _KNN_C so
+    # the static oracle stays bit-valid at every oracled scale)
+    cent = emb.filter(F.col("vec_id") < _ivf_cells(sf_dir)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     cd = emb.crossJoin(F.broadcast(cent)).select(

@@ -585,13 +585,17 @@ def containment_pairs(docs: DataFrame, tau: float = _CONTAIN_TAU) -> DataFrame:
     )
     SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.35""",
     doc="embedding-cosine near-dup pairs >= 0.35, blocked on label (the coarse "
-    "cluster id): ONE shuffle on the block key, then a vectorized numpy "
-    "all-pairs kernel per block (applyInPandas) accumulating "
-    "dim-sequentially — the same op order as the fold oracle, so results "
-    "stay bit-identical while the batch kernel replaces per-pair codegen "
-    "array access (~10x, measured r2). At 100 TB the label block is the "
-    "IVF cell — pair work is sum over cells of |cell|^2, row-tiled to "
-    "bound memory",
+    "cluster id): ONE data shuffle on the (block, salt-grid) key, then a "
+    "vectorized numpy all-pairs kernel per group (applyInPandas) "
+    "accumulating dim-sequentially — the same op order as the fold oracle, "
+    "so results stay bit-identical while the batch kernel replaces per-pair "
+    "codegen array access (~10x, measured r2). At 100 TB the label block is "
+    "the IVF cell — pair work is sum over cells of |cell|^2, row-tiled to "
+    "bound memory, and a block beyond CELL_CAP rows sub-splits on a "
+    "deterministic salt (triangle partitioning, functions/vectors.py "
+    "_salted_blocks) so a hot cell spans ~(n/cap)^2/2 tasks instead of one "
+    "— identical pair set, bit-identical cos_sim (r13; pinned by "
+    "tests/test_vectors_split.py)",
 )
 def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings")

@@ -225,8 +225,26 @@ def op_corpus_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF approximate nearest neighbor
 # ---------------------------------------------------------------------------
 
-_IVF_C = 16  # coarse centroids
+_IVF_C = 16  # coarse-centroid FLOOR — the value every oracle SQL bakes in
 _IVF_NPROBE = 4
+_IVF_TARGET = 1024  # target vectors per coarse cell once the corpus outgrows the floor
+
+
+def _ivf_cells(sf_dir: str) -> int:
+    """Coarse-quantizer cell count scaled to the corpus: ``max(_IVF_C,
+    n // _IVF_TARGET)`` with n read from parquet footer statistics (no job).
+
+    At every oracled scale (sf0.001–0.1: n <= 2,000 <= _IVF_C * _IVF_TARGET)
+    this is exactly ``_IVF_C``, so the static oracle SQL (``vec_id < 16``)
+    stays bit-valid; past 16,384 vectors the quantizer GROWS with the corpus
+    so cell populations stay ~_IVF_TARGET-bounded — cells never inflate with
+    data size (SCALE.md's trained-quantizer prescription; the structural
+    complement to cos_block_pairs' salt-grid cap, which handles the residual
+    skew WITHIN however many cells exist).  Pinned by
+    tests/test_extension2.py::test_ivf_cells_scale_with_corpus."""
+    from daq_3i_spark.sources.tables import table_rows
+
+    return max(_IVF_C, table_rows(sf_dir, "embeddings") // _IVF_TARGET)
 
 
 @register(
@@ -288,10 +306,11 @@ def op_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import SCORES_SCHEMA
 
     emb = load_spread(spark, sf_dir, "embeddings")
-    # centroid probe off the RAW scan (same one-stage rationale as qrows)
+    # centroid probe off the RAW scan (same one-stage rationale as qrows);
+    # cell count scales with the corpus (footer statistics, _ivf_cells)
     crows = sorted(
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _IVF_C)
+        .filter(F.col("vec_id") < _ivf_cells(sf_dir))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -735,7 +754,7 @@ def op_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trained coarse quantizer: k-means (Lloyd) with exact-decimal means
 # ---------------------------------------------------------------------------
 
-_KM_K = 16
+_KM_K = 16  # k-means K FLOOR (oracle-baked); seeds scale via _ivf_cells
 _KM_ITERS = 2  # fixed iteration count => deterministic, oracle-reproducible
 
 
@@ -808,7 +827,7 @@ def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache stays lazy until the first real action)
     crows = sorted(
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _KM_K)
+        .filter(F.col("vec_id") < _ivf_cells(sf_dir))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -916,7 +935,7 @@ def op_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache stays lazy until the first real action)
     crows = sorted(
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _KM_K)
+        .filter(F.col("vec_id") < _ivf_cells(sf_dir))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -1214,7 +1233,7 @@ def op_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import l2_fold
 
     emb, codes, qd = _pq_frames(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+    cent = emb.filter(F.col("vec_id") < _ivf_cells(sf_dir)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     cd = emb.crossJoin(F.broadcast(cent)).select(
@@ -1381,14 +1400,16 @@ _SEMDEDUP_TAU = 0.35
     "ground-truth classes, cell blocking derives the blocks from the "
     "vectors themselves — the shape that works on unlabeled web-scale "
     "corpora.  Pair work is sum over cells of |cell|^2 via the row-tiled "
-    "numpy kernel; at 100 TB cells come from a trained coarse quantizer and "
-    "a hot cell sub-splits exactly like the capped-LSH bucket mitigation",
+    "numpy kernel; a cell beyond CELL_CAP rows sub-splits on a deterministic "
+    "salt grid (functions/vectors.py _salted_blocks, r13) so no single task "
+    "ever owns a hot cell, and at 100 TB cells come from a trained coarse "
+    "quantizer (cell count scales with the corpus, see _ivf_cells)",
 )
 def op_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.functions.vectors import cos_block_pairs, l2_fold
 
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+    cent = emb.filter(F.col("vec_id") < _ivf_cells(sf_dir)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     cd = emb.crossJoin(F.broadcast(cent)).select(

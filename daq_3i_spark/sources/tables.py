@@ -71,6 +71,26 @@ def read_events_stream(spark: SparkSession, path_glob: str, sf_dir: str) -> Data
     return _normalize_ts(spark.readStream.schema(schema).parquet(path_glob))
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — a driver-side file-statistics
+    read (microseconds per file, NO Spark job, so plan construction stays
+    lazy), the input for size-derived plan parameters such as the IVF
+    coarse-quantizer cell count.  The same class of statistics Spark's own
+    planner reads (file sizes) when sizing scan partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)

@@ -460,3 +460,38 @@ def test_ivf_recall_eval_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["k"] == 10
         assert r["recall_at_k"] == r["n_hits"] / 10
+
+
+def test_ivf_cells_scale_with_corpus(spark, sf_dir, tmp_path):
+    """The coarse quantizer scales with the corpus: cell count is exactly the
+    _IVF_C floor at every oracled scale (so the static oracle SQL stays
+    bit-valid), and grows as n // _IVF_TARGET once the corpus outgrows
+    floor * target — cell POPULATIONS stay bounded instead of inflating
+    with data size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daq_3i_spark.plans.extension_ops2 import _IVF_C, _IVF_TARGET, _ivf_cells
+
+    # every shipped test scale sits under the floor
+    assert _ivf_cells(sf_dir) == _IVF_C
+    assert _ivf_cells("/root/testdata/sf0.1") == _IVF_C
+
+    # a corpus past floor * target grows the quantizer proportionally
+    n = _IVF_C * _IVF_TARGET * 2 + 123
+    d = tmp_path / "big_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64())}),
+        str(d / "embeddings.parquet"),
+    )
+    assert _ivf_cells(str(d)) == n // _IVF_TARGET == 2 * _IVF_C
+
+
+def test_table_rows_matches_engine_counts(spark, sf_dir):
+    """Footer statistics agree with the engine row count (the number every
+    size-derived parameter is planned from)."""
+    from daq_3i_spark.sources.tables import load_table, table_rows
+
+    for t in ("embeddings", "documents"):
+        assert table_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
