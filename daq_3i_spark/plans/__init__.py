@@ -15,69 +15,49 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # The driver's correctness sweep checks the FIRST 50 queries() entries in
 # dict order (CORRECTNESS_r01.json is exactly registry entries 0-49).  To get
 # every registry entry oracle-verified across rounds, the checked window is
-# rotated each round.  After r9, every registry op has a driver-green row and
-# maximum staleness is r5 for exactly 7 ops; the window leads each round with
-# ops semantically TOUCHED that round so fixes get fresh canonical rows
-# immediately, then drains the stalest cohort.
+# rotated each round: lead with the cohort hitting the 4-round staleness
+# horizon (tools/check_counts.py --census is authoritative), then ops whose
+# EXECUTION changed this round so rewrites get fresh canonical rows, then
+# the stalest of the next cohort.
 #
-# Round 12 window (VERDICT r11 #3: the r7 cohort — 47 ops — hits the
-# 4-round staleness horizon this round and fills the window almost alone).
-# The r11 "Done" criteria overcommit the window: 47 (r7 cohort, task 3)
-# + 2 (both band-eval ops, task 1) + 5 (the packing family, task 2) = 54
-# slots for 50.  Task 3 is the only one no other mechanism can satisfy
-# (driver rows are the sole staleness cure), so it gets all 47; tasks 1-2
-# get 3 slots for their strongest representatives and the rest are
-# verified by the LOCAL full oracle-parity suite (which the judge re-runs
-# independently) — each changed code path still has one driver-window
-# representative:
-# (1) 3 slots for ops whose EXECUTION changed materially in r12, so the
-#     rewrites get fresh canonical rows: op_corpus_budget_sample and
-#     op_corpus_dedup_sample (per-source running sums rebuilt on the
-#     hot-source-safe grouped_cumsum kernel — cumsum AND sample_rank now
-#     come from the range-partition construction; also the stalest of the
-#     rewired family at r9) and op_corpus_minhash_eval (same-lang
-#     restriction moved INTO the band self-join key, deleting the forced
-#     doc->lang broadcasts — r10 row, staler than its r11-checked twin
-#     op_dedup_threshold_sweep which shares the identical derivation);
-# (2) the ENTIRE round-7 cohort (47 ops), intricate/stateful first.
-# 3 + 47 = 50 — the full window.  Also touched in r12 but left OUT (window
-# full; every one is locally oracle-parity-green and each changed code path
-# has a window representative): op_pack_sequences / op_pack_sequences_bpe
-# (r11 rows; same grouped_cumsum kernel as the two sampled ops),
-# op_dedup_threshold_sweep (r11 row; same _band_exact_frames derivation as
-# minhash_eval), op_graph_triangles (r11 row; only the broadcast HINT was
-# dropped — AQE picks the same join, pinned by plan test), and
-# op_graph_pagerank (r9 row; only the final 100-row node-id rendering
-# changed to integer DIV — it is in the r9 cohort that leads r13 anyway,
-# together with the r10-touched pq_topk/ivfpq_topk/cm_sketch/rfm/vocab/
-# components group deferred since r11).
+# Round 13 window: the r8 cohort (33 ops) hits the staleness horizon and
+# leads; driver rows are the only staleness cure, so it takes all 33 slots
+# (op_sim_knn_graph is in it AND was rewritten this round — double reason).
+# Next, the 7 other ops whose EXECUTION changed in r13 (the cos_block_pairs
+# salt-grid sub-split and the corpus-scaled _ivf_cells quantizer):
+# op_dedup_embedding, op_dedup_semantic, op_sim_ivf_topk,
+# op_sim_kmeans_assign, op_sim_ivf_trained_topk, op_sim_ivfpq_topk,
+# op_sim_ivf_recall_eval.  The remaining 10 slots drain the stalest r9 ops:
+# the group deferred since r11 (pq_topk, cm_sketch, rfm, vocab, components,
+# pagerank — ivfpq_topk already above) plus the four most intricate/stateful
+# of the rest (sink_compaction, source_modbus_sim, rollup_incremental,
+# stream_rollup_refresh).  33 + 7 + 6 + 4 = 50 — the full window.  The
+# ~34 r9 ops left over lead r14 (they hit the horizon then); every one is
+# locally oracle-parity-green this round (tests/test_oracle_parity*).
 _CHECK_PRIORITY = [
-    # -- (1) execution materially changed in r12 ------------------------------
-    "op_corpus_budget_sample", "op_corpus_dedup_sample",
-    "op_corpus_minhash_eval",
-    # -- (2) the r7 cohort: stateful/intricate first ---------------------------
-    "op_stream_stream_join", "op_join_enrich_stream", "op_sink_time_travel",
-    "op_sink_retention_time", "op_sink_truncate_status",
-    "op_source_csv_roundtrip", "op_source_json_roundtrip",
-    "op_anomaly_rank_bucketed", "op_asof_join", "op_range_join",
-    "op_join_salted", "op_convert_expr", "op_decode_registers",
-    "op_sign_extend", "op_error_handling", "op_heartbeat", "op_sched_tick",
-    "op_filter_dirty", "op_filter_status_key", "op_project_columns",
-    "op_status_per_channel", "op_dedup_embedding", "op_dedup_simhash",
-    "op_embed_quantize", "op_sample_stratified", "op_sim_ivf_topk",
-    "op_sim_lsh_topk", "op_sim_range_search", "op_sim_topk",
-    "op_multimodal_pack", "op_text_bigrams", "op_text_chunk",
-    "op_text_fingerprint", "op_text_langid", "op_text_quality",
-    "op_text_repetition", "op_text_stats", "op_text_tokens",
-    "op_sql_distinct_agg", "op_sql_exists", "op_sql_notin_countdistinct",
-    "op_sql_pivot", "op_sql_q13_distribution", "op_sql_quantiles",
-    "op_sql_semi_anti", "op_sql_setops", "op_sql_window_rank",
-    # -- past the 50-entry window: r13 leads with the r9 cohort (46 ops,
-    #    incl. pagerank/budget-sample family refreshed above) and the
-    #    r10-touched deferred group ------------------------------------------
-    "op_sim_pq_topk", "op_sim_ivfpq_topk", "op_sql_cm_sketch",
-    "op_events_rfm", "op_text_vocab", "op_dedup_components",
-    "op_graph_pagerank",
+    # -- (1) the r8 cohort: hits the 4-round horizon, stateful/intricate first
+    "op_stream_dedup_ingest", "op_stream_dedup_keys", "op_stream_late_drop",
+    "op_stream_ohlc", "op_sink_change_feed", "op_sink_partitioned_scan",
+    "op_source_orc_roundtrip", "op_source_schema_evolution",
+    "op_join_bloom_prefilter", "op_join_scd2", "op_sim_knn_graph",
+    "op_dedup_incremental", "op_corpus_split", "op_embed_centroids",
+    "op_multimodal_frames", "op_quality_constraints",
+    "op_events_ab_lift", "op_events_attribution", "op_events_burst",
+    "op_events_cohort_retention", "op_events_dau_wau", "op_events_funnel",
+    "op_events_ohlc", "op_events_streaks", "op_events_topk_paths",
+    "op_text_langid_confusion", "op_text_langid_ngram",
+    "op_text_tfidf_topterms", "op_timeseries_ema", "op_timeseries_rate",
+    "op_timeseries_seasonal", "op_sql_q4_priority", "op_sql_unpivot",
+    # -- (2) execution materially changed in r13 (salt-grid pair kernel +
+    #        corpus-scaled quantizer) ----------------------------------------
+    "op_dedup_embedding", "op_dedup_semantic", "op_sim_ivf_topk",
+    "op_sim_kmeans_assign", "op_sim_ivf_trained_topk", "op_sim_ivfpq_topk",
+    "op_sim_ivf_recall_eval",
+    # -- (3) stalest r9: the group deferred since r11, then intricate ops -----
+    "op_sim_pq_topk", "op_sql_cm_sketch", "op_events_rfm", "op_text_vocab",
+    "op_dedup_components", "op_graph_pagerank",
+    "op_sink_compaction", "op_source_modbus_sim", "op_rollup_incremental",
+    "op_stream_rollup_refresh",
 ]
 
 
