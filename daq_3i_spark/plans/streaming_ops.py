@@ -862,9 +862,54 @@ def make_snapshot_refresh(
 
 
 def _sf_feed_key(name: str, sf_dir: str) -> str:
-    """Feed-cache key: the semantic derivation name + the scale-factor dir
-    (the only input the derivation depends on), path-safe."""
-    return f"{name}-{os.path.basename(os.path.normpath(sf_dir))}"
+    """Feed-cache key: the semantic derivation name + a FINGERPRINT of the
+    resolved sf_dir — sha1 over the realpath and every parquet entry's
+    (name, size, mtime_ns).  Keying on the basename alone (pre-r13) let two
+    corpora sharing a basename, or the same path regenerated in place under
+    a recycled pid, silently serve each other's cached feed — a
+    wrong-results path the oracle can't see because the cached feed IS the
+    input (ADVICE r12).  Symlinked fixture tables fingerprint their TARGET
+    (os.stat follows links), so a fixture that re-links to new data re-keys."""
+    import hashlib
+
+    root = os.path.realpath(sf_dir)
+    h = hashlib.sha1(root.encode())
+    try:
+        for f in sorted(os.listdir(root)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"|{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    return f"{name}-{h.hexdigest()[:16]}"
+
+
+def _purge_dead_worker_caches() -> None:
+    """Drop ``*-w{pid}`` cache dirs whose worker pid is no longer alive: a
+    recycled pid must never inherit a predecessor's cache, and .tmp
+    otherwise grows without bound across sessions (ADVICE r12).  A pid that
+    exists but belongs to another user (PermissionError from kill 0) is
+    treated as alive — never delete under a live process."""
+    import re
+
+    try:
+        entries = os.listdir(_TMP_ROOT)
+    except OSError:
+        return
+    me = os.getpid()
+    for e in entries:
+        m = re.fullmatch(r".+-w(\d+)", e)
+        if not m or int(m.group(1)) == me:
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_TMP_ROOT, e), ignore_errors=True)
+        except PermissionError:
+            pass
+
+
+_purge_dead_worker_caches()
 
 
 def _cached_feed(feed_key: str, build_fn) -> str:

@@ -82,9 +82,15 @@ def status_create_table_sql(dialect: str, table: str = "daq_status") -> str:
 def channel_data_create_table_sql(
     dialect: str, table: str = "channel_data"
 ) -> str:
-    """DDL for the measurement table — the reference's exact column types
+    """DDL for the measurement table — the reference's column SET
     (db_model.py:49-54: surrogate id, channel_id FK, ts, DECIMAL(25,6)
-    value) plus the (channel_id, ts) index its access patterns need."""
+    value) plus the (channel_id, ts) index its access patterns need.
+    Two DELIBERATE widenings vs the reference (recorded in DIVERGENCES.md):
+    the surrogate id is BIGINT, not the reference's Integer — at this
+    engine's ingest rates a 2^31 key space overflows in days — and
+    identifier columns are VARCHAR(128), not String(25), to fit the longer
+    parameter names the extension ops emit.  DECIMAL(25,6) for ``value``
+    is kept exact."""
     _check(dialect)
     q = lambda n: quote_ident(n, dialect)  # noqa: E731
     if dialect == MYSQL:
@@ -140,11 +146,15 @@ def status_upsert_on_duplicate_sql(table: str = "daq_status") -> str:
     production dialect.  Bind order (parameter, status, ts), matching
     status_insert_sql so the same _bind routine drives either shape.
     MySQL-only (Derby has no ON DUPLICATE KEY; the ANSI path keeps the
-    two-batch shape the Derby round-trip test pins)."""
+    two-batch shape the Derby round-trip test pins).  Renders the 8.0.19+
+    row-alias form (``VALUES (...) AS new ... = new.col``) — the legacy
+    ``VALUES(col)`` function is deprecated since MySQL 8.0.20 and slated
+    for removal, so the statement targets 8.0.19+ servers (the earliest
+    version the reference's mysql+pymysql stack is deployed on today)."""
     q = lambda n: quote_ident(n, MYSQL)  # noqa: E731
     return (
         f"INSERT INTO {table} ({q('parameter')}, {q('status')}, {q('ts')}) "
-        f"VALUES (?, ?, ?) "
-        f"ON DUPLICATE KEY UPDATE {q('status')} = VALUES({q('status')}), "
-        f"{q('ts')} = VALUES({q('ts')})"
+        f"VALUES (?, ?, ?) AS new "
+        f"ON DUPLICATE KEY UPDATE {q('status')} = new.{q('status')}, "
+        f"{q('ts')} = new.{q('ts')}"
     )

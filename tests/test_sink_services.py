@@ -640,12 +640,13 @@ def test_mysql_dialect_statements_golden():
         "INSERT INTO daq_status (`parameter`, `status`, `ts`) VALUES (?, ?, ?)"
     )
     # the native single-round-trip variant a MySQL deployment may prefer;
-    # bind order matches status_insert_sql so one _bind routine drives both
+    # bind order matches status_insert_sql so one _bind routine drives both.
+    # Row-alias form (8.0.19+): VALUES(col) is deprecated since 8.0.20
     assert status_upsert_on_duplicate_sql() == (
         "INSERT INTO daq_status (`parameter`, `status`, `ts`) "
-        "VALUES (?, ?, ?) "
-        "ON DUPLICATE KEY UPDATE `status` = VALUES(`status`), "
-        "`ts` = VALUES(`ts`)"
+        "VALUES (?, ?, ?) AS new "
+        "ON DUPLICATE KEY UPDATE `status` = new.`status`, "
+        "`ts` = new.`ts`"
     )
 
 

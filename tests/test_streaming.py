@@ -1069,3 +1069,47 @@ def test_watermark_window_agg_20_batch_soak_state_evicts(spark, sf_dir):
     assert emitted.count() == emitted.distinct().count()  # exactly once
     assert emitted.count() >= total_windows - bound
     shutil.rmtree(work)
+
+
+def test_feed_key_fingerprints_corpus_not_basename(tmp_path):
+    """Two corpora sharing a basename must never share a feed-cache key, and
+    regenerating a table in place must re-key (ADVICE r12: the cached feed
+    IS the op input, so a stale hit is an oracle-invisible wrong result)."""
+    import os
+    import shutil
+
+    from daq_3i_spark.plans.streaming_ops import _sf_feed_key
+
+    a = tmp_path / "one" / "sf"
+    b = tmp_path / "two" / "sf"
+    for d in (a, b):
+        d.mkdir(parents=True)
+    shutil.copyfile("/root/testdata/sf0.001/region.parquet", a / "events.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/nation.parquet", b / "events.parquet")
+    assert os.path.basename(a) == os.path.basename(b)
+    k_a, k_b = _sf_feed_key("x", str(a)), _sf_feed_key("x", str(b))
+    assert k_a != k_b
+
+    # regenerate-in-place (new mtime) => new key
+    os.utime(a / "events.parquet", ns=(1, 1))
+    assert _sf_feed_key("x", str(a)) != k_a
+    # stable across calls when nothing changed
+    assert _sf_feed_key("x", str(b)) == k_b
+
+
+def test_purge_dead_worker_caches(monkeypatch, tmp_path):
+    """Cache dirs of exited workers are removed; the live process's own dir
+    survives (pid-recycling can never inherit a predecessor's cache)."""
+    import os
+
+    import daq_3i_spark.plans.streaming_ops as so
+
+    monkeypatch.setattr(so, "_TMP_ROOT", str(tmp_path))
+    dead = tmp_path / "feedcache-w999999999"  # pid_max is < 999999999
+    mine = tmp_path / f"feedcache-w{os.getpid()}"
+    plain = tmp_path / "sf1"  # no -w{pid} suffix: never touched
+    for d in (dead, mine, plain):
+        d.mkdir()
+    so._purge_dead_worker_caches()
+    assert not dead.exists()
+    assert mine.exists() and plain.exists()
