@@ -702,7 +702,33 @@ def test_stream_forecast_monitor_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
-def test_snapshot_protocol_20_batch_soak_state_bounded(spark, sf_dir):
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(request, spark):
+    """Run a streaming soak under BOTH state-store providers (VERDICT r12
+    #5): the 100 TB claim for keyed state assumes state spills beyond
+    executor heap, which is the RocksDB provider's job — a soak green under
+    both proves the state ops are provider-portable, not
+    HDFSBackedStateStore-shaped.  The conf is read at query START, so
+    set/restore around each test is enough; checkpoints are rebuilt per
+    test (work dirs are rmtree'd at entry), so no provider mixing within a
+    checkpoint lineage."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    if request.param == "rocksdb":
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
+    yield request.param
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+def test_snapshot_protocol_20_batch_soak_state_bounded(spark, sf_dir, state_provider):
     """Long-run soak for the versioned-snapshot protocol (VERDICT r11 #7):
     every op_stream_* op replays exactly 4 micro-batches, which cannot
     answer 'does state leak over a day'.  Drive ~20 REAL micro-batches of
@@ -871,7 +897,9 @@ def test_snapshot_refresh_replay_with_pruning(spark, sf_dir):
         assert n_vs <= 2, f"{name}: {n_vs} versions retained"
 
 
-def test_stateful_latest_20_batch_soak_state_is_channel_bounded(spark, sf_dir):
+def test_stateful_latest_20_batch_soak_state_is_channel_bounded(
+    spark, sf_dir, state_provider
+):
     """State-size soak for the applyInPandasWithState family (the module
     docstring's claim: state per key is O(1), store size = #channels).
     Drive ~20 micro-batches of the latest-per-channel operator and read the
@@ -949,7 +977,9 @@ def test_stateful_latest_20_batch_soak_state_is_channel_bounded(spark, sf_dir):
     shutil.rmtree(work)
 
 
-def test_watermark_window_agg_20_batch_soak_state_evicts(spark, sf_dir):
+def test_watermark_window_agg_20_batch_soak_state_evicts(
+    spark, sf_dir, state_provider
+):
     """Watermark-eviction soak — the third streaming-state family (versioned
     snapshots and applyInPandasWithState have their own 20-batch soaks):
     replay events as ~20 TIME-ORDERED micro-batches through the tumbling
