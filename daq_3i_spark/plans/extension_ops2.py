@@ -1421,8 +1421,14 @@ def op_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").cast("int").alias("cell"))
     )
-    blocked = emb.join(cells, "vec_id").select(
-        "vec_id", "embedding", F.col("cell").alias("label")
+    # shared: the salt-grid sizing pass + the pair-group pass both consume
+    # the cell assignment (16-centroid crossJoin + rank window) — without
+    # the cache the assignment recomputes per pass (same rationale as the
+    # kmeans two-pass shared(emb))
+    blocked = shared(
+        emb.join(cells, "vec_id").select(
+            "vec_id", "embedding", F.col("cell").alias("label")
+        )
     )
     dup = (
         cos_block_pairs(blocked, threshold=_SEMDEDUP_TAU)
