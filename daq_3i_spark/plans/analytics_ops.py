@@ -3477,8 +3477,15 @@ def oriented_edges(li: DataFrame) -> DataFrame:
 )
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    e = oriented_edges(li)
-    succ = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # shared (r13): the oriented edge list feeds the probe side AND the
+    # successor census, and the successor table is joined on BOTH sides —
+    # uncached, the Σ basket² pair generation ran 3x and the collect_list
+    # census 2x (the pagerank cached-edges precedent; both frames are
+    # edge-sized, spill-safe)
+    e = shared(oriented_edges(li))
+    succ = shared(
+        e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
     sx = succ.select(F.col("src").alias("x"), F.col("nbrs").alias("nx"))
     sy = succ.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
     # no forced broadcast hint: the successor table's payload is edge-sized
