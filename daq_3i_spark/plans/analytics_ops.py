@@ -619,12 +619,10 @@ def op_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("label"))
     )
-    # shared: the salt-grid sizing pass + the pair-group pass both consume
-    # the cell assignment (centroid crossJoin + rank window) — cached lazily
-    # so the assignment runs once (the kmeans two-pass precedent)
-    blocked = shared(
-        emb.join(cells, "vec_id").select("vec_id", "embedding", "label")
-    )
+    # NOT shared: persisting an embedding-array frame regresses sf1 2-3x
+    # (measured r13; see op_dedup_semantic) — recomputing the codegen
+    # assignment for the sizing pass is cheaper than caching array rows
+    blocked = emb.join(cells, "vec_id").select("vec_id", "embedding", "label")
     # threshold below -1 keeps every pair (cosine is bounded by [-1, 1])
     pairs = cos_block_pairs(blocked, threshold=-2.0)
     directed = pairs.select(

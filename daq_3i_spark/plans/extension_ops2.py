@@ -1421,14 +1421,13 @@ def op_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").cast("int").alias("cell"))
     )
-    # shared: the salt-grid sizing pass + the pair-group pass both consume
-    # the cell assignment (16-centroid crossJoin + rank window) — without
-    # the cache the assignment recomputes per pass (same rationale as the
-    # kmeans two-pass shared(emb))
-    blocked = shared(
-        emb.join(cells, "vec_id").select(
-            "vec_id", "embedding", F.col("cell").alias("label")
-        )
+    # NOT shared: persisting this frame regresses sf1 2-3x (measured r13 —
+    # caching rows that carry the embedding ARRAY materializes them as
+    # deserialized Java objects, costlier than recomputing the codegen
+    # assignment for the salt-grid sizing pass); the pagerank/triangles
+    # cached-frame precedent applies to LONG-typed frames only
+    blocked = emb.join(cells, "vec_id").select(
+        "vec_id", "embedding", F.col("cell").alias("label")
     )
     dup = (
         cos_block_pairs(blocked, threshold=_SEMDEDUP_TAU)
