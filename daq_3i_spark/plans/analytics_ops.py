@@ -3475,12 +3475,10 @@ def oriented_edges(li: DataFrame) -> DataFrame:
 )
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # shared (r13): the oriented edge list feeds the probe side AND the
-    # successor census, and the successor table is joined on BOTH sides —
-    # uncached, the Σ basket² pair generation ran 3x and the collect_list
-    # census 2x (the pagerank cached-edges precedent; both frames are
-    # edge-sized, spill-safe)
-    e = shared(oriented_edges(li))
+    e = oriented_edges(li)  # already shared() inside the helper
+    # shared (r13): the successor table is joined on BOTH sides (sx, sy) —
+    # uncached, the collect_list census ran twice per query (the pagerank
+    # cached-edges precedent; edge-sized longs + arrays of longs, spill-safe)
     succ = shared(
         e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     )

@@ -87,11 +87,12 @@ def test_registry_wrapper_self_releases_shared_cache(spark, sf_dir):
     n_op1 = len(cache._LIVE)
     assert n_op1 >= 1
     df1.count()
-    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 2 frames
+    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 3 frames
+    # (2 inside oriented_edges + the r13 successor-table cache);
     # op1's tracked frames are gone; only op2's remain
-    assert len(cache._LIVE) == 2
+    assert len(cache._LIVE) == 3
     df2.count()
-    assert cache.release_shared() == 2
+    assert cache.release_shared() == 3
     assert not cache._LIVE
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
