@@ -71,7 +71,7 @@ def op_sql_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(pair)
@@ -126,10 +126,10 @@ def op_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _revenue()
     promo = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
@@ -172,9 +172,9 @@ def op_sql_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -279,7 +279,7 @@ def op_sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         (F.lit(100.0) * fx_sum(promo) / fx_sum(rev)).alias("promo_revenue")
     )
 
@@ -317,7 +317,7 @@ def op_sql_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -349,7 +349,7 @@ def op_sql_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(pq.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg((fx_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
@@ -383,7 +383,7 @@ def op_sql_q19_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") <= qhi)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
         .agg(fx_sum(_revenue()).alias("revenue"))
     )

@@ -68,7 +68,7 @@ def op_sql_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     cost = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -82,7 +82,7 @@ def op_sql_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        best.join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "s_acctbal",
@@ -176,7 +176,7 @@ def op_sql_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     pq = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(fx_unscaled(F.col("l_quantity"))).alias("q"))
     )
@@ -194,7 +194,7 @@ def op_sql_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "semi")
-        .join(F.broadcast(dom), F.col("s_suppkey") == dom.l_suppkey, "semi")
+        .join(dom, F.col("s_suppkey") == dom.l_suppkey, "semi")
         .select("s_suppkey", "s_name")
     )
 
@@ -257,7 +257,7 @@ def op_sql_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         waited.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(10)

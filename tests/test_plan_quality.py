@@ -220,3 +220,51 @@ def test_bloom_refine_join_not_force_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in final
     finally:
         release_shared()
+
+
+# SF-scaled TPC-H dims (customer / supplier / part — they GROW with scale
+# factor, ~2e10 part rows at the 100 TB SF) must never carry a forced
+# broadcast hint: r13 dropped them (the market-basket / bloom-refine
+# precedent), keeping hints only on fixed-cardinality frames (nation 25,
+# region 5, one-row aggregates).  Pins, per op: the exact surviving hint
+# count, that size-based planning still broadcasts every dim at test scale,
+# and the exact SortMergeJoin count (q21's lineitem self-join and q20's
+# fact-derived dominant-supplier semi join are CORRECTLY shuffle joins).
+_SQL_HINT_PINS = {
+    "op_sql_q3_topk": (0, 0),
+    "op_sql_q5_region": (2, 0),   # nation, region
+    "op_sql_setops_all": (0, 0),
+    "op_sql_q7_volume": (2, 0),   # nation x2
+    "op_sql_q8_market_share": (3, 0),  # nation x2, region
+    "op_sql_q9_profit": (1, 0),   # nation
+    "op_sql_q14_promo": (0, 0),
+    "op_sql_q15_topsupplier": (1, 0),  # one-row max-revenue crossJoin
+    "op_sql_q17_smallqty": (0, 0),
+    "op_sql_q19_disjunction": (0, 0),
+    "op_sql_q2_mincost": (1, 0),  # nation
+    "op_sql_q20_dominant": (1, 1),  # nation; dom semi join correctly SMJ
+    "op_sql_q21_waiting": (0, 1),   # lineitem self-join correctly SMJ
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SQL_HINT_PINS))
+def test_sql_dims_not_force_broadcast(spark, sf_dir, name):
+    from daq_3i_spark.cache import release_shared
+
+    want_hints, want_smj = _SQL_HINT_PINS[name]
+    try:
+        df = QUERIES[name].spark(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        hints = qe.analyzed().toString().count("ResolvedHint")
+        assert hints == want_hints, (
+            f"{name}: {hints} forced hints (want {want_hints}) — an SF-scaled "
+            "dim regained a hint, or a fixed-cardinality hint was dropped"
+        )
+        df.collect()
+        final = qe.executedPlan().toString()
+        assert final.count("SortMergeJoin") == want_smj
+        assert "BroadcastHashJoin" in final, (
+            f"{name}: size-based planning no longer broadcasts the dims"
+        )
+    finally:
+        release_shared()
