@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from daq_3i_spark.functions.convert import convert_case_column, convert_case_duckdb
 from daq_3i_spark.functions.decode import decode_cols, decode_sql_duckdb
-from daq_3i_spark.operators.core import latest_per_key, oldest_n_per_key
+from daq_3i_spark.operators.core import oldest_n_per_key
 from daq_3i_spark.functions.numeric import fx_sum
 from daq_3i_spark.plans.registry import register
 from daq_3i_spark.sources.tables import load_events
@@ -137,16 +137,20 @@ def op_sink_append_channel_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_sink_upsert_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    # latest-wins as a map-side-combinable max-struct aggregate (r13):
+    # event_type is LOW-cardinality while events are data-sized, so the
+    # previous row_number window put one type's entire history through one
+    # task; lexicographic max(struct(ts, event_id)) realizes the same
+    # (desc ts, desc event_id) winner with partial aggregation on every
+    # core — the same shape the streaming twin's MERGE uses per batch
     return (
-        events.select(
-            F.col("event_type").alias("parameter"),
+        events.groupBy(F.col("event_type").alias("parameter"))
+        .agg(F.max(F.struct("ts", "event_id")).alias("__s"))
+        .select(
+            "parameter",
             F.lit(1).cast("int").alias("status"),
-            "ts",
-            F.row_number().over(w).alias("rn"),
+            F.col("__s.ts").alias("ts"),
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
     )
 
 
@@ -175,16 +179,20 @@ def op_sink_truncate_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM channel_data cd JOIN channels c ON cd.channel_id = c.id
     ) SELECT id, channel_id FROM ranked WHERE rn > history_len""",
     doc="retention delete set, one statement (vs daq-3i.py:207-215 row loop, "
-    "no 100-row batch cap — SURVEY §2.9.5)",
+    "no 100-row batch cap — SURVEY §2.9.5).  Drop = id strictly below the "
+    "per-channel keep threshold (retention_min_keep_ids, r13) — ids are "
+    "unique, so rn > history_len and id < __min_keep select identical "
+    "rows, with no per-channel window over the fact",
 )
 def op_sink_delete_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = channels_df(spark).select(F.col("id").alias("channel_id"), "history_len")
-    w = Window.partitionBy("channel_id").orderBy(F.col("id").desc())
+    from daq_3i_spark.operators.core import retention_min_keep_ids
+
+    cd = _cd(spark, sf_dir)
+    # channel-config-cardinality frame (<1 KB) — hint is scale-safe
+    thr = F.broadcast(retention_min_keep_ids(cd, channels_df(spark)))
     return (
-        _cd(spark, sf_dir)
-        .join(F.broadcast(c), "channel_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > F.col("history_len"))
+        cd.join(thr, "channel_id")
+        .filter(F.col("id") < F.col("__min_keep"))
         .select("id", "channel_id")
     )
 
@@ -386,13 +394,27 @@ def op_count_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY channel_id ORDER BY ts DESC, id DESC) AS rn
       FROM channel_data
     ) SELECT id, channel_id, ts, value FROM ranked WHERE rn = 1""",
-    doc="latest-wins slot (ChannelState overwrite, bus.py:32-36) as a window "
-    "dedup; streaming twin = state store",
+    doc="latest-wins slot (ChannelState overwrite, bus.py:32-36) as ONE "
+    "map-side-combinable max-struct aggregate (r13): lexicographic "
+    "max(struct(ts, id, value)) realizes the (ts DESC, id DESC) winner "
+    "with partial aggregation on every core — a per-channel window would "
+    "single-task each of the 40 channels' whole history; streaming twin = "
+    "state store",
 )
 def op_latest_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return latest_per_key(
-        _cd(spark, sf_dir), "channel_id", [F.desc("ts"), F.desc("id")]
-    ).select("id", "channel_id", "ts", "value")
+    # id is unique, so the struct comparison never reaches value — the
+    # trailing field only rides along to be emitted
+    return (
+        _cd(spark, sf_dir)
+        .groupBy("channel_id")
+        .agg(F.max(F.struct("ts", "id", "value")).alias("__s"))
+        .select(
+            F.col("__s.id").alias("id"),
+            "channel_id",
+            F.col("__s.ts").alias("ts"),
+            F.col("__s.value").alias("value"),
+        )
+    )
 
 
 # --- §2.5 sorts / limits / top-k ---------------------------------------------------
@@ -420,17 +442,16 @@ def op_oldest_n_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM channel_data cd JOIN channels c ON cd.channel_id = c.id
     ) SELECT id, channel_id, ts, value FROM ranked WHERE rn <= history_len""",
     doc="retention keep-set: newest history_len rows per channel "
-    "(daq-3i.py:193-215, set-based, uncapped)",
+    "(daq-3i.py:193-215, set-based, uncapped).  Runs on the shared "
+    "retention_keep operator — the two-phase mergeable top-n (r13), never "
+    "a per-channel window: 40 channels over the whole fact would "
+    "single-task each channel's history",
 )
 def op_retention_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = channels_df(spark).select(F.col("id").alias("channel_id"), "history_len")
-    w = Window.partitionBy("channel_id").orderBy(F.col("id").desc())
-    return (
-        _cd(spark, sf_dir)
-        .join(F.broadcast(c), "channel_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("history_len"))
-        .select("id", "channel_id", "ts", "value")
+    from daq_3i_spark.operators.core import retention_keep
+
+    return retention_keep(_cd(spark, sf_dir), channels_df(spark)).select(
+        "id", "channel_id", "ts", "value"
     )
 
 
@@ -637,10 +658,15 @@ FROM ranked WHERE rn <= history_len"""
     "flagship_pipeline",
     FLAGSHIP_ORACLE,
     doc="the end-to-end acquisition slice as ONE DataFrame statement: feed scan "
-    "-> broadcast enrich -> compiled conversion -> retention keep "
+    "-> broadcast enrich -> compiled conversion -> retention keep via the "
+    "per-channel threshold join (retention_min_keep_ids, r13 — the fact "
+    "never shuffles; the old per-channel id-desc window single-tasked each "
+    "of the 40 channels' history) "
     "(SURVEY §3.1 realized in batch; streaming twin in streaming/pipeline.py)",
 )
 def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.core import retention_min_keep_ids
+
     c = _enabled_channels(spark).select(
         F.col("id").alias("channel_id"),
         F.col("name").alias("channel_name"),
@@ -648,16 +674,17 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conversion_id",
         "history_len",
     )
-    w = Window.partitionBy("channel_id").orderBy(F.col("id").desc())
+    cd = _cd(spark, sf_dir)
+    # channel-config-cardinality frame (<1 KB) — hint is scale-safe
+    thr = F.broadcast(retention_min_keep_ids(cd, _enabled_channels(spark)))
     return (
-        _cd(spark, sf_dir)
-        .join(F.broadcast(c), "channel_id")
+        cd.join(F.broadcast(c), "channel_id")
         .withColumn(
             "value_conv",
             convert_case_column(_CONVS, F.col("conversion_id"), "value"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("history_len"))
+        .join(thr, "channel_id")
+        .filter(F.col("id") >= F.col("__min_keep"))
         .select("id", "channel_id", "channel_name", "eng_unit", "ts", "value", "value_conv")
     )
 

@@ -570,19 +570,33 @@ def op_sql_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.expr(u).alias("u"))
         .distinct()
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_returnflag")
-    r = h.withColumn("rn", F.row_number().over(w.orderBy("u"))).withColumn(
-        "nd", F.count("*").over(w)
+    # Two-phase mergeable bottom-k — the KMV sketch's own merge property,
+    # executed as the plan shape (r13; replaces a row_number window that
+    # sorted each flag's ENTIRE distinct-hash set in one task — supplier
+    # count is SF-scaled, so that was a data-sized single-task sort):
+    # per-shuffle-partition bottom-k via array_sort(collect_list)[:k]
+    # (groups bounded by partition size), then bottom-k of the <= P*k-row
+    # union.  array_sort makes both phases order-independent, so the final
+    # k-set — and the kth hash the estimator reads — is bit-identical to
+    # the oracle's window form under any partitioning.
+    bottomk = F.slice(F.array_sort(F.collect_list("u")), 1, _KMV_K)
+    merged = (
+        h.groupBy("l_returnflag", F.spark_partition_id().alias("__p"))
+        .agg(bottomk.alias("ks"))
+        .select("l_returnflag", F.explode("ks").alias("u"))
+        .groupBy("l_returnflag")
+        .agg(bottomk.alias("ks"))
+    )
+    nd = h.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_distinct_exact")
     )
     return (
-        r.filter(F.col("rn") <= _KMV_K)
-        .groupBy("l_returnflag")
-        .agg(
-            F.max("nd").alias("n_distinct_exact"),
+        merged.join(nd, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_distinct_exact",
             F.lit(_KMV_K).alias("kmv_k"),
-            F.max("u").alias("kmv_kth_hash"),
+            F.element_at("ks", F.size("ks")).alias("kmv_kth_hash"),
         )
         .withColumn("kmv_estimate", F.expr(_KMV_EST))
     )
