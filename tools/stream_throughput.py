@@ -43,14 +43,20 @@ def run_once(spark, sf_dir: str, tag: str) -> tuple[float, int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
+    argv = sys.argv[1:]
+    floor = None
+    positional: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--floor":
+            floor = float(argv[i + 1])
+            i += 2
+        else:
+            positional.append(argv[i])
+            i += 1
+    sf_dir = positional[0] if positional else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    floor = None
-    for i, a in enumerate(sys.argv):
-        if a == "--floor":
-            floor = float(sys.argv[i + 1])
 
     from daq_3i_spark.session import get_spark
     from daq_3i_spark.sources.tables import table_rows
