@@ -2,12 +2,19 @@
 
 These replace the reference's row-at-a-time loops with single declarative
 statements (the reference's own comment at daq-3i.py:176-178 records that
-intent).  All are pure window/agg compositions — one shuffle on the group
-key each, partial aggregation map-side, no Python in the plan.
+intent).  No Python in any plan.
 
-Scale note: each of these shuffles exactly once on ``key``; with the fact
-table written partitioned/bucketed by ``channel_id`` the shuffle disappears
-entirely (bucketed scan → no exchange).
+Scale note (r13): the DAQ group key (channel_id / event_type) is
+CONFIG-cardinality — a few dozen values — while the fact is data-sized, so
+a per-key window would put one key's entire history through one task.
+Every fact-sized path here is therefore a map-side-combinable aggregate
+(max-struct latest), a two-phase mergeable bottom-n, or a threshold
+computed over (key, id) pairs and joined back as a config-cardinality
+broadcast; the only window left (:func:`latest_per_key`,
+:func:`status_snapshot`) serves key-cardinality-bounded inputs such as the
+per-batch status merge.  With the fact written partitioned/bucketed by
+``channel_id`` the remaining narrow shuffles disappear entirely (bucketed
+scan → no exchange).
 """
 
 from __future__ import annotations
