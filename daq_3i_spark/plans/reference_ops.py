@@ -228,14 +228,35 @@ def op_filter_enabled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming twin keeps last_read_at in state (streaming/stateful.py)",
 )
 def op_filter_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (channel, day)-bucketed lag with a calendar-bounded carry (r13; the
+    # op_timeseries_*_multiday construction): the plain per-channel lag
+    # window single-tasks each of the 40 config channels' entire history.
+    # Within a day bucket the lag is local; the first row of each bucket
+    # takes the channel's last timestamp from EARLIER days — a running max
+    # over the per-(channel, day) max-us rollup, a frame bounded by
+    # config x calendar, never by data.  Bit-identical: us within any
+    # earlier day <= that day's max, so the carry IS the lag value the
+    # unbounded window would have produced.
     c = _enabled_channels(spark).select(F.col("id").alias("channel_id"), "timing")
-    w = Window.partitionBy("channel_id").orderBy("ts", "id")
-    df = (
+    cd = (
         _cd(spark, sf_dir)
         .join(F.broadcast(c), "channel_id")
         .withColumn("us", F.unix_micros("ts"))
-        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn("__d", F.to_date("ts"))
     )
+    w_in = Window.partitionBy("channel_id", "__d").orderBy("ts", "id")
+    roll = cd.groupBy("channel_id", "__d").agg(F.max("us").alias("__dmax"))
+    w_days = (
+        Window.partitionBy("channel_id")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = roll.select(
+        "channel_id", "__d", F.max("__dmax").over(w_days).alias("__carry")
+    )
+    df = cd.withColumn("prev_in", F.lag("us").over(w_in)).join(
+        F.broadcast(carry), ["channel_id", "__d"]
+    ).withColumn("prev_us", F.coalesce("prev_in", "__carry"))
     return df.filter(
         F.col("prev_us").isNull()
         | (F.col("us") - F.col("prev_us") > F.col("timing").cast("long") * 1000000)

@@ -266,22 +266,34 @@ def op_sql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
          / 1e6 AS running_qty
     FROM lineitem WHERE l_suppkey <= 5""",
-    doc="running aggregate over an ordered frame (cumulative quantity per supplier)",
+    doc="running aggregate over an ordered frame (cumulative quantity per "
+    "supplier).  Runs on the grouped_cumsum kernel (operators/ranks.py, "
+    "r13) — range shuffle on (supplier, order key) + partition-local sums "
+    "+ <=P-row offset rollup — instead of Window.partitionBy(l_suppkey), "
+    "which put each of the 5 suppliers' ENTIRE lineitem history (SF-scaled) "
+    "through one task; integer cumsum is associative, so the two forms are "
+    "bit-identical and the window-SQL oracle is unchanged",
 )
 def op_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daq_3i_spark.operators.ranks import grouped_cumsum
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cs = grouped_cumsum(
+        li,
+        "l_suppkey",
+        fx_unscaled(F.col("l_quantity")),
+        [
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        alias="__cs",
     )
-    return li.select(
+    return cs.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        (F.sum(fx_unscaled(F.col("l_quantity"))).over(w).cast("double") / F.lit(1e6)).alias(
-            "running_qty"
-        ),
+        (F.col("__cs").cast("double") / F.lit(1e6)).alias("running_qty"),
     )
 
 
