@@ -27,13 +27,21 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # salt-grid sub-split and the corpus-scaled _ivf_cells quantizer):
 # op_dedup_embedding, op_dedup_semantic, op_sim_ivf_topk,
 # op_sim_kmeans_assign, op_sim_ivf_trained_topk, op_sim_ivfpq_topk,
-# op_sim_ivf_recall_eval.  The remaining 10 slots drain the stalest r9 ops:
-# the group deferred since r11 (pq_topk, cm_sketch, rfm, vocab, components,
-# pagerank — ivfpq_topk already above) plus the four most intricate/stateful
-# of the rest (sink_compaction, source_modbus_sim, rollup_incremental,
-# stream_rollup_refresh).  33 + 7 + 6 + 4 = 50 — the full window.  The
-# ~34 r9 ops left over lead r14 (they hit the horizon then); every one is
-# locally oracle-parity-green this round (tests/test_oracle_parity*).
+# op_sim_ivf_recall_eval.  The remaining 10 slots: one representative per
+# LATE-r13 changed code path (the r12 precedent — every changed path gets a
+# fresh canonical driver row, the rest of each family is covered by the
+# local full-parity suite): flagship_pipeline (threshold-retention join —
+# also covers retention_topk / sink_delete_retention / retention_keep),
+# op_latest_per_channel (max-struct latest — also covers
+# sink_upsert_status), op_sql_kmv_sketch (two-phase mergeable bottom-k —
+# also covers oldest_n_per_channel), op_sql_running_sum (grouped_cumsum
+# rewrite; also r9-stale), op_filter_due (bucketed lag + calendar carry),
+# op_sql_q9_profit (SF-scaled-dim hint drops — also covers the other 12
+# hint-dropped SQL ops; r9-stale) — then four of the stalest-r9 deferred
+# group (pq_topk, cm_sketch, components, pagerank).  33 + 7 + 6 + 4 = 50.
+# The r9 remainder (incl. rfm, vocab, sink_compaction, source_modbus_sim)
+# leads r14 (it hits the horizon then); every one is locally
+# oracle-parity-green this round (tests/test_oracle_parity*).
 _CHECK_PRIORITY = [
     # -- (1) the r8 cohort: hits the 4-round horizon, stateful/intricate first
     "op_stream_dedup_ingest", "op_stream_dedup_keys", "op_stream_late_drop",
@@ -53,11 +61,11 @@ _CHECK_PRIORITY = [
     "op_dedup_embedding", "op_dedup_semantic", "op_sim_ivf_topk",
     "op_sim_kmeans_assign", "op_sim_ivf_trained_topk", "op_sim_ivfpq_topk",
     "op_sim_ivf_recall_eval",
-    # -- (3) stalest r9: the group deferred since r11, then intricate ops -----
-    "op_sim_pq_topk", "op_sql_cm_sketch", "op_events_rfm", "op_text_vocab",
-    "op_dedup_components", "op_graph_pagerank",
-    "op_sink_compaction", "op_source_modbus_sim", "op_rollup_incremental",
-    "op_stream_rollup_refresh",
+    # -- (3) late-r13 changed-path representatives, then stalest-r9 deferred --
+    "flagship_pipeline", "op_latest_per_channel", "op_sql_kmv_sketch",
+    "op_sql_running_sum", "op_filter_due", "op_sql_q9_profit",
+    "op_sim_pq_topk", "op_sql_cm_sketch", "op_dedup_components",
+    "op_graph_pagerank",
 ]
 
 
