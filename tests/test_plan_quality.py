@@ -268,3 +268,34 @@ def test_sql_dims_not_force_broadcast(spark, sf_dir, name):
         )
     finally:
         release_shared()
+
+
+def test_filter_due_lag_is_day_bucketed(spark, sf_dir):
+    """op_filter_due's lag must run inside (channel, day) buckets — every
+    windowspec carries the day column — with the prior-history carry coming
+    from the calendar-bounded rollup, never a per-channel window over the
+    whole fact (40 config channels => one task per channel's full history)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "op_filter_due")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected the bucketed lag + rollup windows"
+    bad = [s for s in specs if "channel_id" in s and "__d" not in s and "__dmax" not in s]
+    assert not bad, f"per-channel window without the day bucket: {bad}"
+
+
+def test_running_sum_on_grouped_cumsum_kernel(spark, sf_dir):
+    """op_sql_running_sum must run on the grouped_cumsum kernel: the
+    data-sized exchange is a RANGE partitioning on (supplier, order key)
+    and every supplier-partitioned window orders by the partition stamp
+    (the <= P-row offset rollup), never by a data column — the
+    single-task-per-supplier form (the packing-family pin, applied to the
+    SQL surface)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "op_sql_running_sum")
+    assert "rangepartitioning(l_suppkey" in plan, "data shuffle not range-keyed"
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "offset rollup window missing"
+    bad = [s for s in specs if "l_suppkey" in s and "__rank_pid" not in s]
+    assert not bad, f"single-task-per-supplier window in plan: {bad}"
