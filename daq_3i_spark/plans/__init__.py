@@ -20,52 +20,38 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # EXECUTION changed this round so rewrites get fresh canonical rows, then
 # the stalest of the next cohort.
 #
-# Round 13 window: the r8 cohort (33 ops) hits the staleness horizon and
-# leads; driver rows are the only staleness cure, so it takes all 33 slots
-# (op_sim_knn_graph is in it AND was rewritten this round — double reason).
-# Next, the 7 other ops whose EXECUTION changed in r13 (the cos_block_pairs
-# salt-grid sub-split and the corpus-scaled _ivf_cells quantizer):
-# op_dedup_embedding, op_dedup_semantic, op_sim_ivf_topk,
-# op_sim_kmeans_assign, op_sim_ivf_trained_topk, op_sim_ivfpq_topk,
-# op_sim_ivf_recall_eval.  The remaining 10 slots: one representative per
-# LATE-r13 changed code path (the r12 precedent — every changed path gets a
-# fresh canonical driver row, the rest of each family is covered by the
-# local full-parity suite): flagship_pipeline (threshold-retention join —
-# also covers retention_topk / sink_delete_retention / retention_keep),
-# op_latest_per_channel (max-struct latest — also covers
-# sink_upsert_status), op_sql_kmv_sketch (two-phase mergeable bottom-k —
-# also covers oldest_n_per_channel), op_sql_running_sum (grouped_cumsum
-# rewrite; also r9-stale), op_filter_due (bucketed lag + calendar carry),
-# op_sql_q9_profit (SF-scaled-dim hint drops — also covers the other 12
-# hint-dropped SQL ops; r9-stale) — then four of the stalest-r9 deferred
-# group (pq_topk, cm_sketch, components, pagerank).  33 + 7 + 6 + 4 = 50.
-# The r9 remainder (incl. rfm, vocab, sink_compaction, source_modbus_sim)
-# leads r14 (it hits the horizon then); every one is locally
-# oracle-parity-green this round (tests/test_oracle_parity*).
+# Round 14 window: the whole r9 cohort (37 ops) hits the staleness horizon
+# and leads — driver rows are the only staleness cure, so it takes 37 slots
+# unconditionally (census source: tools/check_counts.py --census at r13
+# close).  The remaining 13 slots pre-drain the r10 cohort (44 ops, hits the
+# horizon at r15 — without pre-draining now, r15 cannot fit them in 50
+# slots): stateful/banded ops first (streaming monitors, the MinHash-LSH
+# family, zorder, phash) since a driver row is worth most where local and
+# driver environments can diverge.  37 + 13 = 50; ≤31 r10 ops remain for
+# r15.  Per the r12/r13 precedent, ops whose EXECUTION changes late in r14
+# displace r10 fillers (never r9 leads) in an end-of-round re-rotation.
 _CHECK_PRIORITY = [
-    # -- (1) the r8 cohort: hits the 4-round horizon, stateful/intricate first
-    "op_stream_dedup_ingest", "op_stream_dedup_keys", "op_stream_late_drop",
-    "op_stream_ohlc", "op_sink_change_feed", "op_sink_partitioned_scan",
-    "op_source_orc_roundtrip", "op_source_schema_evolution",
-    "op_join_bloom_prefilter", "op_join_scd2", "op_sim_knn_graph",
-    "op_dedup_incremental", "op_corpus_split", "op_embed_centroids",
-    "op_multimodal_frames", "op_quality_constraints",
-    "op_events_ab_lift", "op_events_attribution", "op_events_burst",
-    "op_events_cohort_retention", "op_events_dau_wau", "op_events_funnel",
-    "op_events_ohlc", "op_events_streaks", "op_events_topk_paths",
-    "op_text_langid_confusion", "op_text_langid_ngram",
-    "op_text_tfidf_topterms", "op_timeseries_ema", "op_timeseries_rate",
-    "op_timeseries_seasonal", "op_sql_q4_priority", "op_sql_unpivot",
-    # -- (2) execution materially changed in r13 (salt-grid pair kernel +
-    #        corpus-scaled quantizer) ----------------------------------------
-    "op_dedup_embedding", "op_dedup_semantic", "op_sim_ivf_topk",
-    "op_sim_kmeans_assign", "op_sim_ivf_trained_topk", "op_sim_ivfpq_topk",
-    "op_sim_ivf_recall_eval",
-    # -- (3) late-r13 changed-path representatives, then stalest-r9 deferred --
-    "flagship_pipeline", "op_latest_per_channel", "op_sql_kmv_sketch",
-    "op_sql_running_sum", "op_filter_due", "op_sql_q9_profit",
-    "op_sim_pq_topk", "op_sql_cm_sketch", "op_dedup_components",
-    "op_graph_pagerank",
+    # -- (1) the r9 cohort: hits the 4-round horizon, all 37 ---------------
+    "op_rollup_incremental", "op_stream_rollup_refresh",
+    "op_source_modbus_sim", "op_sink_compaction", "op_stream_due_filter",
+    "op_stream_session_window", "op_stream_window_agg",
+    "op_stream_window_sliding",
+    "op_multimodal_decode", "op_multimodal_features",
+    "op_events_rfm", "op_orders_market_basket", "op_sample_weighted",
+    "op_anomaly_rank", "op_rollup_hourly", "op_corpus_domain_mix",
+    "op_text_bm25", "op_text_lm_score", "op_text_vocab",
+    "op_timeseries_downsample", "op_window_agg_events", "op_window_sliding",
+    "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_q7_volume",
+    "op_sql_q8_market_share", "op_sql_q10_returned", "op_sql_q11_topvalue",
+    "op_sql_q22_idle_rich", "op_sql_cube", "op_sql_rollup",
+    "op_sql_grouping_sets", "op_sql_having_bigorders", "op_sql_json",
+    "op_sql_scalar_subquery", "op_sql_window_suite",
+    # -- (2) r10 pre-drain: 13 stalest-next, stateful/banded first ---------
+    "op_stream_forecast_monitor", "op_stream_trend", "op_sink_zorder",
+    "op_multimodal_phash", "op_dedup_minhash", "op_dedup_minhash_capped",
+    "op_dedup_minhash_incremental", "op_dedup_ngram_jaccard",
+    "op_dedup_ngram_capped", "op_dedup_containment", "op_dedup_cluster_keep",
+    "op_corpus_dsir_weights", "op_corpus_dsir_select",
 ]
 
 
