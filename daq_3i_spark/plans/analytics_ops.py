@@ -547,7 +547,12 @@ def _knn_oracle() -> str:
         duckdb_norm2_fold,
     )
 
-    return f"""WITH en AS (
+    # validity-bounded like every oracle baking the 16-cell floor: the plan
+    # grows the quantizer with the corpus (_ivf_cells), so past the bound
+    # the oracle errors loudly instead of comparing different semantics
+    from daq_3i_spark.plans.extension_ops2 import _ivf_oracle_bound
+
+    return _ivf_oracle_bound(f"""WITH en AS (
       SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
       FROM embeddings
     ), cd AS (
@@ -574,7 +579,7 @@ def _knn_oracle() -> str:
       FROM p
     )
     SELECT vec_id, nbr_id, CAST(rn AS BIGINT) AS rank, cos_sim
-    FROM r WHERE rn <= {_KNN_K}"""
+    FROM r WHERE rn <= {_KNN_K}""")
 
 
 @register(

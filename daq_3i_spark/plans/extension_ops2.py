@@ -247,9 +247,38 @@ def _ivf_cells(sf_dir: str) -> int:
     return max(_IVF_C, table_rows(sf_dir, "embeddings") // _IVF_TARGET)
 
 
+#: First corpus size where ``_ivf_cells`` exceeds the ``_IVF_C`` floor —
+#: the static IVF-family oracles (which bake ``vec_id < 16``) are
+#: bit-valid strictly below this row count and WRONG at or above it.
+IVF_ORACLE_MAX_ROWS = (_IVF_C + 1) * _IVF_TARGET  # 17,408
+
+
+def _ivf_oracle_bound(sql: str) -> str:
+    """Wrap an IVF-family oracle so it FAILS LOUDLY past its validity bound.
+
+    The registered oracle SQL bakes the ``_IVF_C``-cell floor (``vec_id <
+    16``) while the Spark plan grows the coarse quantizer with the corpus
+    (``_ivf_cells``).  Below ``IVF_ORACLE_MAX_ROWS`` the two compute the
+    same query bit-for-bit; at or above it they would silently compute
+    DIFFERENT queries, so the wrapped oracle raises via DuckDB ``error()``
+    instead of returning wrong-semantics rows (r13 ADVICE).  The guard is a
+    one-row cross join filtered on its own value, so the planner cannot
+    prune the ``error()`` evaluation when the query yields rows.  Pinned by
+    tests/test_extension2.py::test_ivf_oracle_guard_*."""
+    return (
+        f"SELECT __q.* FROM ({sql}) AS __q CROSS JOIN ("
+        f"SELECT CASE WHEN (SELECT count(*) FROM embeddings)"
+        f" >= {IVF_ORACLE_MAX_ROWS} THEN error("
+        f"'IVF oracle out of validity bound: embeddings has >= "
+        f"{IVF_ORACLE_MAX_ROWS} rows, so _ivf_cells exceeds the baked "
+        f"{_IVF_C}-cell floor and this SQL no longer matches the plan') "
+        f"ELSE 0 END AS __ivf_guard) AS __g WHERE __g.__ivf_guard = 0"
+    )
+
+
 @register(
     "op_sim_ivf_topk",
-    f"""WITH en AS (
+    _ivf_oracle_bound(f"""WITH en AS (
       SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
       FROM embeddings
     ),
@@ -290,7 +319,7 @@ def _ivf_cells(sf_dir: str) -> int:
     SELECT query_id, vec_id, cos_sim, rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM scored) WHERE rnk <= {_TOP_K}""",
+      FROM scored) WHERE rnk <= {_TOP_K}"""),
     doc=f"IVF ANN top-k: corpus coarse-quantized to {_IVF_C} centroid cells "
     f"(argmax cosine, deterministic first-{_IVF_C}-by-vec_id 'training' "
     "stand-in for k-means — the plumbing is identical), each query probes "
@@ -800,10 +829,10 @@ def _duck_kmeans_cte() -> str:
 
 @register(
     "op_sim_kmeans_assign",
-    f"""WITH {_duck_kmeans_cte()},
+    _ivf_oracle_bound(f"""WITH {_duck_kmeans_cte()},
     sizes AS (SELECT cluster, count(*) AS cluster_size FROM a2 GROUP BY cluster)
     SELECT a2.vec_id, a2.cluster, CAST(sizes.cluster_size AS BIGINT) AS cluster_size
-    FROM a2 JOIN sizes USING (cluster)""",
+    FROM a2 JOIN sizes USING (cluster)"""),
     doc=f"k-means coarse-quantizer TRAINING on the engine: {_KM_ITERS} Lloyd "
     "iterations (deterministic first-K init, argmax-cosine assignment, "
     "elementwise means as ORDER-INDEPENDENT exact decimal sums divided as "
@@ -886,7 +915,7 @@ def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sim_ivf_trained_topk",
-    f"""WITH {_duck_kmeans_cte()},
+    _ivf_oracle_bound(f"""WITH {_duck_kmeans_cte()},
     cells AS (
       SELECT e.vec_id, e.embedding, e.n2, a2.cluster AS cell
       FROM en e JOIN a2 USING (vec_id)
@@ -914,7 +943,7 @@ def op_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, cos_sim, rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-      FROM scored) WHERE rnk <= {_TOP_K}""",
+      FROM scored) WHERE rnk <= {_TOP_K}"""),
     doc="the full ANN pipeline end to end: k-means-TRAINED coarse quantizer "
     f"(op_sim_kmeans_assign's {_KM_ITERS} Lloyd iterations) -> cell-assigned "
     f"corpus -> {_IVF_NPROBE}-cell probes per query -> top-{_TOP_K}.  The "
@@ -1184,7 +1213,7 @@ def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_sim_ivfpq_topk",
-    f"""WITH {_PQ_CODES_CTE}, cd AS (
+    _ivf_oracle_bound(f"""WITH {_PQ_CODES_CTE}, cd AS (
       SELECT e.vec_id, c.vec_id AS cid,
              {_pq_l2_sql('e.embedding', 'c.embedding')} AS dfull
       FROM embeddings e JOIN embeddings c ON c.vec_id < {_IVF_C}
@@ -1218,7 +1247,7 @@ def op_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY adc_dist, vec_id) AS rnk
       FROM adc
-    ) WHERE rnk <= {_TOP_K}""",
+    ) WHERE rnk <= {_TOP_K}"""),
     doc="IVF-PQ, the composition real billion-vector indexes deploy (FAISS's "
     f"default): corpus coarse-quantized into {_IVF_C} L2 cells, each query "
     f"probes its {_IVF_NPROBE} nearest cells, and ONLY candidates in probed "
@@ -1365,7 +1394,7 @@ _SEMDEDUP_TAU = 0.35
 
 @register(
     "op_dedup_semantic",
-    f"""WITH en AS (
+    _ivf_oracle_bound(f"""WITH en AS (
       SELECT vec_id, embedding, {duckdb_norm2_fold('embedding')} AS n2
       FROM embeddings
     ), cd AS (
@@ -1390,7 +1419,7 @@ _SEMDEDUP_TAU = 0.35
     )
     SELECT cells.vec_id, CAST(cell AS INTEGER) AS cell, dup.dup_of,
            dup.dup_of IS NULL AS is_kept
-    FROM cells LEFT JOIN dup ON cells.vec_id = dup.vb""",
+    FROM cells LEFT JOIN dup ON cells.vec_id = dup.vb"""),
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): corpus "
     f"coarse-quantized into {_IVF_C} L2 cells (the op_sim_ivf* assignment), "
     "then near-duplicate detection runs ONLY within each cell — a vector is "

@@ -488,6 +488,55 @@ def test_ivf_cells_scale_with_corpus(spark, sf_dir, tmp_path):
     assert _ivf_cells(str(d)) == n // _IVF_TARGET == 2 * _IVF_C
 
 
+def test_ivf_oracle_guard_raises_past_validity_bound():
+    """Every IVF-family oracle bakes the _IVF_C-cell floor; past
+    IVF_ORACLE_MAX_ROWS the Spark plan grows the quantizer (_ivf_cells) and
+    the static SQL would compute a DIFFERENT query.  The _ivf_oracle_bound
+    wrapper makes that divergence a loud DuckDB error() instead of a silent
+    wrong-semantics comparison (r13 ADVICE)."""
+    import duckdb
+    import pytest
+
+    from daq_3i_spark.plans.extension_ops2 import (
+        IVF_ORACLE_MAX_ROWS,
+        _ivf_oracle_bound,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id "
+        f"FROM range({IVF_ORACLE_MAX_ROWS - 1})"
+    )
+    assert con.execute(_ivf_oracle_bound("SELECT 1 AS x")).fetchall() == [(1,)]
+
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id "
+        f"FROM range({IVF_ORACLE_MAX_ROWS})"
+    )
+    with pytest.raises(Exception, match="IVF oracle out of validity bound"):
+        con2.execute(_ivf_oracle_bound("SELECT 1 AS x")).fetchall()
+
+
+def test_every_ivf_floor_oracle_carries_the_guard():
+    """Each registered oracle whose Spark plan calls _ivf_cells must carry
+    the validity guard — including op_sim_ivf_recall_eval, which inherits it
+    by composing op_sim_ivf_topk's registered oracle verbatim."""
+    from daq_3i_spark.plans.registry import QUERIES
+
+    affected = [
+        "op_sim_ivf_topk",
+        "op_sim_kmeans_assign",
+        "op_sim_ivf_trained_topk",
+        "op_sim_ivfpq_topk",
+        "op_dedup_semantic",
+        "op_sim_knn_graph",
+        "op_sim_ivf_recall_eval",
+    ]
+    for name in affected:
+        assert "__ivf_guard" in QUERIES[name].oracle, name
+
+
 def test_table_rows_matches_engine_counts(spark, sf_dir):
     """Footer statistics agree with the engine row count (the number every
     size-derived parameter is planned from)."""
