@@ -210,6 +210,12 @@ def _salted_blocks(emb: DataFrame, cell_cap: int = CELL_CAP) -> DataFrame:
     The per-block size aggregate is label-cardinality-sized; no broadcast
     hint — AQE picks the join strategy from runtime stats (the r12 rule:
     never force-broadcast a fact-derived frame).
+
+    NULL labels form their own block, matching the plain ``groupBy("label")``
+    the grid replaces: the sizes join is null-safe (``<=>``, still an
+    equi-join key for hash/sort-merge strategies), so nullable-label callers
+    keep the pre-split pair set (r13 ADVICE; current callers all derive
+    non-null labels, pinned by tests/test_vectors_split.py).
     """
     src = emb.select("vec_id", "label", "embedding").filter(
         F.col("embedding").isNotNull()
@@ -220,7 +226,11 @@ def _salted_blocks(emb: DataFrame, cell_cap: int = CELL_CAP) -> DataFrame:
         ).alias("_s")
     )
     return (
-        src.join(sizes, "label")
+        src.join(
+            sizes.withColumnRenamed("label", "_sz_label"),
+            src["label"].eqNullSafe(F.col("_sz_label")),
+        )
+        .drop("_sz_label")
         .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int"))
         .select(
             "vec_id",

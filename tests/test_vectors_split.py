@@ -108,3 +108,32 @@ def test_null_embeddings_dropped(spark):
     dropped = {i for i in range(60) if i % 7 == 0}
     assert pairs
     assert not any(a in dropped or b in dropped for a, b in pairs)
+
+
+def test_null_label_rows_form_their_own_block(spark):
+    """NULL labels pair WITHIN a null block, exactly like the plain
+    groupBy('label') the salt grid replaced: the sizes join is null-safe,
+    so nullable-label callers don't silently lose rows (r13 ADVICE).
+    Split and unsplit kernels agree on the null block too."""
+    rows = []
+    for i in range(60):
+        label = None if i % 3 == 0 else i % 2
+        vec = [math.sin(0.7 * i + 1.3 * d) + 0.01 * d for d in range(_DIM)]
+        nrm = math.sqrt(sum(x * x for x in vec))
+        rows.append((i, label, [x / nrm for x in vec]))
+    emb = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("label", T.IntegerType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    unsplit = _collect_pairs(cos_block_pairs(emb, -2.0, cell_cap=1 << 30))
+    split = _collect_pairs(cos_block_pairs(emb, -2.0, cell_cap=8))
+    assert split == unsplit
+    n_null = 20
+    null_pairs = [k for k, v in unsplit.items() if v[0] is None]
+    assert len(null_pairs) == n_null * (n_null - 1) // 2  # all within-null pairs
