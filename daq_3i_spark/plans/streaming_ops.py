@@ -869,16 +869,32 @@ def _sf_feed_key(name: str, sf_dir: str) -> str:
     a recycled pid, silently serve each other's cached feed — a
     wrong-results path the oracle can't see because the cached feed IS the
     input (ADVICE r12).  Symlinked fixture tables fingerprint their TARGET
-    (os.stat follows links), so a fixture that re-links to new data re-keys."""
+    (os.stat follows links), so a fixture that re-links to new data re-keys.
+    A DIRECTORY-shaped table (which table_rows supports) fingerprints every
+    contained file's (relative name, size, mtime_ns) — the directory's own
+    stat does not change when a part file inside is overwritten in place,
+    so hashing it alone would keep a stale feed key (ADVICE r13)."""
     import hashlib
 
     root = os.path.realpath(sf_dir)
     h = hashlib.sha1(root.encode())
+
+    def upd(rel: str, st: os.stat_result) -> None:
+        h.update(f"|{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+
     try:
         for f in sorted(os.listdir(root)):
-            if f.endswith(".parquet"):
-                st = os.stat(os.path.join(root, f))
-                h.update(f"|{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            if os.path.isdir(p):
+                for dirpath, dirnames, filenames in os.walk(p):
+                    dirnames.sort()
+                    for part in sorted(filenames):
+                        rel = os.path.relpath(os.path.join(dirpath, part), root)
+                        upd(rel, os.stat(os.path.join(dirpath, part)))
+            else:
+                upd(f, os.stat(p))
     except OSError:
         pass
     return f"{name}-{h.hexdigest()[:16]}"
@@ -889,7 +905,11 @@ def _purge_dead_worker_caches() -> None:
     recycled pid must never inherit a predecessor's cache, and .tmp
     otherwise grows without bound across sessions (ADVICE r12).  A pid that
     exists but belongs to another user (PermissionError from kill 0) is
-    treated as alive — never delete under a live process."""
+    treated as alive — never delete under a live process.  An own-pid dir
+    is ALSO purged: this module creates ``-w{pid}`` dirs only after import
+    and is imported once per process, so at purge time (module import) an
+    own-pid dir can only be a dead predecessor's whose pid we recycled —
+    skipping it was the one inheritance path left open (ADVICE r13)."""
     import re
 
     try:
@@ -899,7 +919,10 @@ def _purge_dead_worker_caches() -> None:
     me = os.getpid()
     for e in entries:
         m = re.fullmatch(r".+-w(\d+)", e)
-        if not m or int(m.group(1)) == me:
+        if not m:
+            continue
+        if int(m.group(1)) == me:
+            shutil.rmtree(os.path.join(_TMP_ROOT, e), ignore_errors=True)
             continue
         try:
             os.kill(int(m.group(1)), 0)

@@ -140,21 +140,53 @@ def status_insert_sql(dialect: str, table: str = "daq_status") -> str:
     )
 
 
-def status_upsert_on_duplicate_sql(table: str = "daq_status") -> str:
+def mysql_supports_insert_alias(server_version: str | None) -> bool:
+    """True iff the server takes the 8.0.19+ ``INSERT ... AS new`` row-alias
+    form: a genuine MySQL >= 8.0.19.  MariaDB never does (any version —
+    including the ``5.5.5-10.x-MariaDB`` replication-prefixed strings its
+    servers report), and an UNKNOWN version (None, unparsable) must get the
+    legacy form, which every MySQL 8.x and MariaDB still execute."""
+    if not server_version or "mariadb" in server_version.lower():
+        return False
+    import re
+
+    m = re.match(r"(\d+)\.(\d+)\.(\d+)", server_version)
+    if not m:
+        return False
+    return tuple(int(g) for g in m.groups()) >= (8, 0, 19)
+
+
+def status_upsert_on_duplicate_sql(
+    table: str = "daq_status", server_version: str | None = None
+) -> str:
     """MySQL's native single-statement upsert — ONE executeBatch instead of
     the portable UPDATE+INSERT pair, for deployments on the reference's
     production dialect.  Bind order (parameter, status, ts), matching
     status_insert_sql so the same _bind routine drives either shape.
     MySQL-only (Derby has no ON DUPLICATE KEY; the ANSI path keeps the
-    two-batch shape the Derby round-trip test pins).  Renders the 8.0.19+
-    row-alias form (``VALUES (...) AS new ... = new.col``) — the legacy
-    ``VALUES(col)`` function is deprecated since MySQL 8.0.20 and slated
-    for removal, so the statement targets 8.0.19+ servers (the earliest
-    version the reference's mysql+pymysql stack is deployed on today)."""
+    two-batch shape the Derby round-trip test pins).
+
+    Form selection is gated on the DETECTED server version (pass the string
+    JDBC's ``DatabaseMetaData.getDatabaseProductVersion()`` / pymysql's
+    ``server_version`` reports): the 8.0.19+ row-alias form (``VALUES (...)
+    AS new ... = new.col``) only where supported — it is a hard syntax
+    error on MySQL < 8.0.19 and on every MariaDB — and the legacy
+    ``VALUES(col)`` function form by DEFAULT, which executes on all of
+    them (deprecated since 8.0.20, but a warning beats a failure on
+    compatible servers; ADVICE r13)."""
     q = lambda n: quote_ident(n, MYSQL)  # noqa: E731
-    return (
+    head = (
         f"INSERT INTO {table} ({q('parameter')}, {q('status')}, {q('ts')}) "
-        f"VALUES (?, ?, ?) AS new "
-        f"ON DUPLICATE KEY UPDATE {q('status')} = new.{q('status')}, "
-        f"{q('ts')} = new.{q('ts')}"
+        f"VALUES (?, ?, ?)"
+    )
+    if mysql_supports_insert_alias(server_version):
+        return (
+            f"{head} AS new "
+            f"ON DUPLICATE KEY UPDATE {q('status')} = new.{q('status')}, "
+            f"{q('ts')} = new.{q('ts')}"
+        )
+    return (
+        f"{head} "
+        f"ON DUPLICATE KEY UPDATE {q('status')} = VALUES({q('status')}), "
+        f"{q('ts')} = VALUES({q('ts')})"
     )

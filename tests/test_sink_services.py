@@ -641,13 +641,41 @@ def test_mysql_dialect_statements_golden():
     )
     # the native single-round-trip variant a MySQL deployment may prefer;
     # bind order matches status_insert_sql so one _bind routine drives both.
-    # Row-alias form (8.0.19+): VALUES(col) is deprecated since 8.0.20
+    # Default (unknown server): the legacy VALUES(col) form, which every
+    # MySQL 8.x and MariaDB execute (deprecated since 8.0.20 but never a
+    # syntax error); the 8.0.19+ row-alias form only on a DETECTED >= 8.0.19
+    # genuine MySQL (ADVICE r13 — the alias form hard-fails on < 8.0.19 and
+    # on every MariaDB).
     assert status_upsert_on_duplicate_sql() == (
+        "INSERT INTO daq_status (`parameter`, `status`, `ts`) "
+        "VALUES (?, ?, ?) "
+        "ON DUPLICATE KEY UPDATE `status` = VALUES(`status`), "
+        "`ts` = VALUES(`ts`)"
+    )
+    assert status_upsert_on_duplicate_sql(server_version="8.0.33") == (
         "INSERT INTO daq_status (`parameter`, `status`, `ts`) "
         "VALUES (?, ?, ?) AS new "
         "ON DUPLICATE KEY UPDATE `status` = new.`status`, "
         "`ts` = new.`ts`"
     )
+
+
+def test_mysql_insert_alias_version_gate():
+    """Row-alias support detection: genuine MySQL >= 8.0.19 only — MariaDB
+    (any version, including 5.5.5-prefixed replication strings), older
+    MySQL, and unknown/unparsable versions all take the legacy form."""
+    from daq_3i_spark.sources.dialect import mysql_supports_insert_alias
+
+    assert mysql_supports_insert_alias("8.0.19")
+    assert mysql_supports_insert_alias("8.0.33-0ubuntu0.22.04.2")
+    assert mysql_supports_insert_alias("9.1.0")
+    assert not mysql_supports_insert_alias("8.0.18")
+    assert not mysql_supports_insert_alias("5.7.44")
+    assert not mysql_supports_insert_alias("10.11.6-MariaDB-1")
+    assert not mysql_supports_insert_alias("5.5.5-10.6.12-MariaDB")
+    assert not mysql_supports_insert_alias(None)
+    assert not mysql_supports_insert_alias("")
+    assert not mysql_supports_insert_alias("garbage")
 
 
 def test_ansi_dialect_statements_are_the_derby_live_path():

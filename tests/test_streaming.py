@@ -1127,19 +1127,53 @@ def test_feed_key_fingerprints_corpus_not_basename(tmp_path):
     assert _sf_feed_key("x", str(b)) == k_b
 
 
+def test_feed_key_fingerprints_directory_table_parts(tmp_path):
+    """A directory-shaped table fingerprints its contained part files: an
+    in-place overwrite of one part (which leaves the directory's own stat
+    unchanged on most filesystems) must re-key (ADVICE r13)."""
+    import os
+    import shutil
+
+    from daq_3i_spark.plans.streaming_ops import _sf_feed_key
+
+    sf = tmp_path / "sf"
+    tbl = sf / "events.parquet"  # directory-shaped table
+    tbl.mkdir(parents=True)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/region.parquet", tbl / "part-000.parquet"
+    )
+    shutil.copyfile(
+        "/root/testdata/sf0.001/nation.parquet", tbl / "part-001.parquet"
+    )
+    dir_stat = os.stat(tbl)
+    k0 = _sf_feed_key("x", str(sf))
+    assert _sf_feed_key("x", str(sf)) == k0  # stable when nothing changed
+
+    # overwrite one part in place; pin the directory stat unchanged so the
+    # test proves the key change comes from the PART fingerprint
+    os.utime(tbl / "part-001.parquet", ns=(7, 7))
+    os.utime(tbl, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert os.stat(tbl).st_mtime_ns == dir_stat.st_mtime_ns
+    assert _sf_feed_key("x", str(sf)) != k0
+
+
 def test_purge_dead_worker_caches(monkeypatch, tmp_path):
-    """Cache dirs of exited workers are removed; the live process's own dir
-    survives (pid-recycling can never inherit a predecessor's cache)."""
+    """Cache dirs of exited workers are removed — INCLUDING an own-pid dir,
+    which at purge time (module import) can only belong to a dead
+    predecessor whose pid this process recycled (the module creates
+    -w{pid} dirs only after import; ADVICE r13).  Unsuffixed entries are
+    never touched."""
     import os
 
     import daq_3i_spark.plans.streaming_ops as so
 
     monkeypatch.setattr(so, "_TMP_ROOT", str(tmp_path))
     dead = tmp_path / "feedcache-w999999999"  # pid_max is < 999999999
-    mine = tmp_path / f"feedcache-w{os.getpid()}"
+    recycled = tmp_path / f"feedcache-w{os.getpid()}"  # dead predecessor's
     plain = tmp_path / "sf1"  # no -w{pid} suffix: never touched
-    for d in (dead, mine, plain):
+    for d in (dead, recycled, plain):
         d.mkdir()
     so._purge_dead_worker_caches()
     assert not dead.exists()
-    assert mine.exists() and plain.exists()
+    assert not recycled.exists()
+    assert plain.exists()
