@@ -320,6 +320,72 @@ def test_persist_batch_replay_idempotent(spark, tmp_path):
     assert read_channel_data(spark, work).count() == 2
 
 
+def test_upsert_status_rewrites_only_touched_buckets(spark, tmp_path):
+    """The status upsert is the merge_upsert touched-partition protocol on
+    hash buckets (VERDICT r13): an N-key batch writes <= min(N,
+    STATUS_BUCKETS) bucket dirs into its version, untouched buckets stay
+    byte-for-byte in older versions, and read_status unions each bucket's
+    newest copy (latest-wins across versions)."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        STATUS_BUCKETS,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "bucketed")
+    t0 = dt.datetime(2024, 1, 1)
+    full = spark.createDataFrame(
+        [(f"CHL: {i}", 1, t0) for i in range(200)],
+        "parameter string, status int, ts timestamp",
+    )
+    upsert_status(spark, work, full, 0)
+    v0 = os.path.join(work, "daq_status", "v=0")
+    v0_buckets = sorted(d for d in os.listdir(v0) if d.startswith("__b="))
+    assert len(v0_buckets) == STATUS_BUCKETS  # 200 keys cover every bucket
+    v0_bytes = {
+        d: sorted(
+            (f, os.path.getsize(os.path.join(v0, d, f)))
+            for f in os.listdir(os.path.join(v0, d))
+            if f.endswith(".parquet")
+        )
+        for d in v0_buckets
+    }
+
+    # a 2-key batch (one channel + heartbeat) touches <= 2 buckets
+    t1 = dt.datetime(2024, 1, 2)
+    small = spark.createDataFrame(
+        [("CHL: 7", 1, t1), ("daq-3i", 1, t1)],
+        "parameter string, status int, ts timestamp",
+    )
+    upsert_status(spark, work, small, 1)
+    v1 = os.path.join(work, "daq_status", "v=1")
+    v1_buckets = sorted(d for d in os.listdir(v1) if d.startswith("__b="))
+    assert 1 <= len(v1_buckets) <= 2, v1_buckets
+
+    # untouched v=0 buckets are byte-for-byte what they were
+    for d in v0_buckets:
+        now = sorted(
+            (f, os.path.getsize(os.path.join(v0, d, f)))
+            for f in os.listdir(os.path.join(v0, d))
+            if f.endswith(".parquet")
+        )
+        assert now == v0_bytes[d], d
+
+    # the live snapshot is latest-wins across versions
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert len(rows) == 201  # 200 channels + heartbeat
+    assert rows["CHL: 7"] == t1
+    assert rows["daq-3i"] == t1
+    assert rows["CHL: 8"] == t0
+
+    # replaying version 1 converges (pure function of pre-batch state)
+    upsert_status(spark, work, small, 1)
+    rows2 = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert rows2 == rows
+
+
 def test_due_fn_multichunk_scrambled():
     """_due_fn must process a group's rows in global (ts, id) order even when
     the Arrow chunk iterator delivers them scrambled across many chunks
