@@ -36,6 +36,8 @@ from __future__ import annotations
 
 P = 2_147_483_647  # Mersenne prime 2^31 - 1: hash modulus
 B = 31  # polynomial base
+B2 = 37  # second, independent polynomial base — the upper word of the
+#         62-bit token hash (token_hashes64); same modulus P
 
 # 16 affine minhash permutations (a, b), a odd, generated once from a fixed
 # seed and frozen here as constants (both engines must see identical values).
@@ -51,7 +53,14 @@ MINHASH_K = len(MINHASH_PERMS)
 LSH_BANDS = 4  # 4 bands x 4 rows
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
-SIMHASH_BITS = 32
+# SimHash width: 62 meaningful bits (the 2^31-word pair of token_hashes64
+# never sets bits 62-63), banded as 4 x 16-bit bands for the hamming<=3
+# pigeonhole.  Was 32 bits / 4 x 8-bit bands through r13: 8-bit bands give
+# only 256 buckets per band, so candidate pairs grow O(n^2/256) with corpus
+# size — measured super-linear at the 50x probe (tools/probe_scale_curve.py,
+# SCALE.md r14); 16-bit bands put bucket count at 65,536 per band, the same
+# scheme op_multimodal_phash always used.
+SIMHASH_BITS = 62
 
 #: Frozen toy-BPE merge table, applied IN ORDER (rank order, like a published
 #: tokenizer's merges.txt).  The pairs are the highest-frequency English
@@ -138,7 +147,7 @@ class Dialect:
 
     # --- text kernels --------------------------------------------------------
 
-    def char_hash(self, s: str) -> str:
+    def char_hash(self, s: str, base: int = B) -> str:
         """Rolling polynomial hash of a string's code points, in [0, P)."""
         if self.is_spark:
             # split-into-chars, NOT substr-by-index: substr(s, i, 1) seeks
@@ -155,11 +164,11 @@ class Dialect:
                 f"__c -> CAST(ascii(__c) AS BIGINT))"
             )
             folded = self.fold_long(codes, "0", "__a", "__c",
-                                    f"(__a*{B} + __c) % {P}")
+                                    f"(__a*{base} + __c) % {P}")
             return f"coalesce({folded}, 0)"
         codes = self.transform(self.seq1n(f"length({s})"), "__ci",
                                f"CAST(ascii(substr({s}, __ci, 1)) AS BIGINT)")
-        return self.fold_long(codes, "0", "__a", "__c", f"(__a*{B} + __c) % {P}")
+        return self.fold_long(codes, "0", "__a", "__c", f"(__a*{base} + __c) % {P}")
 
     def tokens(self, text: str) -> str:
         """Whitespace tokens of the lowercased text."""
@@ -168,6 +177,19 @@ class Dialect:
     def token_hashes(self, text: str) -> str:
         """array<bigint>: rolling hash of each whitespace token."""
         return self.transform(self.tokens(text), "__t", self.char_hash("__t"))
+
+    def token_hashes64(self, text: str) -> str:
+        """array<bigint>: 62-bit token hashes — the base-{B} hash in the
+        upper 31-bit word (shifted by 2^31), an independent base-{B2} hash
+        in the lower.  Feeds the 62-bit simhash; both words < P < 2^31, so
+        the combined value stays below 2^62 (BIGINT-safe, bits 62-63 never
+        set)."""
+        return self.transform(
+            self.tokens(text),
+            "__t",
+            f"({self.char_hash('__t')}) * 2147483648"
+            f" + ({self.char_hash('__t', base=B2)})",
+        )
 
     def shingle_hashes(self, hs: str, n: int = 3) -> str:
         """Hashes of n-token shingles, combined from the token hashes.

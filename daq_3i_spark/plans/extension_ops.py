@@ -282,10 +282,10 @@ def op_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "op_dedup_simhash",
     f"""WITH th AS (
-      SELECT doc_id, {DUCK.token_hashes('text')} AS th FROM documents
+      SELECT doc_id, {DUCK.token_hashes64('text')} AS th FROM documents
     ), s AS (SELECT doc_id, {DUCK.simhash('th')} AS simhash FROM th),
     blocks AS (
-      SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS band
+      SELECT doc_id, simhash, j, (simhash >> (16 * j)) & 65535 AS band
       FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) t
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -293,19 +293,23 @@ def op_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM blocks a JOIN blocks b
       ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
     WHERE {DUCK.bitcount(DUCK.bxor('a.simhash', 'b.simhash'))} <= 3""",
-    doc="SimHash near-dup: 32-bit simhash over token hashes; pairs within "
-    "hamming distance 3 found via 4x8-bit band blocking (a pair with "
-    "hamming<=3 must agree on >=1 band — pigeonhole); blocking keeps the "
-    "self-join bucket-local",
+    doc="SimHash near-dup: 62-bit simhash over 62-bit token hashes; pairs "
+    "within hamming distance 3 found via 4x16-bit band blocking (a pair "
+    "with hamming<=3 must agree on >=1 band — pigeonhole); blocking keeps "
+    "the self-join bucket-local.  16-bit bands (the op_multimodal_phash "
+    "scheme) give 65,536 buckets per band, so candidate pairs stay "
+    "~n^2/65536-bounded — the r13-era 4x8-bit scheme had a FIXED 256 "
+    "buckets per band and measured super-linear at the 50x corpus probe "
+    "(tools/probe_scale_curve.py; SCALE.md r14)",
 )
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     s = docs.select(
-        "doc_id", F.expr(SPARK.token_hashes("text")).alias("th")
+        "doc_id", F.expr(SPARK.token_hashes64("text")).alias("th")
     ).select("doc_id", F.expr(SPARK.simhash("th")).alias("simhash"))
     blocks = s.select(
         "doc_id", "simhash", F.explode(F.expr("sequence(0, 3)")).alias("j")
-    ).withColumn("band", F.expr("(simhash >> (8 * j)) & 255"))
+    ).withColumn("band", F.expr("(simhash >> (16 * j)) & 65535"))
     # NB: unlike op_dedup_minhash, materializing blocks here REGRESSES 2x
     # (measured at sf0.1): the single simhash fold is cheaper than the
     # checkpoint round-trip

@@ -1,0 +1,131 @@
+"""Multi-point scale-curve probe for documents-only ops (VERDICT r13 #3).
+
+The sf0.1->sf1 ratio pin alone cannot distinguish "constant-dominated"
+from "super-linear" for sub-second ops: a 10x ratio of 8.8 is consistent
+with both t = c + a*n (c large) and t = c + b*n^2.  A THIRD (and fourth)
+point settles it — replicate documents to k copies of sf0.1 with the same
+token-suffix scheme tools/make_sf1.py uses (each copy's internal near-dup
+structure preserved, cross-copy shingles distinct -> linear candidate
+growth, like a real kx corpus), then compare INCREMENTAL slopes:
+
+    slope(k1->k2) = (t(k2) - t(k1)) / (k2 - k1)
+
+Linear ops show a ~flat incremental slope; quadratic ops show slope
+growing ~proportionally to k.  Results print per-op; SCALE.md records the
+adjudication.
+
+    python tools/probe_scale_curve.py op_sample_stratified op_dedup_simhash
+    python tools/probe_scale_curve.py --copies 10,20,50 op_sample_stratified
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = "/root/testdata/sf0.1"
+
+
+def ceil_base(n: int) -> int:
+    b = 1
+    while b <= n:
+        b *= 10
+    return b
+
+
+def make_docs(copies: int) -> str:
+    """documents.parquet at ``copies`` x sf0.1, cached under .tmp —
+    identical replication scheme to tools/make_sf1.py (doc_id shift +
+    per-copy token suffix)."""
+    import duckdb
+
+    dst = os.path.join(ROOT, ".tmp", f"docs_x{copies}")
+    marker = os.path.join(dst, "_DONE")
+    if os.path.exists(marker):
+        return dst
+    import shutil
+
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    b_doc = ceil_base(
+        con.sql(f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'").fetchone()[0]
+    )
+    cols = [
+        c[0]
+        for c in con.sql(
+            f"describe select * from '{SRC}/documents.parquet'"
+        ).fetchall()
+    ]
+    rest = ", ".join(c for c in cols if c not in ("doc_id", "text"))
+    con.sql(
+        f"""COPY (SELECT doc_id + k * {b_doc} AS doc_id,
+                        array_to_string(
+                          list_transform(string_split(text, ' '),
+                                         x -> x || 'x' || CAST(k AS VARCHAR)),
+                          ' ') AS text,
+                        {rest}
+                 FROM '{SRC}/documents.parquet',
+                      generate_series(0, {copies - 1}) g(k))
+            TO '{dst}/documents.parquet'"""
+    )
+    open(marker, "w").close()
+    return dst
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ops", nargs="+")
+    ap.add_argument("--copies", default="10,20,50")
+    args = ap.parse_args()
+    copy_points = [int(c) for c in args.copies.split(",")]
+
+    from daq_3i_spark.cache import release_shared
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.session import get_spark
+
+    spark = get_spark("probe_scale_curve", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        release_shared()
+        return dt
+
+    dirs = {1: SRC}
+    for k in copy_points:
+        dirs[k] = make_docs(k)
+        print(f"built docs_x{k}", flush=True)
+
+    out: dict[str, dict] = {}
+    for name in args.ops:
+        times: dict[int, float] = {}
+        for k in sorted(dirs):
+            run(name, dirs[k])  # warm
+            times[k] = round(min(run(name, dirs[k]) for _ in range(2)), 3)
+        ks = sorted(times)
+        slopes = {
+            f"{a}->{b}": round((times[b] - times[a]) / (b - a), 4)
+            for a, b in zip(ks, ks[1:])
+        }
+        out[name] = {"sec_at_copies": times, "incremental_slope_sec_per_copy": slopes}
+        print(f"{name}: {json.dumps(out[name])}", flush=True)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
