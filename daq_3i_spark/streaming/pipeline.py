@@ -190,6 +190,34 @@ def upsert_status(spark: SparkSession, work_dir: str, updates: DataFrame, batch_
         .mode("overwrite")
         .parquet(os.path.join(_status_dir(work_dir), f"v={batch_id}"))
     )
+    _gc_status_versions(work_dir)
+
+
+#: Superseded version dirs younger than this many versions below the head
+#: are kept for readers already iterating an older listing (the same
+#: keep-2 convention the sink services use).
+_STATUS_KEEP_VERSIONS = 2
+
+
+def _gc_status_versions(work_dir: str) -> None:
+    """Drop snapshot versions whose EVERY bucket has a newer copy: with
+    bucketed versions a long-running pipeline would otherwise accumulate
+    one directory per micro-batch forever (86k/day at the reference's 1 Hz
+    cadence).  A version is removable only when fully superseded — a bucket
+    whose newest copy lives in an old version pins that version — and the
+    newest ``_STATUS_KEEP_VERSIONS`` versions are always kept so a reader
+    holding a just-superseded listing still finds its files."""
+    import shutil
+
+    versions = _status_versions(work_dir)
+    if len(versions) <= _STATUS_KEEP_VERSIONS:
+        return
+    d = _status_dir(work_dir)
+    live = {os.path.dirname(p) for p in _status_bucket_dirs(work_dir)}
+    for v in versions[:-_STATUS_KEEP_VERSIONS]:
+        vd = os.path.join(d, f"v={v}")
+        if vd not in live:
+            shutil.rmtree(vd, ignore_errors=True)
 
 
 def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id: int) -> None:
@@ -240,18 +268,40 @@ def persist_batch(spark: SparkSession, work_dir: str, batch: DataFrame, batch_id
 
 def retention_compact(spark: SparkSession, work_dir: str) -> None:
     """The truncate thread's set-based analog (daq-3i.py:173-216): keep the
-    newest ``history_len`` rows per channel, one statement, no batch cap."""
+    newest ``history_len`` rows per channel, one statement, no batch cap.
+
+    Swap protocol (crash-safe, r14): write the compacted table to a temp
+    dir, rename the live table ASIDE, rename the temp in, drop the aside
+    copy.  The pre-r14 ``rmtree(live); rename(tmp, live)`` lost the whole
+    table to a crash between the two calls; now every crash point leaves
+    either the live table or the aside copy intact, and
+    ``read_channel_data`` recovers the aside copy when the live dir is
+    missing (pinned by tests/test_streaming.py::
+    test_retention_compact_crash_points_never_lose_the_table).
+    Production: Delta DELETE — no rewrite, no swap."""
     cd_dir = os.path.join(work_dir, "channel_data")
     kept = retention_keep(
         read_channel_data(spark, work_dir), channels_df(spark), key="channel_id"
     )
     tmp = os.path.join(work_dir, "channel_data_compact")
     kept.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (production: Delta DELETE, no rewrite)
     import shutil
 
-    shutil.rmtree(cd_dir)
+    aside = os.path.join(work_dir, "channel_data_old")
+    shutil.rmtree(aside, ignore_errors=True)  # leftover from a crashed swap
+    os.rename(cd_dir, aside)
     os.rename(tmp, cd_dir)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def _recover_channel_data(work_dir: str) -> None:
+    """Finish a swap that crashed between the two renames: the live dir is
+    gone but the aside copy exists — restore it.  (A crash after the second
+    rename leaves both live and aside; the next compact drops the aside.)"""
+    cd_dir = os.path.join(work_dir, "channel_data")
+    aside = os.path.join(work_dir, "channel_data_old")
+    if not os.path.exists(cd_dir) and os.path.isdir(aside):
+        os.rename(aside, cd_dir)
 
 
 def run_pipeline(
@@ -284,7 +334,9 @@ def run_pipeline(
 
 def read_channel_data(spark: SparkSession, work_dir: str) -> DataFrame:
     """recursiveFileLookup spans both layouts: per-batch ``batch_<id>``
-    subdirectories (streaming appends) and flat files (post-compaction)."""
+    subdirectories (streaming appends) and flat files (post-compaction).
+    Recovers a compaction swap that crashed mid-rename first."""
+    _recover_channel_data(work_dir)
     return (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(os.path.join(work_dir, "channel_data"))

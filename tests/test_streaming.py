@@ -386,6 +386,90 @@ def test_upsert_status_rewrites_only_touched_buckets(spark, tmp_path):
     assert rows2 == rows
 
 
+def test_status_version_gc_bounds_dirs_and_keeps_pinned_buckets(spark, tmp_path):
+    """Superseded status versions are GC'd (a 1 Hz pipeline would otherwise
+    grow one dir per micro-batch forever), but a version holding some
+    bucket's NEWEST copy is pinned until that bucket is rewritten — GC can
+    never drop live data."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    from daq_3i_spark.streaming.pipeline import _status_bucket
+
+    work = str(tmp_path / "gc")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    mk = lambda rows, i: spark.createDataFrame(  # noqa: E731
+        [(p, 1, t(i)) for p in rows],
+        "parameter string, status int, ts timestamp",
+    )
+    # key set chosen so later batches NEVER touch the pinned key's bucket —
+    # the pinned key's newest copy stays in v=0, which GC must then keep
+    cands = spark.createDataFrame(
+        [(f"k{j}",) for j in range(64)] + [("pinned-key",)], "parameter string"
+    )
+    bmap = {
+        r["parameter"]: r["b"]
+        for r in cands.select(
+            "parameter", _status_bucket(F.col("parameter")).alias("b")
+        ).collect()
+    }
+    ks = [k for k in bmap if k != "pinned-key" and bmap[k] != bmap["pinned-key"]][:32]
+    assert len(ks) == 32
+
+    # batch 0 carries the loner key; batches 1..6 rewrite the other buckets
+    upsert_status(spark, work, mk(["pinned-key"] + ks, 0), 0)
+    for i in range(1, 7):
+        upsert_status(spark, work, mk(ks, i), i)
+
+    vs = _status_versions(work)
+    # v=0 is pinned (holds pinned-key's newest bucket copy) + the keep-2 tail
+    assert 0 in vs
+    assert len(vs) <= 2 + 1, vs  # keep-2 + the pinned version
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert rows["pinned-key"] == t(0)
+    assert rows[ks[3]] == t(6)
+    assert len(rows) == 33
+
+
+def test_retention_compact_crash_points_never_lose_the_table(spark, tmp_path):
+    """Every crash point of the compaction swap leaves a readable table:
+    (A) crash between the two renames -> live dir missing, aside copy
+    present, read_channel_data recovers it; (B) crash after the swap but
+    before aside cleanup -> live wins, the next compact drops the aside."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import retention_compact
+
+    work = str(tmp_path / "swap")
+    mk = lambda vid: spark.createDataFrame(  # noqa: E731
+        [(vid, 1, dt.datetime(2024, 1, 1, 0, 0, vid), float(vid))],
+        "id long, channel_id int, ts timestamp, value double",
+    )
+    persist_batch(spark, work, mk(1), 0)
+    persist_batch(spark, work, mk(2), 1)
+    cd = os.path.join(work, "channel_data")
+    aside = os.path.join(work, "channel_data_old")
+    n0 = read_channel_data(spark, work).count()
+    assert n0 == 2
+
+    # (A) simulate a crash between rename(live, aside) and rename(tmp, live)
+    os.rename(cd, aside)
+    assert read_channel_data(spark, work).count() == n0  # recovered
+    assert os.path.isdir(cd) and not os.path.exists(aside)
+
+    # (B) simulate a crash after the swap, before the aside cleanup
+    shutil.copytree(cd, aside)
+    assert read_channel_data(spark, work).count() == n0  # live wins
+    retention_compact(spark, work)
+    assert not os.path.exists(aside)  # next compact clears the leftover
+    assert read_channel_data(spark, work).count() == n0
+
+
 def test_due_fn_multichunk_scrambled():
     """_due_fn must process a group's rows in global (ts, id) order even when
     the Arrow chunk iterator delivers them scrambled across many chunks
