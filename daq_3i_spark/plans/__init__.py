@@ -23,13 +23,19 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # Round 14 window: the whole r9 cohort (37 ops) hits the staleness horizon
 # and leads — driver rows are the only staleness cure, so it takes 37 slots
 # unconditionally (census source: tools/check_counts.py --census at r13
-# close).  The remaining 13 slots pre-drain the r10 cohort (44 ops, hits the
-# horizon at r15 — without pre-draining now, r15 cannot fit them in 50
-# slots): stateful/banded ops first (streaming monitors, the MinHash-LSH
-# family, zorder, phash) since a driver row is worth most where local and
-# driver environments can diverge.  37 + 13 = 50; ≤31 r10 ops remain for
-# r15.  Per the r12/r13 precedent, ops whose EXECUTION changes late in r14
-# displace r10 fillers (never r9 leads) in an end-of-round re-rotation.
+# close).  Next, per the r12/r13 precedent, one representative per code path
+# whose EXECUTION or ORACLE changed in r14 (displacing r10 fillers, never r9
+# leads): op_dedup_simhash (62-bit simhash + 4x16-bit bands — semantics AND
+# oracle changed), op_stream_pipeline (hash-bucketed status upsert + version
+# GC + crash-safe compaction swap), op_dedup_semantic (null-safe salt-grid
+# sizes join — covers op_dedup_embedding/op_sim_knn_graph — plus the IVF
+# oracle validity guard), op_sim_ivf_topk (the guard on the ivf/kmeans/pq
+# family's oracles, inherited by op_sim_ivf_recall_eval).  The remaining 9
+# slots pre-drain the r10 cohort (44 ops, hits the horizon at r15):
+# stateful/banded ops first (streaming monitors, the MinHash-LSH family,
+# zorder, phash) since a driver row is worth most where local and driver
+# environments can diverge.  37 + 4 + 9 = 50; 35 r10 ops remain for r15
+# (fits its 50 slots with room for r15's own changed-op reps).
 _CHECK_PRIORITY = [
     # -- (1) the r9 cohort: hits the 4-round horizon, all 37 ---------------
     "op_rollup_incremental", "op_stream_rollup_refresh",
@@ -46,12 +52,14 @@ _CHECK_PRIORITY = [
     "op_sql_q22_idle_rich", "op_sql_cube", "op_sql_rollup",
     "op_sql_grouping_sets", "op_sql_having_bigorders", "op_sql_json",
     "op_sql_scalar_subquery", "op_sql_window_suite",
-    # -- (2) r10 pre-drain: 13 stalest-next, stateful/banded first ---------
+    # -- (2) r14 changed-path representatives --------------------------------
+    "op_dedup_simhash", "op_stream_pipeline", "op_dedup_semantic",
+    "op_sim_ivf_topk",
+    # -- (3) r10 pre-drain: 9 stalest-next, stateful/banded first ------------
     "op_stream_forecast_monitor", "op_stream_trend", "op_sink_zorder",
-    "op_multimodal_phash", "op_dedup_minhash", "op_dedup_minhash_capped",
+    "op_multimodal_phash", "op_dedup_minhash",
     "op_dedup_minhash_incremental", "op_dedup_ngram_jaccard",
-    "op_dedup_ngram_capped", "op_dedup_containment", "op_dedup_cluster_keep",
-    "op_corpus_dsir_weights", "op_corpus_dsir_select",
+    "op_dedup_containment", "op_dedup_cluster_keep",
 ]
 
 
