@@ -1,4 +1,4 @@
-"""Multi-point scale-curve probe for documents-only ops (VERDICT r13 #3).
+"""Multi-point scale-curve probe for corpus ops (documents + embeddings).
 
 The sf0.1->sf1 ratio pin alone cannot distinguish "constant-dominated"
 from "super-linear" for sub-second ops: a 10x ratio of 8.8 is consistent
@@ -39,14 +39,16 @@ def ceil_base(n: int) -> int:
     return b
 
 
-def make_docs(copies: int) -> str:
-    """documents.parquet at ``copies`` x sf0.1, cached under .tmp —
-    identical replication scheme to tools/make_sf1.py (doc_id shift +
-    per-copy token suffix)."""
+def make_corpus(copies: int) -> str:
+    """documents.parquet + embeddings.parquet at ``copies`` x sf0.1, cached
+    under .tmp — the tools/make_sf1.py replication schemes (doc_id shift +
+    per-copy token suffix; vec_id shift + per-copy cyclic dimension
+    rotation, here ``(7k) mod 64`` so all 50 copies get DISTINCT rotations
+    — make_sf1's ``6k`` slice is only valid for k <= 10)."""
     import duckdb
 
     dst = os.path.join(ROOT, ".tmp", f"docs_x{copies}")
-    marker = os.path.join(dst, "_DONE")
+    marker = os.path.join(dst, "_DONE_v2")
     if os.path.exists(marker):
         return dst
     import shutil
@@ -75,6 +77,19 @@ def make_docs(copies: int) -> str:
                  FROM '{SRC}/documents.parquet',
                       generate_series(0, {copies - 1}) g(k))
             TO '{dst}/documents.parquet'"""
+    )
+    b_vec = ceil_base(
+        con.sql(f"SELECT max(vec_id) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    )
+    con.sql(
+        f"""COPY (SELECT vec_id + k * {b_vec} AS vec_id,
+                        CAST(list_concat(embedding[(7 * k) % 64 + 1:],
+                                         embedding[1:(7 * k) % 64]) AS FLOAT[])
+                          AS embedding,
+                        label
+                 FROM '{SRC}/embeddings.parquet',
+                      generate_series(0, {copies - 1}) g(k))
+            TO '{dst}/embeddings.parquet'"""
     )
     open(marker, "w").close()
     return dst
@@ -106,7 +121,7 @@ def main() -> None:
 
     dirs = {1: SRC}
     for k in copy_points:
-        dirs[k] = make_docs(k)
+        dirs[k] = make_corpus(k)
         print(f"built docs_x{k}", flush=True)
 
     out: dict[str, dict] = {}
