@@ -232,7 +232,8 @@ _IVF_TARGET = 1024  # target vectors per coarse cell once the corpus outgrows th
 
 def _ivf_cells(sf_dir: str) -> int:
     """Coarse-quantizer cell count scaled to the corpus: ``max(_IVF_C,
-    n // _IVF_TARGET)`` with n read from parquet footer statistics (no job).
+    min(n // _IVF_TARGET, isqrt(n)))`` with n read from parquet footer
+    statistics (no job).
 
     At every oracled scale (sf0.001–0.1: n <= 2,000 <= _IVF_C * _IVF_TARGET)
     this is exactly ``_IVF_C``, so the static oracle SQL (``vec_id < 16``)
@@ -240,11 +241,25 @@ def _ivf_cells(sf_dir: str) -> int:
     so cell populations stay ~_IVF_TARGET-bounded — cells never inflate with
     data size (SCALE.md's trained-quantizer prescription; the structural
     complement to cos_block_pairs' salt-grid cap, which handles the residual
-    skew WITHIN however many cells exist).  Pinned by
+    skew WITHIN however many cells exist).
+
+    The ``isqrt(n)`` cap (r14) bounds the OTHER side of the trade: cell
+    ASSIGNMENT costs n*C distance folds (every vector scores every
+    centroid), so the pure population rule C = n/_IVF_TARGET makes
+    assignment quadratic — the r14 50x curve probe measured exactly that
+    growth in op_dedup_semantic / op_sim_knn_graph.  C = sqrt(n) balances
+    assignment (n*C) against in-cell pair work (~n^2/C) at the classic
+    exact-blocking optimum n^1.5 — and is FAISS's published nlist guidance.
+    The cap only binds past n = _IVF_TARGET^2 (~1M vectors; below it the
+    population rule gives fewer cells), so every oracled and probed scale
+    is byte-identical and IVF_ORACLE_MAX_ROWS is unchanged.  Pinned by
     tests/test_extension2.py::test_ivf_cells_scale_with_corpus."""
+    import math
+
     from daq_3i_spark.sources.tables import table_rows
 
-    return max(_IVF_C, table_rows(sf_dir, "embeddings") // _IVF_TARGET)
+    n = table_rows(sf_dir, "embeddings")
+    return max(_IVF_C, min(n // _IVF_TARGET, math.isqrt(n)))
 
 
 #: First corpus size where ``_ivf_cells`` exceeds the ``_IVF_C`` floor —

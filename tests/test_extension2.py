@@ -487,6 +487,21 @@ def test_ivf_cells_scale_with_corpus(spark, sf_dir, tmp_path):
     )
     assert _ivf_cells(str(d)) == n // _IVF_TARGET == 2 * _IVF_C
 
+    # past _IVF_TARGET^2 vectors the isqrt cap binds: C = sqrt(n), the
+    # exact-blocking optimum (assignment n*C balances in-cell pair work
+    # n^2/C at n^1.5 — the r14 fix for the quadratic assignment term the
+    # 50x curve probe measured under the pure population rule)
+    import math
+
+    n2 = _IVF_TARGET * _IVF_TARGET * 4  # 4M vectors (vec_id-only: ~32 MB)
+    d2 = tmp_path / "huge_sf"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n2), pa.int64())}),
+        str(d2 / "embeddings.parquet"),
+    )
+    assert _ivf_cells(str(d2)) == math.isqrt(n2) == 2048 < n2 // _IVF_TARGET
+
 
 def test_ivf_oracle_guard_raises_past_validity_bound():
     """Every IVF-family oracle bakes the _IVF_C-cell floor; past
