@@ -307,12 +307,17 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select(
         "doc_id", F.expr(SPARK.token_hashes64("text")).alias("th")
     ).select("doc_id", F.expr(SPARK.simhash("th")).alias("simhash"))
+    # materialize the signatures before the self-join: the r12 measurement
+    # (single 32-fold simhash cheaper than the checkpoint round-trip)
+    # FLIPPED with the 62-bit signature — recomputing 62 folds per side
+    # costs more than the (doc_id, simhash) long-pair round-trip (measured
+    # 1.16 -> 0.77 s at sf0.1, r14).  The checkpointed frame is two longs
+    # per doc; on a cluster this is reliable checkpoint/Delta, the
+    # op_dedup_components precedent.
+    s = s.localCheckpoint(eager=False)
     blocks = s.select(
         "doc_id", "simhash", F.explode(F.expr("sequence(0, 3)")).alias("j")
     ).withColumn("band", F.expr("(simhash >> (16 * j)) & 65535"))
-    # NB: unlike op_dedup_minhash, materializing blocks here REGRESSES 2x
-    # (measured at sf0.1): the single simhash fold is cheaper than the
-    # checkpoint round-trip
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.expr(SPARK.bitcount(SPARK.bxor("a.simhash", "b.simhash")))
     return (
