@@ -39,7 +39,7 @@ def _duck_vals(expr: str) -> list:
 
 @pytest.mark.parametrize(
     "kernel",
-    ["char_hash", "token_hashes"],
+    ["char_hash", "token_hashes", "token_hashes64"],
 )
 def test_scalar_kernels_match(spark, kernel):
     s = getattr(SPARK, kernel)("text")
@@ -53,6 +53,18 @@ def test_simhash_match(spark):
     sv, dv = _spark_vals(spark, s), _duck_vals(d)
     assert sv == dv
     assert all(0 <= v < 2**32 for v in sv)
+
+
+def test_simhash64_match(spark):
+    """The op_dedup_simhash composition: 62-bit simhash over the two-word
+    token hashes — bit-identical across engines, BIGINT-positive (bits
+    62-63 never set), and genuinely exercising the upper word."""
+    s = SPARK.simhash(SPARK.token_hashes64("text"))
+    d = DUCK.simhash(DUCK.token_hashes64("text"))
+    sv, dv = _spark_vals(spark, s), _duck_vals(d)
+    assert sv == dv
+    assert all(0 <= v < 2**62 for v in sv)
+    assert any(v >= 2**31 for v in sv if v)  # the upper word carries bits
 
 
 def test_shingle_and_minhash_match(spark):
