@@ -492,3 +492,36 @@ def test_bench_guard_median_fallback_needs_sample_size():
         assert "median per-query ratio 1.30x" in r.stdout
         # steady queries must NOT be flagged
         assert "REGRESSION q0" not in r.stdout
+
+
+def test_simhash_viral_corpus_cross_engine(spark, tmp_path):
+    """The skew edge for the banded simhash join: 200 exact copies collide
+    in every band (one hot bucket per band), and the clique IS the correct
+    output — all 19,900 pairs at hamming 0, deduplicated across the 4 band
+    matches, bit-identical across engines.  (The hot-bucket WORK concern is
+    AQE skew-join territory; the capped-star alternative lives in the
+    minhash family.  This pins that correctness survives the skew shape.)"""
+    import pandas as pd
+
+    rows = _viral_docs() + [
+        (1000 + i, f"distinct document number {i} about topic {i * 7}")
+        for i in range(50)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(sf / "documents.parquet"))
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["op_dedup_simhash"].spark(spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(tuple(r) for r in con.execute(
+        QUERIES["op_dedup_simhash"].oracle
+    ).fetchall())
+    assert got == want
+    viral = [(a, b, h) for a, b, h in got if a < 1000 and b < 1000]
+    assert len(viral) == 200 * 199 // 2  # the full clique, deduped across bands
+    assert all(h == 0 for _, _, h in viral)
