@@ -134,6 +134,11 @@ def test_kernels_agree_on_random_unicode(spark, texts):
     for s_expr, d_expr in [
         (SPARK.char_hash("text"), DUCK.char_hash("text")),
         (SPARK.token_hashes("text"), DUCK.token_hashes("text")),
+        (SPARK.token_hashes64("text"), DUCK.token_hashes64("text")),
+        (
+            SPARK.simhash(SPARK.token_hashes64("text")),
+            DUCK.simhash(DUCK.token_hashes64("text")),
+        ),
     ]:
         sv = [r[0] for r in sdf.select(F.expr(s_expr).alias("v")).collect()]
         dv = [
