@@ -125,7 +125,17 @@ def _status_bucket_dirs(
     """Newest on-disk directory PER HASH BUCKET across snapshot versions
     (strictly below ``before`` if given), optionally restricted to a bucket
     subset.  A version holds only the buckets its batch touched; the live
-    snapshot is the union of each bucket's newest copy."""
+    snapshot is the union of each bucket's newest copy.
+
+    A FLAT version dir (parquet files, no ``__b=*`` subdirs — the CLI's
+    CREATE-TABLE empty init, where ``partitionBy`` on a zero-row frame
+    writes no partitions; ADVICE r14) is a full snapshot: it claims every
+    bucket not superseded by a later bucketed write, so an initialized
+    table is readable (empty typed frame, the pre-r14 contract) and GC
+    pins it until fully superseded.  The first upsert after a flat version
+    merges it whole (its rows span all buckets) and rewrites them into the
+    bucketed layout, fully superseding it.  Output paths are deduped: a
+    flat dir claiming several buckets is read once."""
     d = _status_dir(work_dir)
     best: dict[str, str] = {}
     for v in _status_versions(work_dir):  # ascending: later wins
@@ -136,13 +146,22 @@ def _status_bucket_dirs(
             names = os.listdir(vd)
         except OSError:
             continue
-        for name in names:
-            if not name.startswith("__b="):
-                continue
+        bucket_dirs = [n for n in names if n.startswith("__b=")]
+        if not bucket_dirs:
+            if any(n.endswith(".parquet") for n in names):  # flat snapshot
+                for b in range(STATUS_BUCKETS):
+                    if buckets is None or b in buckets:
+                        best[f"__b={b}"] = vd
+            continue
+        for name in bucket_dirs:
             if buckets is not None and int(name.split("=", 1)[1]) not in buckets:
                 continue
             best[name] = os.path.join(vd, name)
-    return [best[k] for k in sorted(best)]
+    out: list[str] = []
+    for k in sorted(best):
+        if best[k] not in out:
+            out.append(best[k])
+    return out
 
 
 def read_status(spark: SparkSession, work_dir: str) -> DataFrame | None:
@@ -206,14 +225,36 @@ def _gc_status_versions(work_dir: str) -> None:
     cadence).  A version is removable only when fully superseded — a bucket
     whose newest copy lives in an old version pins that version — and the
     newest ``_STATUS_KEEP_VERSIONS`` versions are always kept so a reader
-    holding a just-superseded listing still finds its files."""
+    holding a just-superseded listing still finds its files.
+
+    Liveness is computed both WITH and WITHOUT the head version: the head
+    is the just-written, not-yet-checkpoint-committed batch, and a replay
+    of it (crash before commit) merges against the buckets strictly below
+    it (``upsert_status`` reads ``before=batch_id``).  If supersession-by-
+    head alone could free a version, a crash in the write→commit window
+    would replay against a snapshot whose pre-batch bucket copy was GC'd —
+    silently dropping every key of that bucket absent from the replayed
+    batch (ADVICE r14).  Pinning each bucket's newest copy below the head
+    as well keeps the replay input intact; the pre-head copies become
+    collectable only once a LATER batch writes (which foreachBatch only
+    does after the head's checkpoint commit).  Pinned by tests/
+    test_streaming.py::test_status_gc_preserves_replay_inputs."""
     import shutil
 
     versions = _status_versions(work_dir)
     if len(versions) <= _STATUS_KEEP_VERSIONS:
         return
     d = _status_dir(work_dir)
-    live = {os.path.dirname(p) for p in _status_bucket_dirs(work_dir)}
+
+    def version_dir(p: str) -> str:
+        # bucket paths are .../v=N/__b=X; flat snapshot paths are .../v=N
+        return os.path.dirname(p) if os.path.basename(p).startswith("__b=") else p
+
+    live = {version_dir(p) for p in _status_bucket_dirs(work_dir)}
+    live |= {
+        version_dir(p)
+        for p in _status_bucket_dirs(work_dir, before=versions[-1])
+    }
     for v in versions[:-_STATUS_KEEP_VERSIONS]:
         vd = os.path.join(d, f"v={v}")
         if vd not in live:

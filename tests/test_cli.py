@@ -65,3 +65,48 @@ def test_modes_end_to_end(spark, sf_dir):
     counts = {r["channel_id"]: r["count"] for r in kept.groupBy("channel_id").count().collect()}
     assert all(n <= hist[cid] for cid, n in counts.items())
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_create_table_status_visible_and_superseded(spark, sf_dir):
+    """ADVICE r14 (low): CREATE-TABLE writes daq_status/v=0 as FLAT parquet
+    (partitionBy on a zero-row frame writes no ``__b=*`` dirs), which the
+    r14 bucketed read path ignored — read_status returned None and GC freed
+    v=0 as never-live.  The flat-snapshot fallback restores the pre-r14
+    contract: an initialized table reads as an empty TYPED frame, upserts
+    layer over it normally, and v=0 is GC'd only once fully superseded."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = os.path.join(TMP, "cli_status_init")
+    shutil.rmtree(work, ignore_errors=True)
+    conf = _conf(work, sf_dir)
+    assert cli.main(["prog", "-c", conf, "CREATE-TABLE"], spark=spark) == 0
+
+    st = read_status(spark, work)
+    assert st is not None, "initialized status table must be readable"
+    assert st.count() == 0
+    assert set(st.columns) >= {"parameter", "status", "ts"}
+    assert 0 in _status_versions(work)
+
+    # upserts layer over the flat init; the first bucketed write supersedes
+    # it for every bucket, so keep-2 GC eventually frees v=0
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    for i in range(1, 5):
+        upsert_status(
+            spark,
+            work,
+            spark.createDataFrame(
+                [(f"CHL: {j}", 1, t(i)) for j in range(50)],
+                "parameter string, status int, ts timestamp",
+            ),
+            i,
+        )
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert len(rows) == 50 and rows["CHL: 3"] == t(4)
+    assert 0 not in _status_versions(work), "fully superseded flat init not GC'd"
+    shutil.rmtree(work, ignore_errors=True)

@@ -436,6 +436,69 @@ def test_status_version_gc_bounds_dirs_and_keeps_pinned_buckets(spark, tmp_path)
     assert len(rows) == 33
 
 
+def test_status_gc_preserves_replay_inputs(spark, tmp_path):
+    """ADVICE r14 (high): GC runs inside upsert_status right after writing
+    the HEAD version — before the streaming checkpoint commits it.  If
+    supersession-by-head could free a version, the exact crash window
+    test_pipeline_crash_restart_exactly_once pins (crash between sink write
+    and checkpoint commit) would replay the head batch against a snapshot
+    whose pre-batch bucket copy was GC'd, silently dropping every key of
+    that bucket absent from the replayed batch.  Construct that window:
+    v=0 is the ONLY holder of bucket B (keys a+b), filler batches push it
+    past the keep-2 tail, the head batch rewrites bucket B with just key a
+    (GC fires), then the head is REPLAYED — key b must still be there."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        _status_bucket,
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "gc_replay")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    mk = lambda rows, i: spark.createDataFrame(  # noqa: E731
+        [(p, 1, t(i)) for p in rows],
+        "parameter string, status int, ts timestamp",
+    )
+    cands = spark.createDataFrame(
+        [(f"k{j}",) for j in range(128)], "parameter string"
+    )
+    bmap = {
+        r["parameter"]: r["b"]
+        for r in cands.select(
+            "parameter", _status_bucket(F.col("parameter")).alias("b")
+        ).collect()
+    }
+    by_bucket: dict[int, list[str]] = {}
+    for k, b in sorted(bmap.items()):
+        by_bucket.setdefault(b, []).append(k)
+    bucket_b, (key_a, key_b, *_rest) = next(
+        (b, ks) for b, ks in sorted(by_bucket.items()) if len(ks) >= 2
+    )
+    fillers = [ks[0] for b, ks in sorted(by_bucket.items()) if b != bucket_b][:8]
+    assert len(fillers) >= 3
+
+    # v=0: sole holder of bucket B (keys a+b); v=1..3: other buckets only
+    upsert_status(spark, work, mk([key_a, key_b], 0), 0)
+    for i in range(1, 4):
+        upsert_status(spark, work, mk(fillers, i), i)
+    assert 0 in _status_versions(work), "setup: v=0 must still be pinned"
+
+    # head batch 4 rewrites bucket B with ONLY key a; GC fires inside
+    head = mk([key_a], 4)
+    upsert_status(spark, work, head, 4)
+    # crash before checkpoint commit -> foreachBatch replays batch 4
+    upsert_status(spark, work, head, 4)
+
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert rows.get(key_b) == t(0), (
+        "replay after GC dropped a key whose pre-batch bucket copy was freed"
+    )
+    assert rows[key_a] == t(4)
+
+
 def test_retention_compact_crash_points_never_lose_the_table(spark, tmp_path):
     """Every crash point of the compaction swap leaves a readable table:
     (A) crash between the two renames -> live dir missing, aside copy
