@@ -268,6 +268,13 @@ def _ivf_cells(sf_dir: str) -> int:
 IVF_ORACLE_MAX_ROWS = (_IVF_C + 1) * _IVF_TARGET  # 17,408
 
 
+_IVF_GUARD_MSG = (
+    f"IVF oracle out of validity bound: embeddings has >= "
+    f"{IVF_ORACLE_MAX_ROWS} rows, so _ivf_cells exceeds the baked "
+    f"{_IVF_C}-cell floor and this SQL no longer matches the plan"
+)
+
+
 def _ivf_oracle_bound(sql: str) -> str:
     """Wrap an IVF-family oracle so it FAILS LOUDLY past its validity bound.
 
@@ -276,17 +283,36 @@ def _ivf_oracle_bound(sql: str) -> str:
     (``_ivf_cells``).  Below ``IVF_ORACLE_MAX_ROWS`` the two compute the
     same query bit-for-bit; at or above it they would silently compute
     DIFFERENT queries, so the wrapped oracle raises via DuckDB ``error()``
-    instead of returning wrong-semantics rows (r13 ADVICE).  The guard is a
-    one-row cross join filtered on its own value, so the planner cannot
-    prune the ``error()`` evaluation when the query yields rows.  Pinned by
+    instead of returning wrong-semantics rows (r13 ADVICE).
+
+    Two independent guards (ADVICE r14: either alone can be planned away):
+
+    * a one-row cross join filtered on its own value — fires whenever the
+      wrapped query yields rows;
+    * a same-named CTE shadowing the ``embeddings`` view (base qualified
+      as ``main.embeddings`` to avoid the circular reference) whose scan
+      carries the bound check as a predicate — an out-of-bound corpus has
+      >= IVF_ORACLE_MAX_ROWS rows by definition, so every oracle that
+      scans embeddings must evaluate it even when its RESULT is empty
+      (the hole in the cross-join form: DuckDB prunes the guard branch
+      once it proves __q empty).
+
+    Requires ``sql`` to start with ``WITH`` (all six call sites do; the
+    shadow CTE is spliced into the existing WITH list).  Pinned by
     tests/test_extension2.py::test_ivf_oracle_guard_*."""
+    stripped = sql.lstrip()
+    assert stripped.upper().startswith("WITH "), "IVF oracle must start with WITH"
+    shadow = (
+        f"WITH embeddings AS (SELECT * FROM main.embeddings WHERE "
+        f"(SELECT CASE WHEN count(*) >= {IVF_ORACLE_MAX_ROWS} THEN error("
+        f"'{_IVF_GUARD_MSG}') ELSE 0 END FROM main.embeddings) = 0), "
+    )
+    guarded = shadow + stripped[5:]
     return (
-        f"SELECT __q.* FROM ({sql}) AS __q CROSS JOIN ("
-        f"SELECT CASE WHEN (SELECT count(*) FROM embeddings)"
+        f"SELECT __q.* FROM ({guarded}) AS __q CROSS JOIN ("
+        f"SELECT CASE WHEN (SELECT count(*) FROM main.embeddings)"
         f" >= {IVF_ORACLE_MAX_ROWS} THEN error("
-        f"'IVF oracle out of validity bound: embeddings has >= "
-        f"{IVF_ORACLE_MAX_ROWS} rows, so _ivf_cells exceeds the baked "
-        f"{_IVF_C}-cell floor and this SQL no longer matches the plan') "
+        f"'{_IVF_GUARD_MSG}') "
         f"ELSE 0 END AS __ivf_guard) AS __g WHERE __g.__ivf_guard = 0"
     )
 

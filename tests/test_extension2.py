@@ -522,7 +522,8 @@ def test_ivf_oracle_guard_raises_past_validity_bound():
         "CREATE VIEW embeddings AS SELECT range AS vec_id "
         f"FROM range({IVF_ORACLE_MAX_ROWS - 1})"
     )
-    assert con.execute(_ivf_oracle_bound("SELECT 1 AS x")).fetchall() == [(1,)]
+    inner = "WITH en AS (SELECT 1 AS x) SELECT * FROM en"
+    assert con.execute(_ivf_oracle_bound(inner)).fetchall() == [(1,)]
 
     con2 = duckdb.connect()
     con2.execute(
@@ -530,7 +531,45 @@ def test_ivf_oracle_guard_raises_past_validity_bound():
         f"FROM range({IVF_ORACLE_MAX_ROWS})"
     )
     with pytest.raises(Exception, match="IVF oracle out of validity bound"):
-        con2.execute(_ivf_oracle_bound("SELECT 1 AS x")).fetchall()
+        con2.execute(_ivf_oracle_bound(inner)).fetchall()
+
+
+def test_ivf_oracle_guard_fires_on_empty_result_too():
+    """ADVICE r14 (low): the cross-join guard alone is prunable when the
+    wrapped query yields zero rows — an out-of-bound corpus whose stale
+    16-cell oracle happens to produce nothing would degrade to a silently
+    green empty-vs-empty comparison.  The shadow-CTE guard closes the hole:
+    it rides the embeddings SCAN, which an out-of-bound corpus (>= bound
+    rows, by definition non-empty) must execute even when the query result
+    is empty."""
+    import duckdb
+    import pytest
+
+    from daq_3i_spark.plans.extension_ops2 import (
+        IVF_ORACLE_MAX_ROWS,
+        _ivf_oracle_bound,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id "
+        f"FROM range({IVF_ORACLE_MAX_ROWS})"
+    )
+    # data-dependent empty result over an out-of-bound corpus
+    empty = (
+        "WITH en AS (SELECT vec_id FROM embeddings) "
+        "SELECT * FROM en WHERE vec_id < 0"
+    )
+    with pytest.raises(Exception, match="IVF oracle out of validity bound"):
+        con.execute(_ivf_oracle_bound(empty)).fetchall()
+
+    # same query under the bound: empty result, NO error
+    con3 = duckdb.connect()
+    con3.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id "
+        f"FROM range({IVF_ORACLE_MAX_ROWS - 1})"
+    )
+    assert con3.execute(_ivf_oracle_bound(empty)).fetchall() == []
 
 
 def test_every_ivf_floor_oracle_carries_the_guard():
