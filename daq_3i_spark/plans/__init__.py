@@ -20,46 +20,49 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # EXECUTION changed this round so rewrites get fresh canonical rows, then
 # the stalest of the next cohort.
 #
-# Round 14 window: the whole r9 cohort (37 ops) hits the staleness horizon
-# and leads — driver rows are the only staleness cure, so it takes 37 slots
-# unconditionally (census source: tools/check_counts.py --census at r13
-# close).  Next, per the r12/r13 precedent, one representative per code path
-# whose EXECUTION or ORACLE changed in r14 (displacing r10 fillers, never r9
-# leads): op_dedup_simhash (62-bit simhash + 4x16-bit bands — semantics AND
-# oracle changed), op_stream_pipeline (hash-bucketed status upsert + version
-# GC + crash-safe compaction swap), op_dedup_semantic (null-safe salt-grid
-# sizes join — covers op_dedup_embedding/op_sim_knn_graph — plus the IVF
-# oracle validity guard), op_sim_ivf_topk (the guard on the ivf/kmeans/pq
-# family's oracles, inherited by op_sim_ivf_recall_eval).  The remaining 9
-# slots pre-drain the r10 cohort (44 ops, hits the horizon at r15):
-# stateful/banded ops first (streaming monitors, the MinHash-LSH family,
-# zorder, phash) since a driver row is worth most where local and driver
-# environments can diverge.  37 + 4 + 9 = 50; 35 r10 ops remain for r15
-# (fits its 50 slots with room for r15's own changed-op reps).
+# Round 15 window: the 35 remaining r10-cohort ops hit the 4-round
+# staleness horizon and lead unconditionally (census source:
+# tools/check_counts.py --census at r14 close — the r14 window pre-drained
+# only 9 of the planned 13, so r15 has zero slack; VERDICT r14 #1).  Next,
+# one representative per code path whose EXECUTION or ORACLE changed in
+# r15: the seven IVF-floor ops whose ORACLE text gained the shadow-CTE
+# validity guard (op_sim_ivf_topk, op_sim_kmeans_assign,
+# op_sim_ivf_trained_topk, op_sim_ivfpq_topk, op_dedup_semantic,
+# op_sim_knn_graph, op_sim_ivf_recall_eval — every wrapped oracle, not one
+# rep, since the guard rewrites each oracle's SQL), plus the two ops that
+# EXECUTE the rewritten status-snapshot path (replay-safe GC + flat-init
+# fallback, streaming/pipeline.py): op_stream_pipeline and op_graceful_stop
+# (the latter doubling as an r11 pre-drain).  The remaining 6 slots
+# pre-drain the r11 cohort (44 ops, horizon at r16) with the timeseries
+# fill family — a coherent block whose local/driver divergence risk is
+# shared machinery.  35 + 7 + 2 + 6 = 50; r11 leaves 44-7=37 for r16
+# (13 slots of slack for r16 reps and r12/r14 pre-drain, per the
+# amortization plan in BENCH_NOTES.md r15).
 _CHECK_PRIORITY = [
-    # -- (1) the r9 cohort: hits the 4-round horizon, all 37 ---------------
-    "op_rollup_incremental", "op_stream_rollup_refresh",
-    "op_source_modbus_sim", "op_sink_compaction", "op_stream_due_filter",
-    "op_stream_session_window", "op_stream_window_agg",
-    "op_stream_window_sliding",
-    "op_multimodal_decode", "op_multimodal_features",
-    "op_events_rfm", "op_orders_market_basket", "op_sample_weighted",
-    "op_anomaly_rank", "op_rollup_hourly", "op_corpus_domain_mix",
-    "op_text_bm25", "op_text_lm_score", "op_text_vocab",
-    "op_timeseries_downsample", "op_window_agg_events", "op_window_sliding",
-    "op_sql_q1", "op_sql_q3_topk", "op_sql_q5_region", "op_sql_q7_volume",
-    "op_sql_q8_market_share", "op_sql_q10_returned", "op_sql_q11_topvalue",
-    "op_sql_q22_idle_rich", "op_sql_cube", "op_sql_rollup",
-    "op_sql_grouping_sets", "op_sql_having_bigorders", "op_sql_json",
-    "op_sql_scalar_subquery", "op_sql_window_suite",
-    # -- (2) r14 changed-path representatives --------------------------------
-    "op_dedup_simhash", "op_stream_pipeline", "op_dedup_semantic",
-    "op_sim_ivf_topk",
-    # -- (3) r10 pre-drain: 9 stalest-next, stateful/banded first ------------
-    "op_stream_forecast_monitor", "op_stream_trend", "op_sink_zorder",
-    "op_multimodal_phash", "op_dedup_minhash",
-    "op_dedup_minhash_incremental", "op_dedup_ngram_jaccard",
-    "op_dedup_containment", "op_dedup_cluster_keep",
+    # -- (1) the r10 cohort: hits the 4-round horizon, all 35 ---------------
+    "op_corpus_curriculum", "op_corpus_dsir_select", "op_corpus_dsir_weights",
+    "op_corpus_softdedup_weights", "op_corpus_split_safe",
+    "op_corpus_training_shards", "op_dedup_minhash_capped",
+    "op_dedup_ngram_capped", "op_embed_outliers", "op_events_ab_ci",
+    "op_events_concurrency", "op_events_forecast_naive",
+    "op_events_funnel_time", "op_events_markov", "op_events_srm",
+    "op_orders_abc_analysis", "op_quality_drift", "op_quality_profile",
+    "op_sim_centroid_drift", "op_sql_q12_lateships", "op_sql_q14_promo",
+    "op_sql_q15_topsupplier", "op_sql_q19_disjunction", "op_sql_q21_waiting",
+    "op_sql_q2_mincost", "op_sql_q6_forecast", "op_sql_setops_all",
+    "op_sql_window_range", "op_text_code_detect", "op_timeseries_autocorr",
+    "op_timeseries_changepoint", "op_timeseries_gap_census",
+    "op_timeseries_outlier_mad", "op_timeseries_seasonal_outlier",
+    "op_timeseries_trend",
+    # -- (2) r15 changed-path representatives -------------------------------
+    "op_sim_ivf_topk", "op_sim_kmeans_assign", "op_sim_ivf_trained_topk",
+    "op_sim_ivfpq_topk", "op_dedup_semantic", "op_sim_knn_graph",
+    "op_sim_ivf_recall_eval",
+    "op_stream_pipeline", "op_graceful_stop",
+    # -- (3) r11 pre-drain: the timeseries fill family (6) -------------------
+    "op_timeseries_interpolate", "op_timeseries_interpolate_bucketed",
+    "op_timeseries_interpolate_multiday", "op_timeseries_locf",
+    "op_timeseries_locf_bucketed", "op_timeseries_locf_multiday",
 ]
 
 
