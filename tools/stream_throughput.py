@@ -12,8 +12,11 @@ Usage:
 
 Prints ONE JSON line.  With --floor, exits 1 when the measured throughput
 falls below the floor — the round-close guard (BENCH_NOTES.md records the
-per-round values; the floor is set at ~half the recorded steady value so
-window noise never trips it but a real regression does).
+per-round values; the floor is set well below the recorded steady envelope
+so window noise never trips it but a real regression does).  Round-close
+floor: 20000 (VERDICT r14 #4 — the measured r13-r14 envelope is
+22.7-35.6k rows/s; the old 15k floor would have admitted a ~40% ingest
+regression silently).
 """
 
 from __future__ import annotations
