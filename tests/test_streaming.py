@@ -499,6 +499,123 @@ def test_status_gc_preserves_replay_inputs(spark, tmp_path):
     assert rows[key_a] == t(4)
 
 
+def test_status_upsert_replay_overwrites_partial_version(spark, tmp_path):
+    """A crash MID-WRITE of version v=N can leave a partial dir (some
+    bucket subdirs written, no guarantee of completeness — parquet has no
+    dir-level transaction).  The replay's mode=overwrite truncates the
+    whole v=N target (static overwrite, not dynamic-partition), so stale
+    partial buckets cannot survive next to the replayed ones and the
+    snapshot converges to the pure function of (pre-batch state, batch)."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        STATUS_BUCKETS,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "partial")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    full = spark.createDataFrame(
+        [(f"CHL: {i}", 1, t(0)) for i in range(200)],
+        "parameter string, status int, ts timestamp",
+    )
+    upsert_status(spark, work, full, 0)
+
+    # fabricate a crashed batch-1 write: a v=1 dir holding ONE stale bucket
+    # copy that the real batch 1 would not produce (garbage timestamp)
+    v1 = os.path.join(work, "daq_status", "v=1")
+    garbage = spark.createDataFrame(
+        [("CHL: 7", 1, t(59))], "parameter string, status int, ts timestamp"
+    ).withColumn("__b", F.lit(3))
+    garbage.write.partitionBy("__b").mode("overwrite").parquet(v1)
+    assert os.path.isdir(os.path.join(v1, "__b=3"))
+
+    # the replay of batch 1 (crash recovery) must fully supersede the
+    # partial dir — including the garbage bucket it never touches
+    small = spark.createDataFrame(
+        [("daq-3i", 1, t(1))], "parameter string, status int, ts timestamp"
+    )
+    upsert_status(spark, work, small, 1)
+    assert not os.path.isdir(os.path.join(v1, "__b=3")), (
+        "static overwrite must truncate the whole partial version dir"
+    )
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert rows["CHL: 7"] == t(0), "garbage from the crashed write leaked"
+    assert rows["daq-3i"] == t(1)
+    assert len(rows) == 201
+
+
+def test_status_bucket_dirs_property_matches_reference(tmp_path):
+    """Pure-filesystem property check of ``_status_bucket_dirs`` (the
+    liveness primitive that read_status, upsert_status's pre-batch merge,
+    AND the GC pin set all stand on): against an independent per-bucket
+    max-version reference, across random interleavings of bucketed
+    versions, a flat (CLI-init) version, and the ``before``/``buckets``
+    parameters.  No Spark needed — the function only lists directories."""
+    from hypothesis import given, settings, strategies as st
+
+    from daq_3i_spark.streaming.pipeline import (
+        STATUS_BUCKETS,
+        _status_bucket_dirs,
+    )
+
+    layouts = st.lists(
+        st.one_of(
+            st.just("flat"),
+            st.sets(
+                st.integers(0, STATUS_BUCKETS - 1), min_size=1, max_size=5
+            ),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+
+    case_n = [0]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        layouts,
+        st.one_of(st.none(), st.integers(0, 9)),
+        st.one_of(
+            st.none(),
+            st.sets(st.integers(0, STATUS_BUCKETS - 1), min_size=1, max_size=4),
+        ),
+    )
+    def run(versions, before, buckets):
+        case_n[0] += 1
+        work = str(tmp_path / f"case{case_n[0]}")
+        d = os.path.join(work, "daq_status")
+        for v, spec in enumerate(versions):
+            vd = os.path.join(d, f"v={v}")
+            if spec == "flat":
+                os.makedirs(vd)
+                open(os.path.join(vd, "part-00000.parquet"), "w").close()
+            else:
+                for b in spec:
+                    bd = os.path.join(vd, f"__b={b}")
+                    os.makedirs(bd)
+                    open(os.path.join(bd, "part-00000.parquet"), "w").close()
+
+        # independent reference: newest claim per bucket, flat = all buckets
+        best: dict[int, str] = {}
+        for v, spec in enumerate(versions):
+            if before is not None and v >= before:
+                continue
+            vd = os.path.join(d, f"v={v}")
+            claimed = range(STATUS_BUCKETS) if spec == "flat" else spec
+            for b in claimed:
+                if buckets is None or b in buckets:
+                    best[b] = vd if spec == "flat" else os.path.join(vd, f"__b={b}")
+        expect = sorted(set(best.values()))
+
+        got = _status_bucket_dirs(work, before=before, buckets=buckets)
+        assert sorted(got) == expect
+        assert len(got) == len(set(got)), "duplicate read paths"
+
+    run()
+
+
 def test_retention_compact_crash_points_never_lose_the_table(spark, tmp_path):
     """Every crash point of the compaction swap leaves a readable table:
     (A) crash between the two renames -> live dir missing, aside copy
