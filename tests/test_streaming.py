@@ -546,6 +546,65 @@ def test_status_upsert_replay_overwrites_partial_version(spark, tmp_path):
     assert len(rows) == 201
 
 
+def test_status_flat_snapshot_migrates_wholesale_on_first_upsert(spark, tmp_path):
+    """A NONEMPTY flat snapshot (hand-written or legacy layout) must not
+    split-brain with bucketed versions: because the bucket filter returns
+    the whole flat dir, the first upsert merges ALL its rows (every
+    bucket, not just the touched ones) and rewrites them into the
+    bucketed layout — one version later the flat dir is fully superseded,
+    so no read can ever union a bucket's rows from both layouts."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "flat_migrate")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    v0 = os.path.join(work, "daq_status", "v=0")
+    spark.createDataFrame(
+        [(f"CHL: {i}", 1, t(0)) for i in range(100)],
+        "parameter string, status int, ts timestamp",
+    ).coalesce(1).write.parquet(v0)  # FLAT: no __b=* dirs
+    assert not any(n.startswith("__b=") for n in os.listdir(v0))
+
+    # a 1-key upsert touches one bucket, but must carry the whole flat
+    # snapshot into v=1's bucketed layout
+    upsert_status(
+        spark,
+        work,
+        spark.createDataFrame(
+            [("CHL: 7", 1, t(1))], "parameter string, status int, ts timestamp"
+        ),
+        1,
+    )
+    v1 = os.path.join(work, "daq_status", "v=1")
+    v1_buckets = [n for n in os.listdir(v1) if n.startswith("__b=")]
+    assert len(v1_buckets) > 2, "flat rows must migrate into v=1's buckets"
+
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert len(rows) == 100
+    assert rows["CHL: 7"] == t(1)
+    assert rows["CHL: 8"] == t(0)
+
+    # two more upserts push v=0 past keep-2; fully superseded -> GC'd
+    for i in (2, 3):
+        upsert_status(
+            spark,
+            work,
+            spark.createDataFrame(
+                [("daq-3i", 1, t(i))], "parameter string, status int, ts timestamp"
+            ),
+            i,
+        )
+    assert 0 not in _status_versions(work), "superseded flat dir not GC'd"
+    assert {r["parameter"] for r in read_status(spark, work).collect()} == (
+        {f"CHL: {i}" for i in range(100)} | {"daq-3i"}
+    )
+
+
 def test_status_bucket_dirs_property_matches_reference(tmp_path):
     """Pure-filesystem property check of ``_status_bucket_dirs`` (the
     liveness primitive that read_status, upsert_status's pre-batch merge,
