@@ -546,6 +546,53 @@ def test_status_upsert_replay_overwrites_partial_version(spark, tmp_path):
     assert len(rows) == 201
 
 
+def test_status_gc_version_count_stays_bounded_under_soak(spark, tmp_path):
+    """The replay-input pinning (below-head liveness) must not reopen the
+    unbounded-growth problem GC exists to solve: besides the keep-2 tail,
+    each bucket can pin at most its newest copy and its newest-below-head
+    copy, so the version-dir count is bounded by ~2*STATUS_BUCKETS + keep
+    regardless of batch count.  30 skewed batches (deterministic key
+    subsets, some buckets hot, some written once) must stay under that
+    bound while every key's latest value survives."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        STATUS_BUCKETS,
+        _STATUS_KEEP_VERSIONS,
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "gc_soak")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, i % 60, i // 60)  # noqa: E731
+    keys = [f"CHL: {i}" for i in range(40)]
+    expect: dict[str, object] = {}
+    for b in range(30):
+        # deterministic skew: key j is in batch b iff b % (1 + j % 7) == 0
+        batch_keys = [k for j, k in enumerate(keys) if b % (1 + j % 7) == 0]
+        if not batch_keys:
+            batch_keys = [keys[b % len(keys)]]
+        for k in batch_keys:
+            expect[k] = t(b)
+        upsert_status(
+            spark,
+            work,
+            spark.createDataFrame(
+                [(k, 1, t(b)) for k in batch_keys],
+                "parameter string, status int, ts timestamp",
+            ),
+            b,
+        )
+        n_versions = len(_status_versions(work))
+        assert n_versions <= 2 * STATUS_BUCKETS + _STATUS_KEEP_VERSIONS, (
+            f"batch {b}: {n_versions} version dirs — GC bound broken"
+        )
+
+    rows = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert rows == expect
+
+
 def test_status_flat_snapshot_migrates_wholesale_on_first_upsert(spark, tmp_path):
     """A NONEMPTY flat snapshot (hand-written or legacy layout) must not
     split-brain with bucketed versions: because the bucket filter returns
