@@ -75,14 +75,27 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(_MAX_ROUNDS):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # canonical edge sets -> set equality == symmetric difference empty;
         # both sides are tiny star lists by the time this matters
         if new.exceptAll(e).unionByName(e.exceptAll(new)).isEmpty():
             e = new
+            converged = True
             break
         e = new
+    if not converged:
+        # a partially-contracted edge list yields WRONG component labels
+        # (members of one component split across non-minimal labels) with
+        # no other symptom — fail loudly instead (the codec-registry /
+        # IVF-guard convention).  O(log^2 n) rounds bounds any real corpus
+        # far under _MAX_ROUNDS; hitting this means the input or the
+        # contraction is broken, not that the graph is merely large.
+        raise RuntimeError(
+            f"star_components did not converge in {_MAX_ROUNDS} rounds — "
+            "refusing to emit a partially-contracted (wrong) labeling"
+        )
     # converged: every edge is (component-min, node)
     members = e.select(F.col("v").alias("doc_id"), F.col("u").alias("component"))
     centers = (

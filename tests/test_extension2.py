@@ -57,6 +57,21 @@ def test_star_components_deep_chain(spark):
     assert rounds <= 12, f"chain of {n} took {rounds} star rounds"
 
 
+def test_star_components_nonconvergence_raises(spark, monkeypatch):
+    """Exhausting _MAX_ROUNDS without set-convergence must raise, never
+    emit the partially-contracted edge list: a partial contraction labels
+    members of ONE component with different (non-minimal) roots — wrong
+    results with no other symptom (the loud-failure convention)."""
+    import daq_3i_spark.operators.graph as graph
+
+    monkeypatch.setattr(graph, "_MAX_ROUNDS", 1)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.star_components(spark, pairs).collect()
+
+
 def test_star_components_forest(spark):
     """Multiple components + isolated-node contract (absent from output)."""
     from daq_3i_spark.operators.graph import star_components
