@@ -297,17 +297,33 @@ def _ivf_oracle_bound(sql: str) -> str:
       (the hole in the cross-join form: DuckDB prunes the guard branch
       once it proves __q empty).
 
-    Requires ``sql`` to start with ``WITH`` (all six call sites do; the
-    shadow CTE is spliced into the existing WITH list).  Pinned by
-    tests/test_extension2.py::test_ivf_oracle_guard_*."""
+    Requires ``sql`` to start with a plain ``WITH`` (all six call sites
+    do; the shadow CTE is spliced into the existing WITH list).  The
+    prefix check is a real raise, not an ``assert`` — ``python -O`` strips
+    asserts, which would silently splice a non-WITH oracle into malformed
+    SQL (ADVICE r15) — and ``WITH RECURSIVE`` is rejected explicitly: the
+    splice would strand the RECURSIVE keyword on the shadow CTE.  Pinned
+    by tests/test_extension2.py::test_ivf_oracle_guard_*."""
+    import re
+
     stripped = sql.lstrip()
-    assert stripped.upper().startswith("WITH "), "IVF oracle must start with WITH"
+    m = re.match(r"(?i)WITH(\s+RECURSIVE)?\s", stripped)
+    if m is None:
+        raise ValueError(
+            "_ivf_oracle_bound requires an oracle starting with WITH; got: "
+            + stripped[:40]
+        )
+    if m.group(1):
+        raise ValueError(
+            "_ivf_oracle_bound cannot splice into WITH RECURSIVE — hoist "
+            "the recursion into a non-recursive prefix or extend the guard"
+        )
     shadow = (
         f"WITH embeddings AS (SELECT * FROM main.embeddings WHERE "
         f"(SELECT CASE WHEN count(*) >= {IVF_ORACLE_MAX_ROWS} THEN error("
         f"'{_IVF_GUARD_MSG}') ELSE 0 END FROM main.embeddings) = 0), "
     )
-    guarded = shadow + stripped[5:]
+    guarded = shadow + stripped[m.end():]
     return (
         f"SELECT __q.* FROM ({guarded}) AS __q CROSS JOIN ("
         f"SELECT CASE WHEN (SELECT count(*) FROM main.embeddings)"

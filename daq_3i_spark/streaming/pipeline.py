@@ -117,27 +117,44 @@ def _status_bucket(col: Column) -> Column:
     return F.pmod(F.xxhash64(col.cast("string")), F.lit(STATUS_BUCKETS)).cast("int")
 
 
-def _status_bucket_dirs(
+#: Marker file inside a version dir declaring the version claims EVERY
+#: bucket — buckets without a ``__b=*`` subdir are claimed EMPTY, not left
+#: to older versions.  Written by the first upsert after a FLAT version so
+#: the flat dir is fully superseded in one step even when the merged
+#: snapshot's keys don't hash into all buckets (ADVICE r15: the
+#: partitionBy write creates no dir for a rowless bucket, so the flat dir
+#: kept claiming it and read_status re-read the flat dir WHOLE — unioning
+#: stale copies of rows already superseded in the bucketed layout).
+#: Underscore prefix keeps Spark's parquet reader from listing it.
+_FULL_MARKER = "_FULL_SNAPSHOT"
+
+
+def _bucket_claims(
     work_dir: str,
     before: int | None = None,
     buckets: set[int] | None = None,
-) -> list[str]:
-    """Newest on-disk directory PER HASH BUCKET across snapshot versions
-    (strictly below ``before`` if given), optionally restricted to a bucket
-    subset.  A version holds only the buckets its batch touched; the live
-    snapshot is the union of each bucket's newest copy.
+) -> dict[str, tuple[str, str | None]]:
+    """Newest claim PER HASH BUCKET across snapshot versions (strictly
+    below ``before`` if given), optionally restricted to a bucket subset:
+    ``"__b=N" -> (claiming version dir, readable path or None)``.  A
+    version holds only the buckets its batch touched; the live snapshot is
+    the union of each bucket's newest copy.
 
     A FLAT version dir (parquet files, no ``__b=*`` subdirs — the CLI's
     CREATE-TABLE empty init, where ``partitionBy`` on a zero-row frame
     writes no partitions; ADVICE r14) is a full snapshot: it claims every
-    bucket not superseded by a later bucketed write, so an initialized
-    table is readable (empty typed frame, the pre-r14 contract) and GC
-    pins it until fully superseded.  The first upsert after a flat version
-    merges it whole (its rows span all buckets) and rewrites them into the
-    bucketed layout, fully superseding it.  Output paths are deduped: a
-    flat dir claiming several buckets is read once."""
+    bucket not superseded by a later claim, so an initialized table is
+    readable (empty typed frame, the pre-r14 contract) and GC pins it
+    until fully superseded; its readable path is the version dir itself.
+
+    A version carrying the ``_FULL_SNAPSHOT`` marker also claims every
+    bucket, but a bucket without a ``__b=*`` subdir is claimed EMPTY
+    (``path=None``): it supersedes older copies yet contributes no rows.
+    GC must treat an empty claim as pinning its version — deleting a
+    marker version whose empty claim is a bucket's newest would resurrect
+    whatever older version claimed that bucket (ADVICE r15)."""
     d = _status_dir(work_dir)
-    best: dict[str, str] = {}
+    best: dict[str, tuple[str, str | None]] = {}
     for v in _status_versions(work_dir):  # ascending: later wins
         if before is not None and v >= before:
             continue
@@ -146,21 +163,41 @@ def _status_bucket_dirs(
             names = os.listdir(vd)
         except OSError:
             continue
-        bucket_dirs = [n for n in names if n.startswith("__b=")]
-        if not bucket_dirs:
-            if any(n.endswith(".parquet") for n in names):  # flat snapshot
-                for b in range(STATUS_BUCKETS):
-                    if buckets is None or b in buckets:
-                        best[f"__b={b}"] = vd
-            continue
-        for name in bucket_dirs:
-            if buckets is not None and int(name.split("=", 1)[1]) not in buckets:
-                continue
-            best[name] = os.path.join(vd, name)
+        bucket_dirs = {
+            int(n.split("=", 1)[1]): n for n in names if n.startswith("__b=")
+        }
+        full = _FULL_MARKER in names
+        flat = not bucket_dirs and any(n.endswith(".parquet") for n in names)
+        if full or flat:
+            for b in range(STATUS_BUCKETS):
+                if buckets is not None and b not in buckets:
+                    continue
+                if b in bucket_dirs:
+                    best[f"__b={b}"] = (vd, os.path.join(vd, bucket_dirs[b]))
+                else:
+                    # flat: the whole dir is the read path; full: empty claim
+                    best[f"__b={b}"] = (vd, vd if flat else None)
+        else:
+            for b, name in bucket_dirs.items():
+                if buckets is not None and b not in buckets:
+                    continue
+                best[f"__b={b}"] = (vd, os.path.join(vd, name))
+    return best
+
+
+def _status_bucket_dirs(
+    work_dir: str,
+    before: int | None = None,
+    buckets: set[int] | None = None,
+) -> list[str]:
+    """Readable paths of ``_bucket_claims`` (empty claims dropped), deduped
+    in bucket order: a flat dir claiming several buckets is read once."""
+    claims = _bucket_claims(work_dir, before=before, buckets=buckets)
     out: list[str] = []
-    for k in sorted(best):
-        if best[k] not in out:
-            out.append(best[k])
+    for k in sorted(claims):
+        _vd, path = claims[k]
+        if path is not None and path not in out:
+            out.append(path)
     return out
 
 
@@ -186,7 +223,19 @@ def upsert_status(spark: SparkSession, work_dir: str, updates: DataFrame, batch_
     pure function of (pre-batch snapshot, batch) — the merge reads only
     versions < batch_id — so a batch replay overwrites the same version:
     idempotent, exactly-once.  Pinned by tests/test_streaming.py::
-    test_upsert_status_rewrites_only_touched_buckets."""
+    test_upsert_status_rewrites_only_touched_buckets.
+
+    MIGRATION: when a FLAT version (CLI CREATE-TABLE init or legacy
+    layout) is live below ``batch_id``, the batch merges EVERY bucket (the
+    flat dir is read whole anyway — its rows span all buckets) and marks
+    its version ``_FULL_SNAPSHOT``, claiming even the buckets the merged
+    snapshot has no rows for.  Without the marker a rowless bucket got no
+    ``__b=*`` dir, the flat dir kept claiming it, and every later read
+    unioned the WHOLE stale flat snapshot next to the bucketed one
+    (ADVICE r15 split-brain); the marker supersedes the flat dir in one
+    step, which also un-pins a zero-row CREATE-TABLE v=0 from GC.  Replay
+    safety is untouched: a replay of ``batch_id`` reads strictly below it,
+    where the flat dir still claims its buckets."""
     updates = updates.select("parameter", "status", "ts")
     touched = {
         int(r["__b"])
@@ -194,21 +243,41 @@ def upsert_status(spark: SparkSession, work_dir: str, updates: DataFrame, batch_
             _status_bucket(F.col("parameter")).alias("__b")
         ).distinct().collect()  # key-cardinality-bounded: <= STATUS_BUCKETS rows
     }
-    prev_dirs = _status_bucket_dirs(work_dir, before=batch_id, buckets=touched)
+    prev_claims = _bucket_claims(work_dir, before=batch_id)
+    migrating = any(
+        path is not None and not os.path.basename(path).startswith("__b=")
+        for _vd, path in prev_claims.values()
+    )
+    if migrating:
+        # merge ALL live buckets so the marked version is the full snapshot
+        prev_dirs: list[str] = []
+        for k in sorted(prev_claims):
+            _vd, path = prev_claims[k]
+            if path is not None and path not in prev_dirs:
+                prev_dirs.append(path)
+    else:
+        prev_dirs = _status_bucket_dirs(work_dir, before=batch_id, buckets=touched)
     merged = (
         updates
         if not prev_dirs
         else spark.read.parquet(*prev_dirs).unionByName(updates)
     )
     snap = latest_per_key(merged, "parameter", [F.desc("ts")])
+    vd = os.path.join(_status_dir(work_dir), f"v={batch_id}")
     (
         snap.select("parameter", "status", "ts")
         .withColumn("__b", _status_bucket(F.col("parameter")))
-        .repartition(max(1, len(touched)), "__b")
+        .repartition(STATUS_BUCKETS if migrating else max(1, len(touched)), "__b")
         .write.partitionBy("__b")
         .mode("overwrite")
-        .parquet(os.path.join(_status_dir(work_dir), f"v={batch_id}"))
+        .parquet(vd)
     )
+    if migrating:
+        # marker lands before the checkpoint commit; a crash in between
+        # replays the batch, whose overwrite rewrites dir + marker — the
+        # torn no-marker state cannot outlive the replay
+        with open(os.path.join(vd, _FULL_MARKER), "w"):
+            pass
     _gc_status_versions(work_dir)
 
 
@@ -238,7 +307,12 @@ def _gc_status_versions(work_dir: str) -> None:
     as well keeps the replay input intact; the pre-head copies become
     collectable only once a LATER batch writes (which foreachBatch only
     does after the head's checkpoint commit).  Pinned by tests/
-    test_streaming.py::test_status_gc_preserves_replay_inputs."""
+    test_streaming.py::test_status_gc_preserves_replay_inputs.
+
+    Liveness comes from ``_bucket_claims`` version dirs, so an EMPTY claim
+    (a ``_FULL_SNAPSHOT`` version's rowless bucket) pins its version too:
+    deleting it would resurrect whatever older version claimed that
+    bucket (ADVICE r15)."""
     import shutil
 
     versions = _status_versions(work_dir)
@@ -246,14 +320,10 @@ def _gc_status_versions(work_dir: str) -> None:
         return
     d = _status_dir(work_dir)
 
-    def version_dir(p: str) -> str:
-        # bucket paths are .../v=N/__b=X; flat snapshot paths are .../v=N
-        return os.path.dirname(p) if os.path.basename(p).startswith("__b=") else p
-
-    live = {version_dir(p) for p in _status_bucket_dirs(work_dir)}
+    live = {vd for vd, _path in _bucket_claims(work_dir).values()}
     live |= {
-        version_dir(p)
-        for p in _status_bucket_dirs(work_dir, before=versions[-1])
+        vd
+        for vd, _path in _bucket_claims(work_dir, before=versions[-1]).values()
     }
     for v in versions[:-_STATUS_KEEP_VERSIONS]:
         vd = os.path.join(d, f"v={v}")

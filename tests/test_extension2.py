@@ -587,6 +587,43 @@ def test_ivf_oracle_guard_fires_on_empty_result_too():
     assert con3.execute(_ivf_oracle_bound(empty)).fetchall() == []
 
 
+def test_ivf_oracle_guard_rejects_unspliceable_prefixes():
+    """ADVICE r15 (low): the WITH-prefix precondition is a real ValueError,
+    not an ``assert`` — under ``python -O`` an assert is stripped and a
+    non-WITH oracle would be silently spliced into malformed SQL.  WITH
+    RECURSIVE is rejected explicitly (splicing the shadow CTE ahead of it
+    would strand the RECURSIVE keyword mid-list), and prefix matching
+    tolerates case and internal whitespace rather than requiring the exact
+    bytes ``"WITH "``."""
+    import duckdb
+    import pytest
+
+    from daq_3i_spark.plans.extension_ops2 import (
+        IVF_ORACLE_MAX_ROWS,
+        _ivf_oracle_bound,
+    )
+
+    with pytest.raises(ValueError, match="starting with WITH"):
+        _ivf_oracle_bound("SELECT 1 AS x")
+    with pytest.raises(ValueError, match="starting with WITH"):
+        _ivf_oracle_bound("WITHOUT en AS (SELECT 1) SELECT * FROM en")
+    with pytest.raises(ValueError, match="RECURSIVE"):
+        _ivf_oracle_bound(
+            "WITH RECURSIVE t AS (SELECT 1 AS x) SELECT * FROM t"
+        )
+    # case/whitespace-tolerant prefixes still splice into runnable SQL
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id "
+        f"FROM range({IVF_ORACLE_MAX_ROWS - 1})"
+    )
+    for inner in (
+        "with en AS (SELECT 1 AS x) SELECT * FROM en",
+        "WITH\n  en AS (SELECT 1 AS x) SELECT * FROM en",
+    ):
+        assert con.execute(_ivf_oracle_bound(inner)).fetchall() == [(1,)]
+
+
 def test_every_ivf_floor_oracle_carries_the_guard():
     """Each registered oracle whose Spark plan calls _ivf_cells must carry
     the validity guard — including op_sim_ivf_recall_eval, which inherits it

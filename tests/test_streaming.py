@@ -652,13 +652,196 @@ def test_status_flat_snapshot_migrates_wholesale_on_first_upsert(spark, tmp_path
     )
 
 
+def _keys_by_bucket(spark, n_cands: int = 256) -> dict[int, list[str]]:
+    """Candidate status keys grouped by their snapshot hash bucket."""
+    from daq_3i_spark.streaming.pipeline import _status_bucket
+
+    cands = spark.createDataFrame(
+        [(f"CHL: {j}",) for j in range(n_cands)], "parameter string"
+    )
+    out: dict[int, list[str]] = {}
+    for r in cands.select(
+        "parameter", _status_bucket(F.col("parameter")).alias("b")
+    ).collect():
+        out.setdefault(r["b"], []).append(r["parameter"])
+    for ks in out.values():
+        ks.sort()
+    return out
+
+
+def test_status_flat_partial_bucket_coverage_no_split_brain(spark, tmp_path):
+    """ADVICE r15 (medium): a nonempty FLAT version whose keys DON'T cover
+    every bucket must still be fully superseded by the first upsert.
+    Pre-fix, the migration write created ``__b=*`` dirs only for buckets
+    with rows, so the flat dir kept claiming the rowless buckets and
+    read_status re-read it WHOLE — unioning stale copies of keys already
+    superseded in the bucketed layout (duplicate parameters, stale ts).
+    The wholesale-migration test didn't catch it because its 100 keys
+    happened to cover all 16 buckets."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "flat_partial")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    by_bucket = _keys_by_bucket(spark)
+    # flat snapshot confined to TWO buckets — 14 buckets stay rowless
+    b0, b1 = sorted(by_bucket)[:2]
+    flat_keys = (by_bucket[b0] + by_bucket[b1])[:10]
+    assert len(flat_keys) == 10
+    v0 = os.path.join(work, "daq_status", "v=0")
+    spark.createDataFrame(
+        [(k, 1, t(0)) for k in flat_keys],
+        "parameter string, status int, ts timestamp",
+    ).coalesce(1).write.parquet(v0)  # FLAT: no __b=* dirs
+    assert not any(n.startswith("__b=") for n in os.listdir(v0))
+
+    upsert_status(
+        spark,
+        work,
+        spark.createDataFrame(
+            [(flat_keys[0], 1, t(1))], "parameter string, status int, ts timestamp"
+        ),
+        1,
+    )
+    rows = read_status(spark, work).collect()
+    params = [r["parameter"] for r in rows]
+    assert len(params) == len(set(params)), (
+        "split-brain: a read unioned the stale flat snapshot next to the "
+        "bucketed layout"
+    )
+    got = {r["parameter"]: r["ts"] for r in rows}
+    assert got == {k: (t(1) if k == flat_keys[0] else t(0)) for k in flat_keys}
+
+    # ADVICE r15 (low): the flat version must become GC-able even though
+    # its keys never covered every bucket
+    for i in (2, 3):
+        upsert_status(
+            spark,
+            work,
+            spark.createDataFrame(
+                [("daq-3i", 1, t(i))], "parameter string, status int, ts timestamp"
+            ),
+            i,
+        )
+    assert 0 not in _status_versions(work), (
+        "flat version pinned forever despite full supersession by the "
+        "_FULL_SNAPSHOT migration version"
+    )
+    got = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert got == {
+        **{k: (t(1) if k == flat_keys[0] else t(0)) for k in flat_keys},
+        "daq-3i": t(3),
+    }
+
+
+def test_create_table_flat_v0_gc_even_with_unhit_buckets(spark, tmp_path):
+    """ADVICE r15 (low), empty-init case: the CLI CREATE-TABLE zero-row
+    flat v=0 must not be pinned by GC forever when the live key set never
+    hashes into some bucket (41 keys over 16 buckets makes an unhit bucket
+    plausible).  The _FULL_SNAPSHOT migration version claims every bucket,
+    so v=0 is fully superseded regardless of key coverage."""
+    import datetime as dt
+
+    from daq_3i_spark import schemas
+    from daq_3i_spark.streaming.pipeline import (
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "empty_init")
+    spark.createDataFrame([], schemas.DAQ_STATUS).write.mode("overwrite").parquet(
+        os.path.join(work, "daq_status", "v=0")
+    )
+    # initialized table is readable as an empty typed frame (pre-r14 pin)
+    assert read_status(spark, work).count() == 0
+
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    by_bucket = _keys_by_bucket(spark)
+    one_key = by_bucket[sorted(by_bucket)[0]][0]  # single bucket hit, ever
+    for i in range(1, 4):
+        upsert_status(
+            spark,
+            work,
+            spark.createDataFrame(
+                [(one_key, 1, t(i))], "parameter string, status int, ts timestamp"
+            ),
+            i,
+        )
+    assert 0 not in _status_versions(work), (
+        "zero-row CREATE-TABLE flat v=0 pinned forever by unhit buckets"
+    )
+    got = {r["parameter"]: r["ts"] for r in read_status(spark, work).collect()}
+    assert got == {one_key: t(3)}
+
+
+def test_status_flat_migration_replayed_after_crash(spark, tmp_path):
+    """VERDICT r15 #5: crash between the wholesale-migration write and its
+    checkpoint commit, then replay.  The replay must still read the flat
+    dir as the full pre-batch snapshot (the ``before=batch_id`` view
+    excludes the just-written migration version AND its marker), and must
+    converge to the identical post-migration state — including when the
+    crash tore the write so the bucket dirs landed but the _FULL_SNAPSHOT
+    marker didn't (the marker is written after the parquet job)."""
+    import datetime as dt
+
+    from daq_3i_spark.streaming.pipeline import (
+        _FULL_MARKER,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "flat_crash")
+    t = lambda i: dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    by_bucket = _keys_by_bucket(spark)
+    b0, b1 = sorted(by_bucket)[:2]
+    flat_keys = (by_bucket[b0] + by_bucket[b1])[:10]
+    v0 = os.path.join(work, "daq_status", "v=0")
+    spark.createDataFrame(
+        [(k, 1, t(0)) for k in flat_keys],
+        "parameter string, status int, ts timestamp",
+    ).coalesce(1).write.parquet(v0)
+
+    head = spark.createDataFrame(
+        [(flat_keys[0], 1, t(1))], "parameter string, status int, ts timestamp"
+    )
+    expect = {k: (t(1) if k == flat_keys[0] else t(0)) for k in flat_keys}
+
+    # crash point A: full migration write landed, checkpoint never
+    # committed -> foreachBatch replays batch 1 verbatim
+    upsert_status(spark, work, head, 1)
+    upsert_status(spark, work, head, 1)
+    rows = read_status(spark, work).collect()
+    assert len(rows) == len({r["parameter"] for r in rows})
+    assert {r["parameter"]: r["ts"] for r in rows} == expect
+
+    # crash point B: the parquet job finished but the marker write didn't
+    # (torn migration) -> the replay's mode=overwrite rewrites dir+marker
+    v1 = os.path.join(work, "daq_status", "v=1")
+    os.remove(os.path.join(v1, _FULL_MARKER))
+    upsert_status(spark, work, head, 1)
+    assert os.path.exists(os.path.join(v1, _FULL_MARKER)), (
+        "replay did not restore the torn migration marker"
+    )
+    rows = read_status(spark, work).collect()
+    assert len(rows) == len({r["parameter"] for r in rows})
+    assert {r["parameter"]: r["ts"] for r in rows} == expect
+
+
 def test_status_bucket_dirs_property_matches_reference(tmp_path):
     """Pure-filesystem property check of ``_status_bucket_dirs`` (the
     liveness primitive that read_status, upsert_status's pre-batch merge,
     AND the GC pin set all stand on): against an independent per-bucket
     max-version reference, across random interleavings of bucketed
-    versions, a flat (CLI-init) version, and the ``before``/``buckets``
-    parameters.  No Spark needed — the function only lists directories."""
+    versions, a flat (CLI-init) version, a ``_FULL_SNAPSHOT``-marked
+    migration version (claims every bucket; rowless buckets claimed EMPTY
+    — superseding older copies without contributing a read path), and the
+    ``before``/``buckets`` parameters.  No Spark needed — the function only lists directories."""
     from hypothesis import given, settings, strategies as st
 
     from daq_3i_spark.streaming.pipeline import (
@@ -671,6 +854,10 @@ def test_status_bucket_dirs_property_matches_reference(tmp_path):
             st.just("flat"),
             st.sets(
                 st.integers(0, STATUS_BUCKETS - 1), min_size=1, max_size=5
+            ),
+            st.tuples(
+                st.just("full"),
+                st.sets(st.integers(0, STATUS_BUCKETS - 1), max_size=5),
             ),
         ),
         min_size=0,
@@ -698,22 +885,38 @@ def test_status_bucket_dirs_property_matches_reference(tmp_path):
                 os.makedirs(vd)
                 open(os.path.join(vd, "part-00000.parquet"), "w").close()
             else:
-                for b in spec:
+                marked = isinstance(spec, tuple)
+                present = spec[1] if marked else spec
+                os.makedirs(vd, exist_ok=True)
+                for b in present:
                     bd = os.path.join(vd, f"__b={b}")
                     os.makedirs(bd)
                     open(os.path.join(bd, "part-00000.parquet"), "w").close()
+                if marked:
+                    open(os.path.join(vd, "_FULL_SNAPSHOT"), "w").close()
 
-        # independent reference: newest claim per bucket, flat = all buckets
-        best: dict[int, str] = {}
+        # independent reference: newest claim per bucket; flat = all
+        # buckets read from the version dir; full-marked = all buckets,
+        # rowless ones claimed EMPTY (claim without a read path)
+        best: dict[int, str | None] = {}
         for v, spec in enumerate(versions):
             if before is not None and v >= before:
                 continue
             vd = os.path.join(d, f"v={v}")
-            claimed = range(STATUS_BUCKETS) if spec == "flat" else spec
+            marked = isinstance(spec, tuple)
+            present = set() if spec == "flat" else (spec[1] if marked else spec)
+            claimed = (
+                range(STATUS_BUCKETS) if spec == "flat" or marked else present
+            )
             for b in claimed:
                 if buckets is None or b in buckets:
-                    best[b] = vd if spec == "flat" else os.path.join(vd, f"__b={b}")
-        expect = sorted(set(best.values()))
+                    if spec == "flat":
+                        best[b] = vd
+                    elif b in present:
+                        best[b] = os.path.join(vd, f"__b={b}")
+                    else:
+                        best[b] = None  # empty claim: shadows, reads nothing
+        expect = sorted({p for p in best.values() if p is not None})
 
         got = _status_bucket_dirs(work, before=before, buckets=buckets)
         assert sorted(got) == expect
