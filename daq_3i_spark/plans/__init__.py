@@ -20,49 +20,48 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # EXECUTION changed this round so rewrites get fresh canonical rows, then
 # the stalest of the next cohort.
 #
-# Round 15 window: the 35 remaining r10-cohort ops hit the 4-round
+# Round 16 window: the 37 remaining r11-cohort ops hit the 4-round
 # staleness horizon and lead unconditionally (census source:
-# tools/check_counts.py --census at r14 close — the r14 window pre-drained
-# only 9 of the planned 13, so r15 has zero slack; VERDICT r14 #1).  Next,
-# one representative per code path whose EXECUTION or ORACLE changed in
-# r15: the seven IVF-floor ops whose ORACLE text gained the shadow-CTE
-# validity guard (op_sim_ivf_topk, op_sim_kmeans_assign,
-# op_sim_ivf_trained_topk, op_sim_ivfpq_topk, op_dedup_semantic,
-# op_sim_knn_graph, op_sim_ivf_recall_eval — every wrapped oracle, not one
-# rep, since the guard rewrites each oracle's SQL), plus the two ops that
-# EXECUTE the rewritten status-snapshot path (replay-safe GC + flat-init
-# fallback, streaming/pipeline.py): op_stream_pipeline and op_graceful_stop
-# (the latter doubling as an r11 pre-drain).  The remaining 6 slots
-# pre-drain the r11 cohort (44 ops, horizon at r16) with the timeseries
-# fill family — a coherent block whose local/driver divergence risk is
-# shared machinery.  35 + 7 + 2 + 6 = 50; r11 leaves 44-7=37 for r16
-# (13 slots of slack for r16 reps and r12/r14 pre-drain, per the
-# amortization plan in BENCH_NOTES.md r15).
+# tools/check_counts.py --census at r15 close; VERDICT r15 #1).  Next,
+# one representative per code path whose EXECUTION changed in r16: the
+# two ops that EXECUTE the rewritten status-snapshot machinery (the
+# _FULL_SNAPSHOT flat-migration fix, streaming/pipeline.py):
+# op_stream_pipeline and op_graceful_stop; plus op_sim_ivf_topk as
+# insurance for the IVF oracle-guard splice rewrite (the rendered oracle
+# SQL is byte-identical — every call site starts exactly "WITH <name>",
+# so the regex consumes the same 5-char prefix the old slice did — but
+# the splice code itself changed, so one wrapped oracle re-verifies).
+# The remaining 10 slots pre-drain per the amortization ledger
+# (BENCH_NOTES.md r15): 4 from the r14 cohort (one more than the
+# ledgered minimum of 3, easing r17/r18) and 6 from the r12 cohort.
+# 37 + 3 + 4 + 6 = 50; r12 leaves 47-6=41 for r17 and r14 leaves
+# 47-4=43 for the r17/r18 pre-drain plan.
 _CHECK_PRIORITY = [
-    # -- (1) the r10 cohort: hits the 4-round horizon, all 35 ---------------
-    "op_corpus_curriculum", "op_corpus_dsir_select", "op_corpus_dsir_weights",
-    "op_corpus_softdedup_weights", "op_corpus_split_safe",
-    "op_corpus_training_shards", "op_dedup_minhash_capped",
-    "op_dedup_ngram_capped", "op_embed_outliers", "op_events_ab_ci",
-    "op_events_concurrency", "op_events_forecast_naive",
-    "op_events_funnel_time", "op_events_markov", "op_events_srm",
-    "op_orders_abc_analysis", "op_quality_drift", "op_quality_profile",
-    "op_sim_centroid_drift", "op_sql_q12_lateships", "op_sql_q14_promo",
-    "op_sql_q15_topsupplier", "op_sql_q19_disjunction", "op_sql_q21_waiting",
-    "op_sql_q2_mincost", "op_sql_q6_forecast", "op_sql_setops_all",
-    "op_sql_window_range", "op_text_code_detect", "op_timeseries_autocorr",
-    "op_timeseries_changepoint", "op_timeseries_gap_census",
-    "op_timeseries_outlier_mad", "op_timeseries_seasonal_outlier",
-    "op_timeseries_trend",
-    # -- (2) r15 changed-path representatives -------------------------------
-    "op_sim_ivf_topk", "op_sim_kmeans_assign", "op_sim_ivf_trained_topk",
-    "op_sim_ivfpq_topk", "op_dedup_semantic", "op_sim_knn_graph",
-    "op_sim_ivf_recall_eval",
-    "op_stream_pipeline", "op_graceful_stop",
-    # -- (3) r11 pre-drain: the timeseries fill family (6) -------------------
-    "op_timeseries_interpolate", "op_timeseries_interpolate_bucketed",
-    "op_timeseries_interpolate_multiday", "op_timeseries_locf",
-    "op_timeseries_locf_bucketed", "op_timeseries_locf_multiday",
+    # -- (1) the r11 cohort: hits the 4-round horizon, all 37 ---------------
+    "op_contamination_check", "op_corpus_clean_pipeline",
+    "op_count_per_channel", "op_dedup_exact", "op_dedup_substring",
+    "op_dedup_threshold_sweep", "op_filter_enabled", "op_graph_triangles",
+    "op_join_channels_buses", "op_join_channels_conversions",
+    "op_join_data_channels", "op_join_interval_overlap",
+    "op_multimodal_resize", "op_oldest_n_per_channel", "op_pack_sequences",
+    "op_pack_sequences_bpe", "op_retention_topk", "op_scan_channel_data",
+    "op_scan_config_buses", "op_scan_config_channels",
+    "op_session_window_batch", "op_sim_pq_rerank_topk",
+    "op_sink_append_channel_data", "op_sink_delete_retention",
+    "op_sink_merge_upsert", "op_sink_upsert_status", "op_source_modbus_poll",
+    "op_sql_approx_sketches", "op_sql_histogram_quantile",
+    "op_sql_q17_smallqty", "op_sql_q20_dominant", "op_stream_anomaly_sketch",
+    "op_stream_corpus_ingest", "op_stream_latest_per_channel",
+    "op_stream_stale_monitor", "op_text_bpe_tokens", "op_text_scrub",
+    # -- (2) r16 changed-path representatives -------------------------------
+    "op_stream_pipeline", "op_graceful_stop", "op_sim_ivf_topk",
+    # -- (3) r14 pre-drain (4: ledgered minimum 3 + 1) -----------------------
+    "op_anomaly_rank", "op_corpus_domain_mix", "op_dedup_cluster_keep",
+    "op_dedup_containment",
+    # -- (4) r12 pre-drain (6) ----------------------------------------------
+    "op_anomaly_rank_bucketed", "op_asof_join", "op_convert_expr",
+    "op_corpus_budget_sample", "op_corpus_dedup_sample",
+    "op_corpus_minhash_eval",
 ]
 
 
