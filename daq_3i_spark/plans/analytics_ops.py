@@ -2459,17 +2459,28 @@ def op_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned once at execution, not an extra time at construction
     n = op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_p"))
-    a, b = op.alias("a"), op.alias("b")
+    # pair generation by grouped-array expansion, not a basket self-join
+    # (r16, alternating in-session A/B: median 1.88→1.51 s at sf0.1,
+    # 3.38→3.19 s at sf1, identical top-50): one groupBy(l_orderkey)
+    # collects each basket as a sorted array and posexplode+slice expands
+    # the i<j pairs in codegen; the self-join's second exchange +
+    # SortMergeJoin over data-sized op disappears while Σ basket² pair
+    # work is unchanged (collect_set dedups within the basket exactly as
+    # the distinct projection did).  NOT applied to oriented_edges: there
+    # the pair stage feeds a pair-keyed .distinct(), and the same swap
+    # measured SLOWER at both scales (4.48→7.78 s sf0.1, 13.3→15.1 s sf1)
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     pr = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(F.posexplode("ps").alias("i", "part_a"), F.col("ps"))
+        .select(
+            "part_a",
+            F.explode(
+                F.slice(F.col("ps"), F.col("i") + F.lit(2), F.size("ps"))
+            ).alias("part_b"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
@@ -3398,6 +3409,15 @@ def oriented_edges(li: DataFrame) -> DataFrame:
     near-linear even when one viral part touches 30% of baskets, where id
     orientation would square the hot key's degree.  Exposed as a helper so
     the skew test can measure the plan's wedge count directly.
+
+    Pair generation stays the basket SELF-JOIN here, deliberately: the
+    grouped-array expansion that wins in op_orders_market_basket measured
+    SLOWER for this op at both probed scales (r16 alternating in-session
+    A/B, medians: 4.48→7.78 s at sf0.1, 13.3→15.1 s at sf1) — here the
+    pair stage feeds a pair-keyed .distinct(), so the join's sorted,
+    order-partitioned output feeds the dedup exchange more cheaply than
+    two stacked generators that also break whole-stage codegen.  Same
+    measured-only rule as the market-basket swap, opposite verdict.
     """
     bp = li.select("l_orderkey", "l_partkey").distinct()
     a, b = bp.alias("a"), bp.alias("b")
