@@ -31,6 +31,9 @@ import daq_3i_spark.plans.analytics_ops  # noqa: F401,E402
 # SQL is byte-identical — every call site starts exactly "WITH <name>",
 # so the regex consumes the same 5-char prefix the old slice did — but
 # the splice code itself changed, so one wrapped oracle re-verifies).
+# op_orders_market_basket's EXECUTION changed late in r16 (grouped-array
+# pair generation); it is r14-cohort, so it takes one of the r14
+# pre-drain slots — changed-path rep and cohort drain in one entry.
 # The remaining 10 slots pre-drain per the amortization ledger
 # (BENCH_NOTES.md r15): 4 from the r14 cohort (one more than the
 # ledgered minimum of 3, easing r17/r18) and 6 from the r12 cohort.
@@ -55,9 +58,10 @@ _CHECK_PRIORITY = [
     "op_stream_stale_monitor", "op_text_bpe_tokens", "op_text_scrub",
     # -- (2) r16 changed-path representatives -------------------------------
     "op_stream_pipeline", "op_graceful_stop", "op_sim_ivf_topk",
-    # -- (3) r14 pre-drain (4: ledgered minimum 3 + 1) -----------------------
-    "op_anomaly_rank", "op_corpus_domain_mix", "op_dedup_cluster_keep",
-    "op_dedup_containment",
+    # -- (3) r14 pre-drain (4: ledgered minimum 3 + 1; market basket is
+    #        also the r16 changed-execution rep for its rewrite) -----------
+    "op_orders_market_basket", "op_corpus_domain_mix",
+    "op_dedup_cluster_keep", "op_dedup_containment",
     # -- (4) r12 pre-drain (6) ----------------------------------------------
     "op_anomaly_rank_bucketed", "op_asof_join", "op_convert_expr",
     "op_corpus_budget_sample", "op_corpus_dedup_sample",
