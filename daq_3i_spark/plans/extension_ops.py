@@ -378,6 +378,17 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across the self-join); measured ~30% off the op at sf0.1
     sh = shared(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # pair generation stays the posting SELF-JOIN, deliberately (r16): the
+    # grouped-array generator that wins in op_orders_market_basket was
+    # A/B'd here and REJECTED on the multi-point curve — sf0.1 wash (the
+    # shared() cache already makes the second join exchange a
+    # ReusedExchange), x0.58 at 10 copies, but x1.15 WORSE at 50 copies
+    # with an INCREASING slope (0.12->0.23->0.33 s/copy vs this shape's
+    # flat 0.10): collect_set over the (lang, shingle) key space degrades
+    # at high group cardinality (vocab x copies groups; sort-based
+    # ObjectHashAggregate fallback, and a raised fallback threshold
+    # measured worse still).  The generator wins only where the group-key
+    # cardinality is data-bounded (orders); posting vocabularies are not.
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -559,6 +570,8 @@ def containment_pairs(docs: DataFrame, tau: float = _CONTAIN_TAU) -> DataFrame:
         .distinct()
     )  # three consumers (both self-join sides + sizes); HOF hashing runs once
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # posting SELF-JOIN kept — same r16 curve-probe rejection of the
+    # grouped-array generator as op_dedup_ngram_jaccard (see its comment)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
