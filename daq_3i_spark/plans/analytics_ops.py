@@ -2466,9 +2466,15 @@ def op_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the i<j pairs in codegen; the self-join's second exchange +
     # SortMergeJoin over data-sized op disappears while Σ basket² pair
     # work is unchanged (collect_set dedups within the basket exactly as
-    # the distinct projection did).  NOT applied to oriented_edges: there
-    # the pair stage feeds a pair-keyed .distinct(), and the same swap
-    # measured SLOWER at both scales (4.48→7.78 s sf0.1, 13.3→15.1 s sf1)
+    # the distinct projection did).  Curve-checked against the posting-
+    # family rejection (SCALE.md r16): on replicated lineitem the swap
+    # HOLDS — ×0.95 at 10×, ×0.85 at 50× (8.72 vs 10.27 s), both slopes
+    # flat (0.113 vs 0.146 s/copy at 10→50) — because the self-join
+    # baseline here pays an UNCACHED second data-sized exchange, which
+    # grows as fast as the aggregate does.  NOT applied to oriented_edges:
+    # there the pair stage feeds a pair-keyed .distinct(), and the same
+    # swap measured SLOWER at both scales (4.48→7.78 s sf0.1,
+    # 13.3→15.1 s sf1)
     baskets = op.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
