@@ -54,3 +54,40 @@ def test_scaling_guard_fails_on_super_linear_regression():
     new_op = dict(clean, op_c={"sf0.1": 1.0, "sf1": 3.0, "ratio": 3.0})
     fails, notes = sg.check(baseline, new_op)
     assert fails == [] and len(notes) == 1 and "no pinned baseline" in notes[0]
+
+
+def test_plan_window_mechanics():
+    """--plan assembles the rotation window from the census: the whole
+    oldest cohort leads, reps follow, pre-drain fills alphabetically, and
+    overflow / unknown names / over-asked cohorts fail loudly (hand-listing
+    50 names per round was the error-prone step; VERDICT r15 #1)."""
+    import pytest
+
+    import check_counts
+
+    latest = check_counts.staleness_census()
+    by_round = {}
+    for name, rnd in latest.items():
+        by_round.setdefault(rnd, []).append(name)
+    oldest = min(r for r in by_round if r is not None)
+    lead = sorted(by_round[oldest])
+
+    window, notes = check_counts.plan_window([], {})
+    assert window[: len(lead)] == lead  # entire oldest cohort, in order
+    assert len(window) == len(set(window))  # no duplicates
+    assert any(f"lead cohort r{oldest}" in n for n in notes)
+
+    # a rep from the lead cohort is not double-counted
+    rep = lead[0]
+    window, _ = check_counts.plan_window([rep], {})
+    assert window.count(rep) == 1 and len(window) == len(lead)
+
+    with pytest.raises(ValueError, match="not in the registry"):
+        check_counts.plan_window(["op_no_such_op"], {})
+
+    # asking a cohort for more ops than it has fails loudly
+    some_round = next(
+        r for r in sorted(by_round) if r is not None and r != oldest
+    )
+    with pytest.raises(ValueError, match="unwindowed ops remain"):
+        check_counts.plan_window([], {some_round: 10_000})

@@ -7,6 +7,16 @@ documented number disagrees.  Run standalone or via tests/test_counts.py
 (part of the default pytest run).
 
     python tools/check_counts.py
+    python tools/check_counts.py --census
+    python tools/check_counts.py --plan --reps op_a op_b --predrain r14:3 r12:6
+
+``--plan`` assembles the next round's ``_CHECK_PRIORITY`` window
+mechanically (hand-listing 50 names each round is the error-prone step
+VERDICT r15 #1 warns about): the entire oldest cohort leads, then the
+``--reps`` changed-path representatives, then ``--predrain rN:K`` slots
+filled alphabetically from each named cohort; fails loudly if the lead
+cohort alone overflows the 50-slot window or any name is unknown.
+Output is a paste-ready Python list literal.
 """
 
 from __future__ import annotations
@@ -110,12 +120,102 @@ def print_census() -> None:
             print("      " + ", ".join(ops[i : i + 4]))
 
 
+#: Driver correctness sweep covers the first this-many queries() entries.
+WINDOW_SLOTS = 50
+
+
+def plan_window(
+    reps: list[str], predrain: dict[int, int]
+) -> tuple[list[str], list[str]]:
+    """Assemble the next check window: (window, notes).
+
+    Lead with the ENTIRE oldest cohort (the ops hitting the staleness
+    horizon — skipping any also named in ``reps``), then the changed-path
+    reps, then ``predrain[round] = count`` slots taken alphabetically from
+    each named cohort.  Raises on unknown names, overflow, or a predrain
+    round with fewer ops than requested."""
+    latest = staleness_census()
+    unknown = [n for n in reps if n not in latest]
+    if unknown:
+        raise ValueError(f"--reps names not in the registry: {unknown}")
+    by_round: dict[int, list[str]] = {}
+    for name, rnd in latest.items():
+        if rnd is not None:
+            by_round.setdefault(rnd, []).append(name)
+    never = sorted(n for n, r in latest.items() if r is None)
+
+    window: list[str] = []
+    notes: list[str] = []
+    # never-checked ops are staler than any cohort
+    for n in never:
+        if n not in window:
+            window.append(n)
+    if never:
+        notes.append(f"never-checked: {len(never)}")
+    oldest = min(by_round)
+    lead = sorted(n for n in by_round[oldest] if n not in reps)
+    window += [n for n in lead if n not in window]
+    notes.append(f"lead cohort r{oldest}: {len(lead)} (+{len(by_round[oldest]) - len(lead)} via reps)")
+    if len(window) + len(reps) > WINDOW_SLOTS:
+        raise ValueError(
+            f"lead cohort r{oldest} ({len(lead)}) + reps ({len(reps)}) "
+            f"overflow the {WINDOW_SLOTS}-slot window — split the cohort "
+            "across rounds explicitly"
+        )
+    window += [n for n in reps if n not in window]
+    if reps:
+        notes.append(f"changed-path reps: {len(reps)}")
+    for rnd in sorted(predrain):
+        want = predrain[rnd]
+        pool = sorted(n for n in by_round.get(rnd, []) if n not in window)
+        if len(pool) < want:
+            raise ValueError(
+                f"--predrain r{rnd}:{want} but only {len(pool)} "
+                "unwindowed ops remain in that cohort"
+            )
+        take = pool[:want]
+        if len(window) + len(take) > WINDOW_SLOTS:
+            raise ValueError(
+                f"--predrain r{rnd}:{want} overflows the "
+                f"{WINDOW_SLOTS}-slot window at {len(window)} filled"
+            )
+        window += take
+        notes.append(f"pre-drain r{rnd}: {want} (cohort -> {len(pool) - want})")
+    notes.append(f"window: {len(window)}/{WINDOW_SLOTS} slots")
+    return window, notes
+
+
+def print_plan(argv: list[str]) -> None:
+    reps: list[str] = []
+    predrain: dict[int, int] = {}
+    it = iter(argv)
+    for a in it:
+        if a == "--reps":
+            continue
+        if a == "--predrain":
+            continue
+        m = re.fullmatch(r"r(\d+):(\d+)", a)
+        if m:
+            predrain[int(m.group(1))] = int(m.group(2))
+        elif a.startswith("op_") or a == "flagship_pipeline":
+            reps.append(a)
+    window, notes = plan_window(reps, predrain)
+    for n in notes:
+        print("#", n)
+    print("_CHECK_PRIORITY = [")
+    for name in window:
+        print(f'    "{name}",')
+    print("]")
+
+
 def main() -> int:
     total, oracled = registry_counts()
     errors = check()
     print(f"registry: {total} entries, {oracled} oracled")
     if "--census" in sys.argv:
         print_census()
+    if "--plan" in sys.argv:
+        print_plan(sys.argv[sys.argv.index("--plan") + 1 :])
     for e in errors:
         print("DRIFT:", e)
     return 1 if errors else 0
