@@ -16,6 +16,14 @@ adjudication.
 
     python tools/probe_scale_curve.py op_sample_stratified op_dedup_simhash
     python tools/probe_scale_curve.py --copies 10,20,50 op_sample_stratified
+    python tools/probe_scale_curve.py --table lineitem op_orders_market_basket
+
+``--table lineitem`` replicates lineitem instead (l_orderkey shifted per
+copy, every other table copied once from sf0.1), for per-ORDER-blocked
+ops — the r16 market-basket curve.  CAVEAT: FK-joining ops (the op_sql_q*
+family) see a k-fold fan-out per order/customer under this replication,
+which is a skew stress, not a corpus-growth model — adjudicate those
+curves accordingly or prefer the sf0.1->sf1 pin (tools/scaling_pass.py).
 """
 
 from __future__ import annotations
@@ -95,10 +103,44 @@ def make_corpus(copies: int) -> str:
     return dst
 
 
+def make_lineitem_corpus(copies: int) -> str:
+    """lineitem at ``copies`` x sf0.1 (l_orderkey + k*base — per-copy
+    baskets preserved, order-key cardinality grows k-fold), all other
+    tables copied once.  Basket-blocked pair work grows linearly; see the
+    module docstring's FK-fan-out caveat for join-family ops."""
+    import shutil
+
+    import duckdb
+
+    dst = os.path.join(ROOT, ".tmp", f"li_x{copies}")
+    marker = os.path.join(dst, "_DONE_v1")
+    if os.path.exists(marker):
+        return dst
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    src = f"{SRC}/lineitem.parquet"
+    b = ceil_base(con.sql(f"SELECT max(l_orderkey) FROM '{src}'").fetchone()[0])
+    cols = [c[0] for c in con.sql(f"describe select * from '{src}'").fetchall()]
+    rest = ", ".join(c for c in cols if c != "l_orderkey")
+    con.sql(
+        f"""COPY (SELECT l_orderkey + k * {b} AS l_orderkey, {rest}
+                 FROM '{src}', generate_series(0, {copies - 1}) g(k))
+            TO '{dst}/lineitem.parquet'"""
+    )
+    for name in os.listdir(SRC):
+        if name.endswith(".parquet") and name != "lineitem.parquet":
+            shutil.copy(os.path.join(SRC, name), os.path.join(dst, name))
+    open(marker, "w").close()
+    return dst
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("ops", nargs="+")
     ap.add_argument("--copies", default="10,20,50")
+    ap.add_argument("--table", choices=["documents", "lineitem"], default="documents")
     args = ap.parse_args()
     copy_points = [int(c) for c in args.copies.split(",")]
 
@@ -119,10 +161,12 @@ def main() -> None:
         release_shared()
         return dt
 
+    build = make_corpus if args.table == "documents" else make_lineitem_corpus
+    prefix = "docs" if args.table == "documents" else "li"
     dirs = {1: SRC}
     for k in copy_points:
-        dirs[k] = make_corpus(k)
-        print(f"built docs_x{k}", flush=True)
+        dirs[k] = build(k)
+        print(f"built {prefix}_x{k}", flush=True)
 
     out: dict[str, dict] = {}
     for name in args.ops:
