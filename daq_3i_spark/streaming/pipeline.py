@@ -203,10 +203,24 @@ def _status_bucket_dirs(
 
 def read_status(spark: SparkSession, work_dir: str) -> DataFrame | None:
     """The current daq_status snapshot (newest copy of every bucket), or
-    None before the first upsert."""
+    None before the first upsert.
+
+    An existing-but-empty table reads as the empty TYPED frame, never
+    None (the CREATE-TABLE contract): claims whose every readable path is
+    an empty claim (a ``_FULL_SNAPSHOT`` version written by a zero-row
+    upsert over a flat init — ``partitionBy`` on a zero-row frame writes
+    no bucket dirs, so nothing is readable) still mean the table EXISTS.
+    Unreachable through persist_batch (the heartbeat row is
+    unconditional), but the direct-API corner should not flip the
+    contract to None."""
+    claims = _bucket_claims(work_dir)
+    if not claims:
+        return None
     dirs = _status_bucket_dirs(work_dir)
     if not dirs:
-        return None
+        from daq_3i_spark import schemas
+
+        return spark.createDataFrame([], schemas.DAQ_STATUS)
     return spark.read.parquet(*dirs)
 
 

@@ -1897,3 +1897,31 @@ def test_purge_dead_worker_caches(monkeypatch, tmp_path):
     assert not dead.exists()
     assert not recycled.exists()
     assert plain.exists()
+
+def test_read_status_empty_table_never_flips_to_none(spark, tmp_path):
+    """Direct-API corner of the _FULL_SNAPSHOT migration (r16): a ZERO-ROW
+    upsert over a flat CREATE-TABLE init writes a marker version with no
+    bucket dirs (partitionBy on a zero-row frame writes nothing readable);
+    once GC collects the flat v=0, every claim is an empty claim.  The
+    table still EXISTS — read_status must return the empty typed frame,
+    not None (the CREATE-TABLE contract).  Unreachable via persist_batch
+    (the heartbeat row is unconditional); pinned for direct API use."""
+    from daq_3i_spark import schemas
+    from daq_3i_spark.streaming.pipeline import (
+        _status_versions,
+        read_status,
+        upsert_status,
+    )
+
+    work = str(tmp_path / "zero_row_upserts")
+    spark.createDataFrame([], schemas.DAQ_STATUS).write.mode("overwrite").parquet(
+        os.path.join(work, "daq_status", "v=0")
+    )
+    empty = spark.createDataFrame([], schemas.DAQ_STATUS)
+    for i in range(1, 4):  # push flat v=0 past the keep-2 tail
+        upsert_status(spark, work, empty, i)
+    assert 0 not in _status_versions(work), "flat v=0 should be collected"
+    got = read_status(spark, work)
+    assert got is not None, "existing-but-empty table read as None"
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["parameter", "status", "ts"]
