@@ -335,6 +335,19 @@ def gc_unreferenced(
         ]
         if not left:
             fs.delete(_jpath(jvm, path, pdir), True)
+    # stale manifest temps: a crash between commit_manifest's create and
+    # rename strands `.tmp-<token>-vNNNNN.json` in _manifests forever (the
+    # rename is the only consumer).  Age-gated like data files — a YOUNG
+    # temp may be a concurrent writer mid-commit; a dead predecessor's is
+    # garbage (its content is re-derived by the re-run pass).
+    for st in _ls(fs, jvm, path, _MANIFEST_DIR):
+        name = st.getPath().getName()
+        if not name.startswith(".tmp-"):
+            continue
+        if min_age_sec > 0 and now_ms - st.getModificationTime() < min_age_sec * 1000.0:
+            continue
+        fs.delete(st.getPath(), False)
+        removed.append(f"{_MANIFEST_DIR}/{name}")
     return removed
 
 

@@ -700,3 +700,33 @@ def test_ansi_dialect_statements_are_the_derby_live_path():
     assert status_insert_sql("ansi") == (
         'INSERT INTO daq_status ("parameter", "status", "ts") VALUES (?, ?, ?)'
     )
+
+
+def test_gc_sweeps_stranded_manifest_temps_age_gated(spark, sf_dir, tmp_path):
+    """A crash between commit_manifest's temp write and its rename strands
+    `.tmp-<token>-vNNNNN.json` in _manifests; nothing else ever touches it
+    (r16).  GC must sweep it under the same age gate as data files: a
+    YOUNG temp may belong to a concurrent writer mid-commit and survives,
+    a dead predecessor's is collected."""
+    import os
+
+    path = str(tmp_path / "sink")
+    _build_fragmented(spark, sf_dir, path)
+    snapshot_manifest(spark, path)
+
+    tmp_name = ".tmp-deadbeef-v00002.json"
+    tmp_path_full = os.path.join(path, "_manifests", tmp_name)
+    with open(tmp_path_full, "w") as fh:
+        fh.write("{}")
+
+    # age-gated: a fresh temp is a possibly-live concurrent commit
+    removed = gc_unreferenced(spark, path, min_age_sec=3600)
+    assert f"_manifests/{tmp_name}" not in removed
+    assert os.path.exists(tmp_path_full)
+
+    # immediate single-writer recovery collects it
+    removed = gc_unreferenced(spark, path)
+    assert f"_manifests/{tmp_name}" in removed
+    assert not os.path.exists(tmp_path_full)
+    # the committed manifest itself is untouched
+    assert latest_manifest(spark, path) is not None
