@@ -299,3 +299,24 @@ def test_running_sum_on_grouped_cumsum_kernel(spark, sf_dir):
     assert specs, "offset rollup window missing"
     bad = [s for s in specs if "l_suppkey" in s and "__rank_pid" not in s]
     assert not bad, f"single-task-per-supplier window in plan: {bad}"
+
+
+def test_market_basket_pairs_are_generated_not_self_joined(spark, sf_dir):
+    """r16 rewrite pin: market-basket pair generation is the grouped-array
+    expansion — ONE l_orderkey exchange feeding posexplode/slice
+    generators — not a basket self-join (which paid a second data-sized
+    exchange + SortMergeJoin; A/B x0.80 at sf0.1, curve-checked flat to
+    50x lineitem, SCALE.md r16).  Pin both halves: at least two Generate
+    nodes (the i<j expansion) and ZERO SortMergeJoin anywhere at test
+    scale (the part-frequency dims stay broadcast; a SMJ reappearing
+    means either the generator regressed to a join or a dim lost its
+    broadcast)."""
+    from daq_3i_spark.plans import QUERIES
+
+    df = QUERIES["op_orders_market_basket"].spark(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count("Generate") >= 2, "grouped-array pair expansion missing"
+    assert "SortMergeJoin" not in plan
