@@ -68,26 +68,27 @@ def test_plan_window_mechanics():
     latest = check_counts.staleness_census()
     by_round = {}
     for name, rnd in latest.items():
-        by_round.setdefault(rnd, []).append(name)
-    oldest = min(r for r in by_round if r is not None)
+        if rnd is not None:  # a renamed op maps to None; plan_window leads with those
+            by_round.setdefault(rnd, []).append(name)
+    oldest = min(by_round)
     lead = sorted(by_round[oldest])
 
+    n_never = sum(1 for r in latest.values() if r is None)
     window, notes = check_counts.plan_window([], {})
-    assert window[: len(lead)] == lead  # entire oldest cohort, in order
+    # never-checked (renamed) ops lead, then the entire oldest cohort in order
+    assert window[n_never : n_never + len(lead)] == lead
     assert len(window) == len(set(window))  # no duplicates
     assert any(f"lead cohort r{oldest}" in n for n in notes)
 
     # a rep from the lead cohort is not double-counted
     rep = lead[0]
     window, _ = check_counts.plan_window([rep], {})
-    assert window.count(rep) == 1 and len(window) == len(lead)
+    assert window.count(rep) == 1 and len(window) == n_never + len(lead)
 
     with pytest.raises(ValueError, match="not in the registry"):
         check_counts.plan_window(["op_no_such_op"], {})
 
     # asking a cohort for more ops than it has fails loudly
-    some_round = next(
-        r for r in sorted(by_round) if r is not None and r != oldest
-    )
+    some_round = next(r for r in sorted(by_round) if r != oldest)
     with pytest.raises(ValueError, match="unwindowed ops remain"):
         check_counts.plan_window([], {some_round: 10_000})
