@@ -15,9 +15,11 @@ Both phases are pure DataFrame ops shuffled on the node id:
   node u connect its smaller neighbors (and u itself) to their minimum.
 
 Every emitted edge (a, b) keeps a < b, so the edge set stays canonical and
-convergence is a set-equality check.  At 100 TB each round is two
-shuffle-on-key aggregates over the (shrinking) edge list; lineage is cut
-per round with localCheckpoint (reliable checkpoint / Delta on a cluster).
+convergence is a star-forest test on each round's output (one aggregate —
+see :func:`_is_star_forest`).  At 100 TB each round is two shuffle-on-key
+aggregates over the (shrinking) edge list, with the shuffle width derived
+from the materialized edge count; lineage is cut per round with
+localCheckpoint (reliable checkpoint / Delta on a cluster).
 """
 
 from __future__ import annotations
@@ -59,6 +61,32 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.unionByName(self_edge).distinct()
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the canonical (u < v) edge set is a min-rooted star forest —
+    the contraction's terminal state, checked directly on a round's OUTPUT.
+
+    A canonical edge set is a star forest exactly when (a) every node is a
+    leaf of at most one edge (each ``v`` distinct) and (b) no center is also
+    a leaf (``u`` never appears as a ``v``): each node then has one parent,
+    parents are parentless, so components are depth-1 stars, and u < v per
+    edge makes each center its component minimum.  Both star phases map such
+    a set to itself (large-star: m(center)=center re-emits (center, leaf);
+    small-star: each leaf's only smaller neighbor is its center), so this is
+    the same fixed point the former new==e set-equality detected — one round
+    later, by re-running the pass just to observe no change.  ONE aggregate
+    job over the (already contracted, star-list-sized) edge set."""
+    occ = e.select(F.col("v").alias("n"), F.lit(1).alias("leaf")).unionByName(
+        e.select(F.col("u").alias("n"), F.lit(0).alias("leaf"))
+    )
+    bad = (
+        occ.groupBy("n")
+        .agg(F.sum("leaf").alias("nv"), F.count("*").alias("deg"))
+        # nv > 1: node is a leaf twice; 0 < nv < deg: node is leaf AND center
+        .filter((F.col("nv") > 1) | ((F.col("nv") > 0) & (F.col("nv") < F.col("deg"))))
+    )
+    return bad.isEmpty()
+
+
 def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) edge pairs -> (doc_id, component) with component = the
     minimum doc_id reachable in the undirected graph.
@@ -75,16 +103,26 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # scale-adaptive width for the loop's many small shuffles: the edge list
+    # is known (just materialized), so size partitions from it instead of
+    # inheriting the session constant — ~4M canonical edges (two longs) per
+    # partition lands in the guide's 100 MB-1 GB window, the dedup pair
+    # graph at toy scale collapses to single-task rounds, and a 100 TB pair
+    # graph still fans out past any core count.  Restored after the loop.
+    n_edges = e.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(1, n_edges // 4_000_000))
+    )
     converged = False
-    for _ in range(_MAX_ROUNDS):
-        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # canonical edge sets -> set equality == symmetric difference empty;
-        # both sides are tiny star lists by the time this matters
-        if new.exceptAll(e).unionByName(e.exceptAll(new)).isEmpty():
-            e = new
-            converged = True
-            break
-        e = new
+    try:
+        for _ in range(_MAX_ROUNDS):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            if _is_star_forest(e):
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         # a partially-contracted edge list yields WRONG component labels
         # (members of one component split across non-minimal labels) with

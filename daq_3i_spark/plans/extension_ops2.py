@@ -104,20 +104,11 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.operators.graph import star_components
 
     # materialize the pair list ONCE (the contraction loop would otherwise
-    # re-run the whole MinHash plan every round)
+    # re-run the whole MinHash plan every round); the loop's shuffle width
+    # is edge-count-adaptive inside star_components itself (r17)
     pairs = op_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
-    # the contraction loop is many tiny shuffles; a default-200 partition
-    # count pays scheduler overhead per round for kB of data.  Pin the
-    # loop's shuffles to the core count, restore after.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
-    try:
-        labels = star_components(spark, pairs)
-        pairs.unpersist()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    labels = star_components(spark, pairs)
+    pairs.unpersist()
     return labels
 
 

@@ -72,6 +72,43 @@ def test_star_components_nonconvergence_raises(spark, monkeypatch):
         graph.star_components(spark, pairs).collect()
 
 
+def test_is_star_forest_classifier(spark):
+    """The r17 convergence check: _is_star_forest must accept exactly the
+    min-rooted star forests (the contraction's terminal state) and reject
+    every non-terminal canonical edge set — a false positive here would end
+    the loop early with WRONG component labels."""
+    from daq_3i_spark.operators.graph import _is_star_forest
+
+    def ef(rows):
+        return spark.createDataFrame(rows, "u long, v long")
+
+    # terminal states: stars centered at the component min (+ empty set)
+    assert _is_star_forest(ef([]).filter("u > 0"))
+    assert _is_star_forest(ef([(1, 2), (1, 3), (7, 9)]))
+    # chain: 2 is both a leaf (of 1) and a center (of 3)
+    assert not _is_star_forest(ef([(1, 2), (2, 3)]))
+    # shared leaf: 3 is a leaf of two centers (non-star wedge 1-3-2)
+    assert not _is_star_forest(ef([(1, 3), (2, 3)]))
+
+
+def test_star_loop_output_is_star_forest(spark):
+    """A converged run's labels equal the star-forest edge set directly —
+    the equivalence the one-aggregate check relies on (old set-equality
+    check and new star-forest check must terminate on the same edge set)."""
+    import daq_3i_spark.operators.graph as graph
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101), (103, 101)],
+        "doc_a long, doc_b long",
+    )
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in graph.star_components(spark, pairs).collect()
+    }
+    assert {labels[i] for i in range(41)} == {0}
+    assert labels[100] == labels[101] == labels[103] == 100
+
+
 def test_star_components_forest(spark):
     """Multiple components + isolated-node contract (absent from output)."""
     from daq_3i_spark.operators.graph import star_components
