@@ -708,19 +708,26 @@ def op_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[pos(j, F.col("o_orderkey")) for j in range(_BLOOM_K)])
         ).alias("p")
-    ).distinct()
-    bitmap = posd.agg(
-        F.aggregate(
-            F.collect_list("p"),
-            F.array_repeat(F.lit(0).cast("long"), nlongs),
-            lambda acc, p: F.transform(
-                acc,
-                lambda x, i: F.when(
-                    i == (p / 64).cast("int"),
-                    x.bitwiseOR(
-                        F.element_at(pow2, (p % 64).cast("int") + 1)
-                    ),
-                ).otherwise(x),
+    )
+    # fold the bit positions into the bitmap DISTRIBUTED-first (r17): a
+    # map-side-combined bit_or per 64-bit word (bit-OR is idempotent, so no
+    # distinct pass is needed), then assemble the <= nlongs word rows into
+    # the array via one map lookup.  The pre-r17 shape collect_list'ed EVERY
+    # position into one row and rebuilt the whole accumulator array per
+    # element — O(positions x nlongs) single-task work, and a one-task
+    # positions-sized array at 100 TB; this shape's single-row step sees
+    # only word-cardinality (<= nlongs) rows whatever the build side holds.
+    words = posd.select(
+        (F.col("p") / 64).cast("int").alias("w"),
+        F.element_at(pow2, (F.col("p") % 64).cast("int") + 1).alias("m"),
+    ).groupBy("w").agg(F.bit_or("m").alias("bits"))
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nlongs - 1)),
+            lambda i: F.coalesce(
+                F.element_at("wm", i), F.lit(0).cast("long")
             ),
         ).alias("bm")
     )

@@ -222,6 +222,25 @@ def test_bloom_refine_join_not_force_broadcast(spark, sf_dir):
         release_shared()
 
 
+def test_bloom_bitmap_fold_is_distributed(spark, sf_dir):
+    """op_join_bloom_prefilter's bitmap build must stay the r17 shape — a
+    map-side-combined per-word bit_or aggregate whose single-row step sees
+    only word-cardinality rows — never the rejected collect_list-of-every-
+    position single-task fold (O(positions x nlongs) per-task work, and a
+    positions-sized one-task array at 100 TB)."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        df = QUERIES["op_join_bloom_prefilter"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bit_or" in plan, "distributed per-word bit_or fold missing"
+        assert "collect_list(p" not in plan, (
+            "positions-sized single-task collect_list fold regressed in"
+        )
+    finally:
+        release_shared()
+
+
 # SF-scaled TPC-H dims (customer / supplier / part — they GROW with scale
 # factor, ~2e10 part rows at the 100 TB SF) must never carry a forced
 # broadcast hint: r13 dropped them (the market-basket / bloom-refine
