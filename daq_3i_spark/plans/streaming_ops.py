@@ -351,27 +351,34 @@ def op_sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = read_channel_data_versioned(spark, path, version=2).select(cols).alias("b")
     j = v1.join(v2, F.col("a.id") == F.col("b.id"), "full_outer")
 
-    def side(tag: str, pre: str) -> DataFrame:
-        return j.select(
+    # ONE pass over the version diff: each joined row emits its 0-2 change
+    # rows via a conditional array + explode, instead of the pre-r17 union
+    # of FOUR projections of the same join — that shape re-executed the
+    # full-outer join subtree once per branch (2 SortMergeJoins + 2 extra
+    # scans in the sf0.1 plan; at 100 TB it shuffles both versions four
+    # times).  Same rows: the when-chain conditions are exactly the old
+    # branch filters (a-null -> insert, b-null -> delete, both present and
+    # differing -> update_pre + update_post), and explode drops the empty
+    # unchanged case.  guide §2.4 (remove shuffles outright).
+    def entry(tag: str, pre: str) -> Column:
+        return F.struct(
             F.lit(tag).alias("change_type"),
             *[F.col(f"{pre}.{c}").alias(c) for c in cols],
         )
 
     row_a = F.struct(*[F.col(f"a.{c}") for c in cols])
     row_b = F.struct(*[F.col(f"b.{c}") for c in cols])
-    inserts_out = side("insert", "b").where(F.col("a.id").isNull())
-    deletes_out = side("delete", "a").where(F.col("b.id").isNull())
-    changed = (
-        F.col("a.id").isNotNull()
-        & F.col("b.id").isNotNull()
-        & ~row_a.eqNullSafe(row_b)
-    )
-    pre_out = side("update_pre", "a").where(changed)
-    post_out = side("update_post", "b").where(changed)
+    changes = (
+        F.when(F.col("a.id").isNull(), F.array(entry("insert", "b")))
+        .when(F.col("b.id").isNull(), F.array(entry("delete", "a")))
+        .when(
+            ~row_a.eqNullSafe(row_b),
+            F.array(entry("update_pre", "a"), entry("update_post", "b")),
+        )
+    )  # unchanged rows: NULL array — explode emits nothing
     return (
-        inserts_out.unionByName(deletes_out)
-        .unionByName(pre_out)
-        .unionByName(post_out)
+        j.select(F.explode(changes).alias("ch"))
+        .select("ch.change_type", *[F.col(f"ch.{c}").alias(c) for c in cols])
     )
 
 

@@ -339,3 +339,19 @@ def test_market_basket_pairs_are_generated_not_self_joined(spark, sf_dir):
     plan = df._jdf.queryExecution().explainString(mode)
     assert plan.count("Generate") >= 2, "grouped-array pair expansion missing"
     assert "SortMergeJoin" not in plan
+
+
+def test_change_feed_diffs_versions_once(spark, sf_dir):
+    """r17 rewrite pin: the CDC diff is a SINGLE pass over the full-outer
+    version join — each joined row emits its 0-2 change rows through one
+    conditional-array explode (Generate) — not the pre-r17 union of four
+    projections, which re-executed the join subtree per branch (4
+    SortMergeJoins / 12 Exchanges at sf0.1; A/B x0.83, plans/r17/
+    op_sink_change_feed_{before,after}.txt).  A Union or a second join
+    reappearing means the branch-per-change-type shape regressed."""
+    from tests.plan_quality_common import _plan
+
+    plan = _plan(spark, sf_dir, "op_sink_change_feed")
+    assert plan.count("SortMergeJoin") == 1, "version diff must join exactly once"
+    assert "Union" not in plan, "per-change-type union branches regressed"
+    assert "Generate" in plan, "conditional-array explode missing"
