@@ -330,13 +330,32 @@ _PR_ITERS = 3
 )
 def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # both edge directions from ONE explode over the pair-distinct: before
+    # r17 the two union branches (src->dst, dst->src) each re-ran the
+    # distinct, and the join's isnotnull pushdown specialized each branch's
+    # filter so ReuseExchange never fired — the ed cache BUILD scanned
+    # lineitem 4x and shuffled the distinct 4x
+    # (plans/r17/op_graph_pagerank_before.txt, exchanges 6/11/17/22).  With
+    # the explode the subtree executes once per cache build (deg, ed) = 2x.
+    # NOT cached itself: a third, NESTED cache measured slower and bimodal
+    # at sf1 (A/B 6.0 vs 5.5 s min — the distinct's AQE-coalesced output
+    # under-parallelizes every consumer; recompute is cheaper than the
+    # single-partition cache scan).  guide §2.4 / §1.2.
     e0 = li.select("l_partkey", "l_suppkey").distinct()
     part = F.col("l_partkey").cast("bigint") * 2
     supp = F.col("l_suppkey").cast("bigint") * 2 + 1
-    edges = e0.select(part.alias("src"), supp.alias("dst")).unionByName(
-        e0.select(supp.alias("src"), part.alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(part.alias("src"), supp.alias("dst")),
+                F.struct(supp.alias("src"), part.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # degree is node-sized — cached so the node count and the rank init read
+    # it instead of re-running distinct() over the edge-sized ed cache (the
+    # pre-r17 init paid two extra edge-wide Exchange+HashAggregate passes).
+    deg = shared(edges.groupBy("src").agg(F.count("*").alias("outdeg")))
     # materialize edges⋈degree once — all iterations reuse it.  persist(),
     # not localCheckpoint: a checkpoint (even eager=False) runs every
     # upstream shuffle stage at BUILD time under AQE (toRdd materializes
@@ -355,10 +374,9 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is map-side combined) — no driver-side scalar anywhere.  Integral SQL
     # literals above 2^31 parse as BIGINT, so the DIV arithmetic never
     # touches 32-bit under ANSI.
-    nn = ed.select("src").distinct().agg(F.count("*").cast("bigint").alias("n"))
+    nn = deg.select("src").agg(F.count("*").cast("bigint").alias("n"))
     ranks = (
-        ed.select("src")
-        .distinct()
+        deg.select("src")
         .crossJoin(F.broadcast(nn))
         .select(
             F.col("src").alias("node"),

@@ -355,3 +355,18 @@ def test_change_feed_diffs_versions_once(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 1, "version diff must join exactly once"
     assert "Union" not in plan, "per-change-type union branches regressed"
     assert "Generate" in plan, "conditional-array explode missing"
+
+
+def test_pagerank_edges_are_exploded_not_unioned(spark, sf_dir):
+    """r17 rewrite pin: both pagerank edge directions come from ONE explode
+    (Generate) over the pair-distinct — not the pre-r17 union of two
+    projections, whose per-branch isnotnull pushdown defeated ReuseExchange
+    so the ed cache build scanned lineitem 4x and ran the distinct 4x
+    (plans/r17/op_graph_pagerank_{before,after}.txt; A/B x0.70 sf0.1 /
+    x0.78 sf1 medians, 6 alternating reps).  A Union reappearing means the
+    doubled-subtree shape regressed."""
+    from tests.plan_quality_common import _plan
+
+    plan = _plan(spark, sf_dir, "op_graph_pagerank")
+    assert "Generate" in plan, "exploded edge generation missing"
+    assert "Union" not in plan, "per-direction union branches regressed"
