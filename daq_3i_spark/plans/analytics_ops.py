@@ -3450,7 +3450,14 @@ def oriented_edges(li: DataFrame) -> DataFrame:
     two stacked generators that also break whole-stage codegen.  Same
     measured-only rule as the market-basket swap, opposite verdict.
     """
-    bp = li.select("l_orderkey", "l_partkey").distinct()
+    # shared (r17): AQE promotes the pair self-join to broadcast at runtime,
+    # and a broadcast build side is planned as its own subtree — uncached,
+    # the basket-pair distinct (full lineitem scan + distinct exchange) ran
+    # ONCE PER JOIN SIDE.  Caching bp runs it once; both sides read the
+    # cache.  Measured ×0.88 sf0.1 / ×0.73 sf1 (alternating A/B; the fused
+    # count-emission variant C was measured SLOWER at both scales and kept
+    # out — see OPTIMIZATION_r17.md).
+    bp = shared(li.select("l_orderkey", "l_partkey").distinct())
     a, b = bp.alias("a"), bp.alias("b")
     und = shared(
         a.join(

@@ -87,12 +87,12 @@ def test_registry_wrapper_self_releases_shared_cache(spark, sf_dir):
     n_op1 = len(cache._LIVE)
     assert n_op1 >= 1
     df1.count()
-    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 3 frames
-    # (2 inside oriented_edges + the r13 successor-table cache);
-    # op1's tracked frames are gone; only op2's remain
-    assert len(cache._LIVE) == 3
+    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 4 frames
+    # (3 inside oriented_edges — bp added r17 — + the r13 successor-table
+    # cache); op1's tracked frames are gone; only op2's remain
+    assert len(cache._LIVE) == 4
     df2.count()
-    assert cache.release_shared() == 3
+    assert cache.release_shared() == 4
     assert not cache._LIVE
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
@@ -370,3 +370,32 @@ def test_pagerank_edges_are_exploded_not_unioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "op_graph_pagerank")
     assert "Generate" in plan, "exploded edge generation missing"
     assert "Union" not in plan, "per-direction union branches regressed"
+
+
+def test_triangles_basket_pairs_read_cached_bp(spark, sf_dir):
+    """r17 rewrite pin: the basket-pair frame ``bp`` feeding the pair
+    self-join in oriented_edges is shared() — AQE promotes that self-join
+    to broadcast, and a broadcast build side is planned as its own subtree,
+    so an uncached bp ran the full lineitem scan + distinct ONCE PER JOIN
+    SIDE (plans/r17/op_graph_triangles_{before,after}.txt; A/B x0.88 sf0.1
+    / x0.73 sf1 medians).  With the cache, the und build plan reads the bp
+    InMemoryRelation on both sides: its executed plan carries >= 3
+    InMemoryTableScan nodes (its own + 2 bp reads); an uncached bp shows
+    exactly 1."""
+    from daq_3i_spark import cache
+    from daq_3i_spark.plans.analytics_ops import oriented_edges
+    from daq_3i_spark.sources.tables import load_table
+
+    cache.release_shared()
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        oriented_edges(li)
+        assert len(cache._LIVE) == 3  # bp, und, e — in shared() call order
+        und_plan = (
+            cache._LIVE[1]._jdf.queryExecution().executedPlan().toString()
+        )
+        assert und_plan.count("InMemoryTableScan") >= 3, (
+            "bp cache not read by both pair self-join sides"
+        )
+    finally:
+        cache.release_shared()
