@@ -1957,7 +1957,9 @@ def op_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MHEVAL_TAU = 0.4  # "true near-dup" threshold for the recall denominator
 
 
-def _band_exact_frames(spark: SparkSession, sf_dir: str):
+def _band_exact_frames(
+    spark: SparkSession, sf_dir: str, restrict_to_candidates: bool = False
+):
     """(cand, inter, za, zb): same-language MinHash band candidates plus the
     exact shingle-intersection frames they are verified against — the ONE
     derivation shared by op_corpus_minhash_eval (recall eval) and
@@ -1974,7 +1976,18 @@ def _band_exact_frames(spark: SparkSession, sf_dir: str):
     computes exact Jaccard as i / (na + nb - i).  Both pair generators are
     bucket-blocked on keys that INCLUDE lang ((band_idx, band_val, lang)
     buckets / (lang, shingle) postings — never all-pairs, and never a
-    corpus-sized doc->lang broadcast joined back on afterwards)."""
+    corpus-sized doc->lang broadcast joined back on afterwards).
+
+    ``restrict_to_candidates`` (r17, guide §3.2 "reduce the big side
+    before shuffling it"): when the caller only ever consumes ``inter``
+    INNER-joined with ``cand`` (the threshold sweep), the exact-Jaccard
+    posting table is semi-join-prefiltered to docs that appear in a band
+    candidate pair before the posting self-join.  Safe by construction: a
+    cand pair has both endpoints in the candidate-doc set, and the filter
+    drops whole DOCS (never individual shingles), so ``i``/``na``/``nb``
+    are unchanged for every surviving pair.  The recall eval must NOT set
+    it — its ground-truth frame counts near-dup pairs the bands missed,
+    which is exactly the set the prefilter would drop."""
     from daq_3i_spark.functions.text import SPARK
     from daq_3i_spark.plans.extension_ops import _spark_th_of
     from daq_3i_spark.sources.tables import load_spread
@@ -2016,13 +2029,19 @@ def _band_exact_frames(spark: SparkSession, sf_dir: str):
         .distinct()
     )
 
-    shp = shared(
-        th.select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
+    shp = th.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(SPARK.shingle_hashes("th"))).alias("h"),
+    ).distinct()
+    if restrict_to_candidates:
+        cd = cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
-    )
+        # no broadcast hint — cd grows with the corpus; AQE promotes the
+        # semi-join from runtime stats when it fits
+        shp = shp.join(cd, "doc_id", "left_semi")
+    shp = shared(shp)
     sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa, sb = shp.alias("sa"), shp.alias("sb")
     inter = (
@@ -2212,7 +2231,13 @@ def _threshold_sweep_oracle() -> str:
     "pair-count-sized frame; counts are exact integers (no float aggregates)",
 )
 def op_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand, inter, za, zb = _band_exact_frames(spark, sf_dir)
+    # restrict_to_candidates: this op consumes `inter` only inner-joined
+    # with `cand`, so the posting self-join runs over candidate docs only
+    # (guide §3.2; A/B ×0.94 sf0.1, see OPTIMIZATION_r17.md) — the recall
+    # eval keeps the full frame because its truth set is prefilter-blind
+    cand, inter, za, zb = _band_exact_frames(
+        spark, sf_dir, restrict_to_candidates=True
+    )
     # inner join drops candidates sharing NO shingle (jaccard 0 < min tau) —
     # same set the oracle's `cand JOIN inter` keeps
     # za/zb are doc-dimension frames — never force-broadcast (AQE decides)

@@ -154,6 +154,29 @@ def test_band_eval_no_corpus_sized_broadcast_hint(spark, sf_dir):
         release_shared()
 
 
+def test_sweep_postings_prefiltered_eval_postings_full(spark, sf_dir):
+    """r17 rewrite pin (guide §3.2): the threshold sweep consumes the
+    exact-Jaccard frame only INNER-joined with the band candidates, so its
+    posting table is semi-join-prefiltered to candidate docs before the
+    posting self-join (plans/r17/op_dedup_threshold_sweep_{before,after}
+    .txt; A/B x0.94 sf0.1 / x0.57 sf1 medians — the posting join is the
+    op's superlinear term and candidates grow slower than docs).  The
+    recall eval must keep the FULL posting frame: its ground truth counts
+    the near-dup pairs the bands MISSED, exactly the set the prefilter
+    would drop — a LeftSemi appearing there silently zeroes n_missed."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        sweep = _plan(spark, sf_dir, "op_dedup_threshold_sweep")
+        assert "LeftSemi" in sweep, "candidate-doc posting prefilter missing"
+        ev = _plan(spark, sf_dir, "op_corpus_minhash_eval")
+        assert "LeftSemi" not in ev, (
+            "recall eval's ground-truth postings must not be prefiltered"
+        )
+    finally:
+        release_shared()
+
+
 def test_triangles_no_forced_broadcast_aqe_still_picks_it(spark, sf_dir):
     """VERDICT r11 'What's wrong #3': the successor table's payload is
     edge-sized (sum of array lengths = |E|), so the broadcast must be
