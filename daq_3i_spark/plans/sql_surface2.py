@@ -564,7 +564,13 @@ def op_sql_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times (pairs vs rows).  The trailing distinct keeps the (flag, u) set
     # identical to the oracle's DISTINCT-over-computed-u even in the
     # astronomically unlikely event of a 48-bit hash collision.
-    h = (
+    # shared (r17): h feeds BOTH the two-phase bottom-k chain and the exact
+    # count — uncached, the lineitem scan + (flag, suppkey) distinct + md5
+    # chain ran once per consumer (guide §2.4).  Cache is distinct-count-
+    # sized (one row per (flag, 48-bit hash)).  Measured a wash at sf0.1
+    # and ×0.72 at sf1 (alternating A/B) — the double scan is the
+    # scale-dependent term.
+    h = shared(
         li.select("l_returnflag", "l_suppkey")
         .distinct()
         .select("l_returnflag", F.expr(u).alias("u"))

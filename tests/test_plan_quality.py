@@ -154,6 +154,24 @@ def test_band_eval_no_corpus_sized_broadcast_hint(spark, sf_dir):
         release_shared()
 
 
+def test_kmv_distinct_hash_frame_is_cached(spark, sf_dir):
+    """r17 rewrite pin: the KMV sketch's distinct-hash frame ``h`` feeds
+    BOTH the two-phase bottom-k chain and the exact-count aggregate —
+    uncached, the lineitem scan + (flag, suppkey) distinct + md5 chain ran
+    once per consumer (plans/r17/op_sql_kmv_sketch_{before,after}.txt; A/B
+    wash at sf0.1, x0.72 at sf1 — the double scan is the scale-dependent
+    term).  Both consumers must read the InMemoryRelation."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        plan = _plan(spark, sf_dir, "op_sql_kmv_sketch")
+        assert plan.count("InMemoryTableScan") >= 2, (
+            "h cache not read by both consumers"
+        )
+    finally:
+        release_shared()
+
+
 def test_sweep_postings_prefiltered_eval_postings_full(spark, sf_dir):
     """r17 rewrite pin (guide §3.2): the threshold sweep consumes the
     exact-Jaccard frame only INNER-joined with the band candidates, so its
