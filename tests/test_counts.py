@@ -92,3 +92,29 @@ def test_plan_window_mechanics():
     some_round = next(r for r in sorted(by_round) if r != oldest)
     with pytest.raises(ValueError, match="unwindowed ops remain"):
         check_counts.plan_window([], {some_round: 10_000})
+
+
+def test_plan_window_tool_hardening(monkeypatch, capsys):
+    """ADVICE r16 fixes, red-verified against the old behaviours:
+    (a) print_plan must NOT silently drop a misspelled rep token (the old
+    op_-prefix filter made 'opstream_pipeline' vanish from the generated
+    window with no error) — every non-cohort token now reaches
+    plan_window's registry validation and raises;
+    (b) an empty census (fresh clone, no CORRECTNESS_r*.json) yields the
+    never-checked-ops window with an explanatory note instead of the old
+    'min() arg is an empty sequence' crash — and --predrain against no
+    census is a loud error."""
+    import pytest
+
+    import check_counts
+
+    with pytest.raises(ValueError, match="opstream_typo"):
+        check_counts.print_plan(["--reps", "opstream_typo"])
+
+    fresh = {n: None for n in ("op_x", "op_y", "op_z")}
+    monkeypatch.setattr(check_counts, "staleness_census", lambda: fresh)
+    window, notes = check_counts.plan_window([], {})
+    assert window == ["op_x", "op_y", "op_z"]
+    assert any("no census data" in n for n in notes)
+    with pytest.raises(ValueError, match="no driver census data"):
+        check_counts.plan_window([], {12: 3})

@@ -154,6 +154,29 @@ def test_band_eval_no_corpus_sized_broadcast_hint(spark, sf_dir):
         release_shared()
 
 
+@pytest.mark.parametrize(
+    "name", ["op_dedup_ngram_jaccard", "op_dedup_containment"]
+)
+def test_posting_family_keeps_self_join_shape(spark, sf_dir, name):
+    """VERDICT r16 'What's wrong #2' pin: the posting-family pair
+    generation stays the shared()-cached posting SELF-JOIN.  The r16
+    curve adjudication REJECTED the grouped-array generator here (the
+    market-basket winner): sf0.1 wash, ×0.58 at 10 lineitem copies but
+    ×1.15 WORSE at 50 with an increasing slope — collect_set over the
+    (lang, shingle) key space degrades at high group cardinality
+    (posting vocabularies are unbounded, unlike order keys).  Until now
+    that rejection lived only in SCALE.md prose and op comments; this
+    pins it: no collect_set pair expansion, and the posting cache read
+    by both self-join sides."""
+    plan = _plan(spark, sf_dir, name)
+    assert "collect_set" not in plan, (
+        "rejected grouped-array pair generator crept back in"
+    )
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "posting cache not read by both self-join sides"
+    )
+
+
 def test_kmv_distinct_hash_frame_is_cached(spark, sf_dir):
     """r17 rewrite pin: the KMV sketch's distinct-hash frame ``h`` feeds
     BOTH the two-phase bottom-k chain and the exact-count aggregate —

@@ -152,6 +152,17 @@ def plan_window(
             window.append(n)
     if never:
         notes.append(f"never-checked: {len(never)}")
+    if not by_round:
+        # fresh clone with no CORRECTNESS_r*.json: every op is in `never`
+        # and already leads — there is no cohort census to consult (ADVICE
+        # r16: min() over an empty dict crashed here unhelpfully)
+        if predrain:
+            raise ValueError(
+                "--predrain given but no driver census data was found "
+                "(no CORRECTNESS_r*.json) — there are no cohorts to drain"
+            )
+        notes.append("no census data: window = never-checked ops only")
+        return window[:WINDOW_SLOTS], notes
     oldest = min(by_round)
     lead = sorted(n for n in by_round[oldest] if n not in reps)
     window += [n for n in lead if n not in window]
@@ -197,7 +208,12 @@ def print_plan(argv: list[str]) -> None:
         m = re.fullmatch(r"r(\d+):(\d+)", a)
         if m:
             predrain[int(m.group(1))] = int(m.group(2))
-        elif a.startswith("op_") or a == "flagship_pipeline":
+        else:
+            # every non-cohort token is a rep; plan_window validates names
+            # against the registry, so a misspelled op fails LOUDLY there
+            # instead of silently vanishing from the generated window
+            # (ADVICE r16: the old op_-prefix filter dropped typos like
+            # 'opstream_pipeline' without any error)
             reps.append(a)
     window, notes = plan_window(reps, predrain)
     for n in notes:
