@@ -246,7 +246,11 @@ def main() -> None:
     # budget, so the recorded line is always parseable; value stays the true
     # ALL-query total and BENCH_FULL.json (committed) always has every
     # query at full precision — BENCH_NOTES.md documents the convention
-    wire = {n: round(v, 2) for n, v in timings.items()}
+    # 1 decimal on the wire (r17 VERDICT #8): fits ~2x more queries in the
+    # 1900-byte budget, so a query that merely got FASTER no longer falls
+    # off the emitted set and reads as "dropped_from_bench" in PERF.
+    # BENCH_FULL*.json keeps full precision for every query.
+    wire = {n: round(v, 1) for n, v in timings.items()}
     by_cost = sorted(wire, key=lambda n: (-wire[n], n))
     while (
         len(json.dumps({"metric": "headline_queries_total", "value": 9999.99,
@@ -289,7 +293,11 @@ def main() -> None:
     # ~1.9 KB) and write the full record — including the noise indicator —
     # to BENCH_FULL.json beside the repo for the judge.
     full = dict(out, queries=timings, pass_spread=spread)
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # cpu-suffixed record for non-default core counts (r17 VERDICT #6): the
+    # driver's 8-core scaling run was silently clobbering the committed
+    # 32-core round record.  BENCH_FULL.json stays the 32-core convention.
+    full_name = "BENCH_FULL.json" if CPUS == "32" else f"BENCH_FULL_c{CPUS}.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
