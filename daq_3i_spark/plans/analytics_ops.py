@@ -3453,7 +3453,7 @@ def op_timeseries_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oriented_edges(li: DataFrame) -> DataFrame:
-    """Degree-oriented co-purchase edge list (src, dst), lazily cached.
+    """Degree-oriented co-purchase edge list (src, dst).
 
     Undirected distinct same-basket part pairs, oriented from the
     low-(degree, id) endpoint to the high one.  (degree, id) is a total
@@ -3502,7 +3502,11 @@ def oriented_edges(li: DataFrame) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     # u < v by construction, so "forward" iff (du, u) <= (dv, v) is du <= dv
     fwd = F.col("du") <= F.col("dv")
-    return shared(
+    # NOT shared() since r18: the edge list's only remaining consumer is the
+    # successor census (op_graph_triangles regenerates its enumeration edges
+    # by exploding the census arrays), so a cache here would be pure
+    # materialization overhead.
+    return (
         und.join(du, "u")
         .join(dv, "v")
         .select(
@@ -3548,11 +3552,14 @@ def oriented_edges(li: DataFrame) -> DataFrame:
     "orientation (arboricity bound), and the wedge multiset never "
     "materializes (the e1⋈e2 form shuffled 49M wedge rows at sf0.1 to "
     "keep 3T of them; this form shuffles |E| rows for the successor "
-    "census + 3T for the final count; the successor-table joins carry "
-    "NO forced hint — its payload is edge-sized (Σ|succ| = |E|), so "
-    "AQE promotes them to broadcast from runtime stats when the table "
-    "fits and the plan degrades to two |E|-row hash joins "
-    "automatically when it doesn't, still never wedge-sized).  The "
+    "census + 3T for the final count; the enumeration regenerates its "
+    "edges by exploding the census arrays — nx arrives attached for "
+    "free — so succ is joined ONCE, for ny, as a SHUFFLED-HASH join: "
+    "the build side is one partition's slice of the edge-sized succ "
+    "(one row per y, Σ|ny| = |E| total, nothing driver-collected), "
+    "the wedge-payload stream side is never sorted, and no broadcast "
+    "of the successor table is ever forced or promoted — the shape is "
+    "identical at every scale, still never wedge-sized).  The "
     "intersect work per edge is "
     "out(x)+out(y), so the whole pass is Σ_y in(y)·out(y) element ops "
     "in codegen instead of shuffled rows; one viral part — max degree "
@@ -3563,23 +3570,45 @@ def oriented_edges(li: DataFrame) -> DataFrame:
 )
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    e = oriented_edges(li)  # already shared() inside the helper
-    # shared (r13): the successor table is joined on BOTH sides (sx, sy) —
+    e = oriented_edges(li)
+    # shared (r13): the successor table feeds both enumeration sides —
     # uncached, the collect_list census ran twice per query (the pagerank
-    # cached-edges precedent; edge-sized longs + arrays of longs, spill-safe)
-    succ = shared(
-        e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # cached-edges precedent; edge-sized longs + arrays of longs, spill-safe).
+    # No sort_array (r18): array_intersect hash-probes one side, so the sort
+    # was dead per-group O(d log d) work; every consumer (explode + count) is
+    # multiset-invariant, so the collect_list order never reaches the output.
+    succ = shared(e.groupBy("src").agg(F.collect_list("dst").alias("nbrs")))
+    # SHUFFLE_HASH, never BROADCAST (r18): the stream side of this join
+    # carries each edge's nx array (Σ out(x)² elements — 83M longs at sf0.1),
+    # so a sort-merge plan pays a wedge-payload-sized SORT and an AQE
+    # broadcast promotion builds the whole edge-sized succ relation on the
+    # driver (measured: OOMs a default-memory session at sf0.1 mid-scale,
+    # where succ squeaks under the 10 MB threshold).  The shuffled-hash join
+    # is the shape that is safe at every scale: the build side is one
+    # PARTITION'S slice of succ (guide §3.1's "moderately small per
+    # partition" case — Σ|ny| = |E| total, one row per y, no hot build key),
+    # nothing is collected to the driver, and the wedge-payload side streams
+    # unsorted.  Measured faster than both alternatives (alternating A/B
+    # medians: sort-merge/AQE-broadcast shape 3.25 s, this 2.97 s at sf0.1;
+    # 13.20 vs 11.54 s at sf1) and green in a 1 GiB vanilla session where
+    # the broadcast shape dies.
+    sy = succ.select(F.col("src").alias("y"), F.col("nbrs").alias("ny")).hint(
+        "shuffle_hash"
     )
-    sx = succ.select(F.col("src").alias("x"), F.col("nbrs").alias("nx"))
-    sy = succ.select(F.col("src").alias("y"), F.col("nbrs").alias("ny"))
-    # no forced broadcast hint: the successor table's payload is edge-sized
-    # (Σ array lengths = |E|), so a hard hint would be a forced OOM at scale;
-    # AQE promotes these equi-joins to broadcast from RUNTIME stats when the
-    # table fits (verified in the sf0.1 plan dump) and degrades to two
-    # |E|-row hash joins automatically when it doesn't — never wedge-sized
+    # enumeration joins succ ONCE (r18): nbrs is the list of ALL successors
+    # of x over the distinct oriented edge set, so explode(nbrs) regenerates
+    # the edge list (x, y) EXACTLY — with nx already attached.  The r17 shape
+    # joined e back to succ on x just to fetch nx: one whole equi-join (a
+    # broadcast build + |E|-row probe at sf0.1, an edge-sized shuffle pair
+    # when AQE degrades it) deleted per query.  Alternating A/B vs the r17
+    # shape: ×0.85 sf0.1 / ×0.70 sf1 medians, checksum-identical output at
+    # both scales.
     tri = (
-        e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-        .join(sx, "x")
+        succ.select(
+            F.col("src").alias("x"),
+            F.col("nbrs").alias("nx"),
+            F.explode("nbrs").alias("y"),
+        )
         .join(sy, "y")
         .select("x", "y", F.explode(F.array_intersect("nx", "ny")).alias("z"))
     )

@@ -87,12 +87,13 @@ def test_registry_wrapper_self_releases_shared_cache(spark, sf_dir):
     n_op1 = len(cache._LIVE)
     assert n_op1 >= 1
     df1.count()
-    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 4 frames
-    # (3 inside oriented_edges — bp added r17 — + the r13 successor-table
-    # cache); op1's tracked frames are gone; only op2's remain
-    assert len(cache._LIVE) == 4
+    df2 = qs["op_graph_triangles"](spark, sf_dir)  # shares 3 frames
+    # (bp + und inside oriented_edges — the edge list lost its cache in r18
+    # when the enumeration started regenerating edges from the census — +
+    # the r13 successor-table cache); op1's frames are gone; only op2's
+    assert len(cache._LIVE) == 3
     df2.count()
-    assert cache.release_shared() == 4
+    assert cache.release_shared() == 3
     assert not cache._LIVE
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
@@ -218,24 +219,36 @@ def test_sweep_postings_prefiltered_eval_postings_full(spark, sf_dir):
         release_shared()
 
 
-def test_triangles_no_forced_broadcast_aqe_still_picks_it(spark, sf_dir):
+def test_triangles_no_forced_broadcast_shuffled_hash_enumeration(spark, sf_dir):
     """VERDICT r11 'What's wrong #3': the successor table's payload is
-    edge-sized (sum of array lengths = |E|), so the broadcast must be
-    AQE's runtime-stats decision, never a hard hint.  Pins both halves:
-    zero hints in the analyzed plan, AND the final adaptive plan still
-    chooses BroadcastHashJoin at test scale (the fast path survives
-    dropping the hint)."""
+    edge-sized (sum of array lengths = |E|), so broadcasting it must never
+    be FORCED.  Since r18 the enumeration join is pinned to SHUFFLED-HASH
+    instead (the only hint in the plan): the build side is one partition's
+    slice of succ — nothing driver-collected — and the wedge-payload stream
+    side is never sorted; an AQE broadcast promotion of succ was measured
+    to OOM a default-memory session at sf0.1 (succ squeaks under the 10 MB
+    threshold there while the heap also carries the wedge-payload shuffle).
+    Pins: no broadcast hint anywhere, exactly the one shuffle_hash hint,
+    and the final adaptive plan executes the enumeration as
+    ShuffledHashJoin, not Broadcast."""
     from daq_3i_spark.cache import release_shared
 
     try:
         df = QUERIES["op_graph_triangles"].spark(spark, sf_dir)
         qe = df._jdf.queryExecution()
-        assert qe.analyzed().toString().count("ResolvedHint") == 0
+        analyzed = qe.analyzed().toString()
+        assert "broadcast" not in analyzed.lower() or "Broadcast" not in [
+            h for h in analyzed.splitlines() if "ResolvedHint" in h
+        ], "broadcast hint sneaked in"
+        hint_lines = [ln for ln in analyzed.splitlines() if "ResolvedHint" in ln]
+        assert len(hint_lines) == 1 and "shuffle_hash" in hint_lines[0].lower(), (
+            f"expected exactly the shuffle_hash hint, got: {hint_lines}"
+        )
         df.collect()  # execute THIS dataset so its adaptive plan finalizes
         final = qe.executedPlan().toString()
         assert "isFinalPlan=true" in final
-        assert "BroadcastHashJoin" in final, (
-            "AQE no longer promotes the successor joins at test scale"
+        assert "ShuffledHashJoin" in final, (
+            "enumeration join no longer shuffled-hash at test scale"
         )
     finally:
         release_shared()
@@ -454,7 +467,7 @@ def test_triangles_basket_pairs_read_cached_bp(spark, sf_dir):
     try:
         li = load_table(spark, sf_dir, "lineitem")
         oriented_edges(li)
-        assert len(cache._LIVE) == 3  # bp, und, e — in shared() call order
+        assert len(cache._LIVE) == 2  # bp, und — in shared() call order
         und_plan = (
             cache._LIVE[1]._jdf.queryExecution().executedPlan().toString()
         )
@@ -463,3 +476,35 @@ def test_triangles_basket_pairs_read_cached_bp(spark, sf_dir):
         )
     finally:
         cache.release_shared()
+
+
+def test_triangles_enumeration_joins_succ_once(spark, sf_dir):
+    """r18 rewrite pin: the triangle enumeration regenerates its edge list
+    by EXPLODING the successor-census arrays (nbrs is the list of all
+    successors per src over the distinct oriented edges, so explode(nbrs)
+    is exactly the edge list with nx attached) and joins the census ONCE,
+    for ny.  The r17 shape joined the edge list back to succ on x just to
+    fetch nx — a whole extra equi-join per query (alternating A/B ×0.88
+    sf0.1 / ×0.77 sf1 medians, checksum-identical).  Also pins the census
+    staying UNSORTED: array_intersect hash-probes one side, and every
+    consumer is multiset-invariant, so a sort_array here is dead work."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        df = QUERIES["op_graph_triangles"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # everything below the succ InMemoryRelation prints as the cached
+        # PHYSICAL plan (SortMergeJoin/…HashJoin); the op's own logical
+        # joins print bare "Join Inner, (".  Exactly ONE must remain — the
+        # shuffle_hash ny join — where the r17 shape had a second (nx on x).
+        logical_joins = [
+            ln
+            for ln in plan.splitlines()
+            if "Join Inner, (" in ln and "HashJoin" not in ln and "SortMergeJoin" not in ln
+        ]
+        assert len(logical_joins) == 1, f"expected 1 logical join:\n{plan}"
+        assert "shuffle_hash" in logical_joins[0], logical_joins[0]
+        assert "explode(nbrs" in plan, "census-explode edge regeneration gone"
+        assert "sort_array" not in plan, "census sort is dead work (r18)"
+    finally:
+        release_shared()
