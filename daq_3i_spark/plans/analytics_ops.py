@@ -368,7 +368,17 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-partition count (AQE refuses to re-partition plans that feed a
     # cache) — measured 67.8 s vs 7.3 s at sf0.1/local[32] under the
     # 200-partition default.
-    ed = shared(edges.join(deg, "src"))
+    # repartition("src") at BUILD time (r18): AQE sizes the cache's
+    # partitioning from the materialized edge bytes (advisory-size chunks —
+    # data-adaptive, not a core-count constant), so the three iteration
+    # consumers read right-sized partitions instead of whatever layout the
+    # build join happened to leave.  Re-using the cache partitioning to
+    # DELETE the iteration exchanges was measured and is not available:
+    # with canChangeCachedPlanOutputPartitioning=true (mandatory, see above)
+    # the cache's output partitioning is indeterminate at consumer-planning
+    # time, so EnsureRequirements shuffles regardless — the win here is
+    # fewer/larger cache partitions feeding those exchanges (guide §2.2).
+    ed = shared(edges.join(deg, "src").repartition("src"))
     # node count and teleport term as one-row broadcast aggregates, carried
     # through the iterations as a constant column (max() in each aggregate
     # is map-side combined) — no driver-side scalar anywhere.  Integral SQL
@@ -387,8 +397,18 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for _ in range(_PR_ITERS):
+        # SHUFFLE_HASH on the rank side (r18): a sort-merge iteration join
+        # SORTS the edge-sized ed once per iteration (3 edge-wide sorts per
+        # query); shuffled-hash builds the per-partition hash of the
+        # NODE-sized rank slice instead (one unique row per node — no hot
+        # build key, nothing driver-collected) and streams ed unsorted.
+        # Never broadcast: ranks grows with the node dimension.  Alternating
+        # A/B vs the r17 shape (repartitioned cache + this hint): medians
+        # ×0.82–0.87 at sf1 in two windows, a wash at sf0.1, top-100 rows
+        # byte-identical.
+        r = ranks.hint("shuffle_hash")
         ranks = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(r, ed.src == r.node)
             .select(
                 F.col("dst"),
                 F.expr("(rank * 85) DIV (100 * outdeg)").alias("c"),

@@ -449,6 +449,45 @@ def test_pagerank_edges_are_exploded_not_unioned(spark, sf_dir):
     assert "Union" not in plan, "per-direction union branches regressed"
 
 
+def test_pagerank_iterations_are_shuffled_hash(spark, sf_dir):
+    """r18 rewrite pin: each of the 3 iteration joins is SHUFFLED-HASH with
+    the NODE-sized rank frame as build side — a sort-merge plan sorted the
+    edge-sized ed cache once per iteration (3 edge-wide sorts per query),
+    and broadcasting ranks would grow with the node dimension.  The ed
+    cache is also repartition("src")-ed at build so AQE sizes its
+    partitions from the materialized edge bytes.  (Deleting the iteration
+    exchanges outright via the cache's partitioning was measured and is
+    unavailable: canChangeCachedPlanOutputPartitioning=true — mandatory,
+    9x — makes the cached partitioning indeterminate to consumers.)
+    Alternating A/B medians ×0.82–0.87 at sf1 in two windows."""
+    from daq_3i_spark.cache import release_shared
+
+    try:
+        df = QUERIES["op_graph_pagerank"].spark(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        analyzed = qe.analyzed().toString()
+        hint_lines = [ln for ln in analyzed.splitlines() if "ResolvedHint" in ln]
+        kinds = sorted(
+            "shuffle_hash" if "shuffle_hash" in ln else "broadcast"
+            for ln in hint_lines
+        )
+        # 3 iteration shuffle_hash hints + the ONE-ROW node-count broadcast
+        assert kinds == ["broadcast"] + ["shuffle_hash"] * 3, (
+            f"unexpected hint census: {hint_lines}"
+        )
+        df.collect()
+        final = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert final.count("ShuffledHashJoin [src") >= 3, (
+            "iteration joins no longer shuffled-hash"
+        )
+        assert "SortMergeJoin [src" not in final, (
+            "an iteration join regressed to sort-merge (edge-wide sort)"
+        )
+    finally:
+        release_shared()
+
+
 def test_triangles_basket_pairs_read_cached_bp(spark, sf_dir):
     """r17 rewrite pin: the basket-pair frame ``bp`` feeding the pair
     self-join in oriented_edges is shared() — AQE promotes that self-join
