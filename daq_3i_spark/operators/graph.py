@@ -110,10 +110,18 @@ def star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     # graph at toy scale collapses to single-task rounds, and a 100 TB pair
     # graph still fans out past any core count.  Restored after the loop.
     n_edges = e.count()
+    width = max(1, n_edges // 4_000_000)
+    if n_edges > 1_000_000:
+        # non-trivial graph: never run the loop narrower than the cluster
+        # (ADVICE r17) — a mid-size graph (say 50M edges on 400 cores) would
+        # otherwise contract on a dozen tasks while the cluster idles.  The
+        # size-derived width still wins once edges outgrow cores*4M.  Below
+        # the threshold the per-task overhead dominates and a single
+        # ~100 MB-max task per round is the right shape at ANY cluster size,
+        # so toy/bench scales (sf0.1: ~256 edges, sf1: ~3k) are unaffected.
+        width = max(width, spark.sparkContext.defaultParallelism)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(1, n_edges // 4_000_000))
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
     converged = False
     try:
         for _ in range(_MAX_ROUNDS):

@@ -17,7 +17,7 @@ import os
 import shutil
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daq_3i_spark.functions.convert import convert_case_duckdb

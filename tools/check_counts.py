@@ -162,6 +162,14 @@ def plan_window(
                 "(no CORRECTNESS_r*.json) — there are no cohorts to drain"
             )
         notes.append("no census data: window = never-checked ops only")
+        if len(window) > WINDOW_SLOTS:
+            # make the truncation loud (ADVICE r17): a fresh clone with more
+            # registered ops than slots would otherwise silently drop the
+            # overflow from the generated window
+            notes.append(
+                f"WARNING: {len(window) - WINDOW_SLOTS} never-checked ops "
+                f"truncated from the {WINDOW_SLOTS}-slot window"
+            )
         return window[:WINDOW_SLOTS], notes
     oldest = min(by_round)
     lead = sorted(n for n in by_round[oldest] if n not in reps)
