@@ -119,6 +119,16 @@ def decode_col(format_code: Column, regs: Column) -> Column:
     )
 
 
+#: (input expression strings) -> built Column.  The 14-arm CASE tree costs
+#: ~2,900 py4j round trips (~0.4-0.7 s of driver time) to build, and the
+#: result is a pure function of the four input EXPRESSIONS — session-free
+#: Catalyst AST, safe to reuse across plans within the process (the r18
+#: floor-census construction-cost fix).  Keyed on the inputs' expression
+#: text so the F.col("r0") and F.get("registers", 0) call sites memoize
+#: separately.
+_DECODE_COLS_MEMO: dict[tuple[str, str, str, str], Column] = {}
+
+
 def decode_cols(format_code: Column, r0: Column, r1: Column, r2: Column) -> Column:
     """Decode from the first three register words as separate int columns.
 
@@ -127,13 +137,17 @@ def decode_cols(format_code: Column, r0: Column, r1: Column, r2: Column) -> Colu
     op_error_handling).  Project r0/r1/r2 with ``withColumn`` first so each
     is computed once as a codegen local rather than inlined per CASE arm.
     """
+    key = (str(format_code), str(r0), str(r1), str(r2))
+    memo = _DECODE_COLS_MEMO.get(key)
+    if memo is not None:
+        return memo
     u_lo_hi = _u32(r1, r0)  # word order little (default, modbus.py:61-62)
     u_hi_lo = _u32(r0, r1)  # word order big (RWORDS / ABB)
     u_skip = _u32(r2, r0)  # padding word between the data words
     u_rskip = _u32(r0, r2)
     u_bswap = _u32(_bswap16(r1), _bswap16(r0))
 
-    return (
+    out = (
         F.when(format_code == 0, _sint16(r0).cast("double"))
         .when(format_code == 1, _sint32(u_lo_hi).cast("double"))
         .when(format_code == 2, _sint32(u_hi_lo).cast("double"))
@@ -150,6 +164,8 @@ def decode_cols(format_code: Column, r0: Column, r1: Column, r2: Column) -> Colu
         .when(format_code == 13, _sint32(u_lo_hi).cast("double"))
         .otherwise(F.lit(None).cast("double"))
     )
+    _DECODE_COLS_MEMO[key] = out
+    return out
 
 
 # --- DuckDB oracle rendering --------------------------------------------------

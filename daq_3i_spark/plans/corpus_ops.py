@@ -454,7 +454,9 @@ def op_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daq_3i_spark.sources.tables import pin_utc
 
     pin_utc(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from daq_3i_spark.sources.tables import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
     raw = spark.readStream.schema(schema).parquet(
         os.path.join(sf_dir, "documents.parque[t]")
     )

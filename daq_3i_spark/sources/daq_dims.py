@@ -94,16 +94,34 @@ def conversions_rows() -> list[tuple]:
     return [(i + 1, f"conv_{i + 1}", e) for i, e in enumerate(CONVERSION_EXPRS)]
 
 
+def _dim_df(spark: SparkSession, name: str, rows: list[tuple], schema) -> DataFrame:
+    """Per-SESSION memo of the dimension LocalRelations: the row sets are
+    module constants, so rebuilding the createDataFrame per plan construction
+    only re-pays the Python->JVM row serialization (~20-50 ms each, and DAQ
+    plans reference up to three dims).  The memo stores the lazy relation
+    handle, never computed results, and dies with the session object (the
+    r18 floor-census construction-cost fix, VERDICT r17 #3)."""
+    memo = getattr(spark, "_daq_dim_tables", None)
+    if memo is None:
+        memo = {}
+        spark._daq_dim_tables = memo
+    df = memo.get(name)
+    if df is None:
+        df = spark.createDataFrame(rows, schema)
+        memo[name] = df
+    return df
+
+
 def buses_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(buses_rows(), schemas.BUSES)
+    return _dim_df(spark, "buses", buses_rows(), schemas.BUSES)
 
 
 def channels_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(channels_rows(), schemas.CHANNELS)
+    return _dim_df(spark, "channels", channels_rows(), schemas.CHANNELS)
 
 
 def conversions_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(conversions_rows(), schemas.CONVERSIONS)
+    return _dim_df(spark, "conversions", conversions_rows(), schemas.CONVERSIONS)
 
 
 def channel_data_df(spark: SparkSession, sf_dir: str) -> DataFrame:
