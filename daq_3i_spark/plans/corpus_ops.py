@@ -957,8 +957,17 @@ def op_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_match_sim = F.expr(SPARK.sig_match_frac("sa", "sb")) >= 0.5
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from daq_3i_spark.sources.tables import spread
+
+        # fan the batch out BEFORE the MinHash kernel (r18): the one-file-
+        # per-trigger replay delivers each micro-batch as a SINGLE partition,
+        # so the per-character hashing chain ran on one core — measured 2.4 s
+        # vs 0.8 s per sf1 batch against the spread form (the load_spread /
+        # persist_batch convention; guide §2.5 input skew).  On a real multi-
+        # file source the batch arrives already spread and this is one cheap
+        # round-robin exchange of raw docs.
         bands_b = (
-            _spark_sigs_of(batch)
+            _spark_sigs_of(spread(batch))
             .select(
                 "doc_id", "sig",
                 F.posexplode(F.expr(SPARK.band_hashes("sig"))).alias(

@@ -1925,3 +1925,28 @@ def test_read_status_empty_table_never_flips_to_none(spark, tmp_path):
     assert got is not None, "existing-but-empty table read as None"
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["parameter", "status", "ts"]
+
+
+def test_stream_dedup_ingest_kernel_is_spread(spark, sf_dir):
+    """The per-batch MinHash kernel must fan out before it runs (r18): the
+    one-file-per-trigger replay delivers each micro-batch as a single
+    partition, and an unspread kernel hashes the whole batch on one core.
+    The spread is observable in the band index: each batch's append writes
+    one file per non-empty kernel partition, so the drained index holds
+    MORE files than the 4 micro-batches (the unspread shape wrote exactly
+    one file per batch)."""
+    import os
+
+    from daq_3i_spark.plans import QUERIES
+    from daq_3i_spark.plans.streaming_ops import _TMP_ROOT
+
+    n = QUERIES["op_stream_dedup_ingest"].spark(spark, sf_dir).count()
+    assert n > 0
+    index_dir = os.path.join(
+        _TMP_ROOT, f"op_stream_dedup_ingest-w{os.getpid()}", "band_index"
+    )
+    files = [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+    assert len(files) > 4, (
+        f"band index holds {len(files)} files for 4 micro-batches — the "
+        "kernel ran unspread (single partition per batch)"
+    )
